@@ -1,0 +1,298 @@
+"""Minimal DOM built on the stdlib ``html.parser``.
+
+The container has no lxml/selectolax/bs4, so the extraction engine
+(extraction/readability.py) runs against this lightweight tree. Design
+goals, in order: determinism, source-offset tracking (for span output),
+tolerable tag-soup recovery, speed (one parse per document inside an
+Arrow batch loop — see functions/udfs.py).
+
+Reference behavior being re-expressed (cited for parity, not copied):
+the reference delegates DOM work to BeautifulSoup
+(news-scanner/readability/analyzer.py:46) and to the external
+readability-js-server container (docker-compose.yml:2-14).
+"""
+
+from __future__ import annotations
+
+import re
+from html import unescape
+from html.parser import HTMLParser
+from typing import Iterator, Optional
+
+VOID_ELEMENTS = frozenset(
+    "area base br col embed hr img input link meta param source track wbr".split()
+)
+
+BLOCK_ELEMENTS = frozenset(
+    (
+        "address article aside blockquote details dialog dd div dl dt "
+        "fieldset figcaption figure footer form h1 h2 h3 h4 h5 h6 header "
+        "hgroup hr li main menu nav ol p pre section table ul"
+    ).split()
+)
+
+# Elements whose start implicitly closes an open <p> (HTML5 parsing rules,
+# simplified): any block element.
+_P_CLOSERS = BLOCK_ELEMENTS
+
+_WS_RE = re.compile(r"\s+")
+
+
+class Node:
+    """One DOM node. ``tag is None`` means text node."""
+
+    __slots__ = ("tag", "attrs", "children", "parent", "text", "src_start", "src_end")
+
+    def __init__(
+        self,
+        tag: Optional[str] = None,
+        attrs: Optional[dict] = None,
+        text: str = "",
+        src_start: int = -1,
+        src_end: int = -1,
+    ) -> None:
+        self.tag = tag
+        self.attrs = attrs if attrs is not None else {}
+        self.children: list[Node] = []
+        self.parent: Optional[Node] = None
+        self.text = text
+        self.src_start = src_start
+        self.src_end = src_end
+
+    # -- tree ops ---------------------------------------------------------
+    def append(self, child: "Node") -> None:
+        child.parent = self
+        self.children.append(child)
+
+    def remove(self) -> None:
+        """Detach this node from its parent."""
+        if self.parent is not None:
+            try:
+                self.parent.children.remove(self)
+            except ValueError:
+                pass
+            self.parent = None
+
+    def replace_with(self, other: "Node") -> None:
+        if self.parent is None:
+            return
+        idx = self.parent.children.index(self)
+        other.parent = self.parent
+        self.parent.children[idx] = other
+        self.parent = None
+
+    # -- accessors ---------------------------------------------------------
+    @property
+    def is_text(self) -> bool:
+        return self.tag is None
+
+    def get(self, attr: str, default: str = "") -> str:
+        return self.attrs.get(attr, default)
+
+    @property
+    def class_id(self) -> str:
+        """``class + ' ' + id`` string used by candidate regexes."""
+        return (self.attrs.get("class", "") + " " + self.attrs.get("id", "")).strip()
+
+    def iter(self) -> Iterator["Node"]:
+        """Pre-order traversal including self (elements and text)."""
+        stack = [self]
+        while stack:
+            node = stack.pop()
+            yield node
+            stack.extend(reversed(node.children))
+
+    def iter_elements(self, *tags: str) -> Iterator["Node"]:
+        want = frozenset(t.lower() for t in tags) if tags else None
+        for node in self.iter():
+            if node.tag is not None and (want is None or node.tag in want):
+                yield node
+
+    def find(self, *tags: str) -> Optional["Node"]:
+        for node in self.iter_elements(*tags):
+            return node
+        return None
+
+    def ancestors(self, max_depth: int = 0) -> Iterator["Node"]:
+        node, depth = self.parent, 0
+        while node is not None and (max_depth == 0 or depth < max_depth):
+            yield node
+            node = node.parent
+            depth += 1
+
+    # -- text --------------------------------------------------------------
+    def raw_text(self) -> str:
+        parts: list[str] = []
+        for node in self.iter():
+            if node.is_text:
+                parts.append(node.text)
+        return "".join(parts)
+
+    def inner_text(self, normalize: bool = True) -> str:
+        """Concatenated text content; normalize collapses whitespace runs
+        to single spaces and strips (mirrors the reference's cleaning,
+        news-scanner/readability/analyzer.py:56)."""
+        text = self.raw_text()
+        if normalize:
+            text = _WS_RE.sub(" ", text).strip()
+        return text
+
+    def text_spans(self) -> list[tuple[int, int]]:
+        """Source-offset spans of all non-blank text nodes under self,
+        merged when adjacent/overlapping. Offsets index the original
+        HTML string handed to :func:`parse_html`."""
+        spans = [
+            (n.src_start, n.src_end)
+            for n in self.iter()
+            if n.is_text and n.src_start >= 0 and n.text.strip()
+        ]
+        spans.sort()
+        merged: list[tuple[int, int]] = []
+        for start, end in spans:
+            if merged and start <= merged[-1][1]:
+                merged[-1] = (merged[-1][0], max(merged[-1][1], end))
+            else:
+                merged.append((start, end))
+        return merged
+
+    def link_density(self) -> float:
+        """Length of text inside <a> descendants / total text length."""
+        total = len(self.inner_text())
+        if total == 0:
+            return 0.0
+        link_len = sum(len(a.inner_text()) for a in self.iter_elements("a"))
+        return min(1.0, link_len / total)
+
+    # -- serialization -----------------------------------------------------
+    def serialize(self) -> str:
+        out: list[str] = []
+        self._serialize_into(out)
+        return "".join(out)
+
+    def _serialize_into(self, out: list[str]) -> None:
+        if self.is_text:
+            out.append(
+                self.text.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
+            )
+            return
+        if self.tag == "#root":
+            for child in self.children:
+                child._serialize_into(out)
+            return
+        attrs = "".join(
+            f' {k}="{v.replace(chr(34), "&quot;")}"' for k, v in self.attrs.items()
+        )
+        if self.tag in VOID_ELEMENTS:
+            out.append(f"<{self.tag}{attrs}/>")
+            return
+        out.append(f"<{self.tag}{attrs}>")
+        for child in self.children:
+            child._serialize_into(out)
+        out.append(f"</{self.tag}>")
+
+    def __repr__(self) -> str:  # pragma: no cover - debugging aid
+        if self.is_text:
+            return f"#text({self.text[:30]!r})"
+        return f"<{self.tag} class={self.attrs.get('class', '')!r}>"
+
+
+class _TreeBuilder(HTMLParser):
+    """Builds a Node tree; records source offsets for every text chunk."""
+
+    def __init__(self, raw: str) -> None:
+        super().__init__(convert_charrefs=False)
+        self.root = Node("#root")
+        self.stack: list[Node] = [self.root]
+        self._raw = raw
+        # line start offsets for getpos() -> absolute offset conversion
+        self._line_starts = [0]
+        for m in re.finditer("\n", raw):
+            self._line_starts.append(m.end())
+
+    def _offset(self) -> int:
+        line, col = self.getpos()
+        return self._line_starts[line - 1] + col
+
+    # -- element events ----------------------------------------------------
+    def handle_starttag(self, tag: str, attrs) -> None:
+        tag = tag.lower()
+        # implicit </p> before block elements (simplified HTML5 rule)
+        if tag in _P_CLOSERS:
+            for i in range(len(self.stack) - 1, 0, -1):
+                if self.stack[i].tag == "p":
+                    del self.stack[i:]
+                    break
+                if self.stack[i].tag not in ("a", "span", "b", "i", "em", "strong"):
+                    break
+        # implicit </li> before a new <li>
+        if tag == "li" and self.stack[-1].tag == "li":
+            self.stack.pop()
+        node = Node(tag, {k.lower(): (v or "") for k, v in attrs})
+        self.stack[-1].append(node)
+        if tag not in VOID_ELEMENTS:
+            self.stack.append(node)
+
+    def handle_startendtag(self, tag: str, attrs) -> None:
+        node = Node(tag.lower(), {k.lower(): (v or "") for k, v in attrs})
+        self.stack[-1].append(node)
+
+    def handle_endtag(self, tag: str) -> None:
+        tag = tag.lower()
+        if tag in VOID_ELEMENTS:
+            return
+        for i in range(len(self.stack) - 1, 0, -1):
+            if self.stack[i].tag == tag:
+                del self.stack[i:]
+                return
+        # unmatched end tag: ignore (tag-soup recovery)
+
+    # -- text events ---------------------------------------------------------
+    def _append_text(self, text: str, raw_len: int) -> None:
+        start = self._offset()
+        parent = self.stack[-1]
+        last = parent.children[-1] if parent.children else None
+        if last is not None and last.is_text and last.src_end == start:
+            last.text += text
+            last.src_end = start + raw_len
+        else:
+            parent.append(Node(text=text, src_start=start, src_end=start + raw_len))
+
+    def handle_data(self, data: str) -> None:
+        if data:
+            self._append_text(data, len(data))
+
+    def handle_entityref(self, name: str) -> None:
+        self._append_text(unescape(f"&{name};"), len(name) + 2)
+
+    def handle_charref(self, name: str) -> None:
+        self._append_text(unescape(f"&#{name};"), len(name) + 3)
+
+    def handle_comment(self, data: str) -> None:  # drop comments
+        pass
+
+    def handle_decl(self, decl: str) -> None:  # drop doctype
+        pass
+
+
+def parse_html(raw: str) -> Node:
+    """Parse an HTML string into a Node tree rooted at ``#root``.
+
+    Never raises on malformed input — html.parser is already lenient and
+    the builder's recovery rules absorb unmatched tags.
+    """
+    builder = _TreeBuilder(raw)
+    try:
+        builder.feed(raw)
+        builder.close()
+    except Exception:
+        # pathological input: fall back to a root holding the raw text
+        root = Node("#root")
+        root.append(Node(text=re.sub(r"<[^>]+>", " ", raw), src_start=0, src_end=len(raw)))
+        return root
+    return builder.root
+
+
+def body_of(root: Node) -> Node:
+    """Return the <body> element, or the root if none exists (fragment)."""
+    body = root.find("body")
+    return body if body is not None else root

@@ -1,0 +1,403 @@
+"""Main-content extraction: a from-scratch implementation of the public
+arc90/Mozilla Readability algorithm.
+
+The reference system does NOT contain this algorithm — it delegates to the
+external ``readability-js-server`` container over HTTP
+(reference: docker-compose.yml:2-14, consumed by
+news-scanner/scanner/content_extractor.py:54-110). The stages implemented
+here follow the published algorithm description (candidate scoring via
+class/id weights, link-density and comma/paragraph heuristics,
+top-candidate sibling merge, conditional boilerplate strip, low-content
+retry flags) as summarized in SURVEY.md §2.2. No code is ported.
+
+The output contract mirrors what the reference consumes from the
+extractor's JSON response: ``content`` (article HTML) and derived plain
+text; an empty result maps to the reference's 204/no-content path
+(content_extractor.py:107-110 → parse_failed=True here).
+
+Pure Python, no Spark imports — unit-testable standalone; the Spark
+binding is an Arrow-vectorized pandas UDF in functions/udfs.py.
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass, field
+from typing import Optional
+
+from readability_scanner_spark.dom import BLOCK_ELEMENTS, Node, body_of, parse_html
+
+# --- public-spec regexes (SURVEY.md §2.2 steps 2 and 4) -------------------
+UNLIKELY_CANDIDATES = re.compile(
+    r"banner|combx|comment|community|disqus|extra|foot|header|menu|related"
+    r"|remark|rss|share|shoutbox|sidebar|skyscraper|sponsor|ad-break"
+    r"|agegate|pagination|pager|popup",
+    re.I,
+)
+OK_MAYBE_CANDIDATE = re.compile(r"and|article|body|column|main|shadow", re.I)
+POSITIVE = re.compile(
+    r"article|body|content|entry|hentry|h-entry|main|page|pagination|post"
+    r"|text|blog|story",
+    re.I,
+)
+NEGATIVE = re.compile(
+    r"-ad-|hidden|banner|combx|comment|com-|contact|foot|footer|footnote"
+    r"|gdpr|masthead|media|meta|outbrain|promo|related|scroll|share"
+    r"|shoutbox|sidebar|skyscraper|sponsor|shopping|tags|tool|widget",
+    re.I,
+)
+SENTENCE_END = re.compile(r"\.( |$)")
+
+# retry flags (step 8)
+FLAG_STRIP_UNLIKELYS = 1
+FLAG_WEIGHT_CLASSES = 2
+FLAG_CLEAN_CONDITIONALLY = 4
+ALL_FLAGS = FLAG_STRIP_UNLIKELYS | FLAG_WEIGHT_CLASSES | FLAG_CLEAN_CONDITIONALLY
+
+MIN_CONTENT_LENGTH = 500  # chars of text below which we retry with fewer flags
+SCORE_TAGS = frozenset(("p", "td", "pre"))
+EMBED_TAGS = frozenset(("object", "embed", "iframe", "applet"))
+_WS_RE = re.compile(r"\s+")
+
+
+@dataclass
+class ExtractionResult:
+    content: str  # serialized article HTML ("" when failed)
+    text_content: str  # whitespace-normalized plain text
+    title: str
+    spans: list[tuple[int, int]] = field(default_factory=list)
+    parse_failed: bool = False
+    content_ratio: float = 0.0  # len(text_content) / len(normalized source text)
+
+
+# ---------------------------------------------------------------------------
+# helpers
+# ---------------------------------------------------------------------------
+
+def _class_weight(node: Node, flags: int) -> float:
+    if not (flags & FLAG_WEIGHT_CLASSES):
+        return 0.0
+    weight = 0.0
+    ci = node.class_id
+    if ci:
+        if NEGATIVE.search(ci):
+            weight -= 25
+        if POSITIVE.search(ci):
+            weight += 25
+    return weight
+
+
+_TAG_BASE = {
+    "div": 5,
+    "pre": 3,
+    "td": 3,
+    "blockquote": 3,
+    "address": -3,
+    "ol": -3,
+    "ul": -3,
+    "dl": -3,
+    "dd": -3,
+    "dt": -3,
+    "li": -3,
+    "form": -3,
+    "h1": -5,
+    "h2": -5,
+    "h3": -5,
+    "h4": -5,
+    "h5": -5,
+    "h6": -5,
+    "th": -5,
+}
+
+
+def _initialize_score(node: Node, flags: int) -> float:
+    return _TAG_BASE.get(node.tag, 0) + _class_weight(node, flags)
+
+
+def _has_block_child(node: Node) -> bool:
+    return any(c.tag in BLOCK_ELEMENTS for c in node.children if c.tag is not None)
+
+
+def _strip(root: Node, *tags: str) -> None:
+    for node in list(root.iter_elements(*tags)):
+        node.remove()
+
+
+def _extract_title(root: Node) -> str:
+    for tag in ("title", "h1", "h2"):
+        node = root.find(tag)
+        if node is not None:
+            title = node.inner_text()
+            if title:
+                return title
+    return ""
+
+
+# ---------------------------------------------------------------------------
+# stage 1: preprocess (SURVEY.md §2.2 step 1)
+# ---------------------------------------------------------------------------
+
+def _preprocess(root: Node) -> None:
+    _strip(root, "script", "style", "noscript", "template", "link", "iframe")
+    # <br><br>(+) runs act as paragraph separators: wrap the run-separated
+    # inline content in <p>. Simplified: convert each <br> following another
+    # <br> (ignoring blank text) into a paragraph break by splitting the
+    # parent's children.
+    for parent in list(root.iter_elements()):
+        children = parent.children
+        if not any(c.tag == "br" for c in children):
+            continue
+        # find double-br positions
+        runs: list[int] = []
+        i = 0
+        while i < len(children) - 1:
+            if children[i].tag == "br":
+                j = i + 1
+                while j < len(children) and (
+                    children[j].tag == "br"
+                    or (children[j].is_text and not children[j].text.strip())
+                ):
+                    j += 1
+                n_brs = sum(1 for k in range(i, j) if children[k].tag == "br")
+                if n_brs >= 2:
+                    runs.append(i)
+                    i = j
+                    continue
+            i += 1
+        if not runs:
+            continue
+        # split children at double-br runs into <p> groups
+        groups: list[list[Node]] = [[]]
+        i = 0
+        while i < len(children):
+            if children[i].tag == "br" and i in runs:
+                # consume the whole run
+                while i < len(children) and (
+                    children[i].tag == "br"
+                    or (children[i].is_text and not children[i].text.strip())
+                ):
+                    i += 1
+                groups.append([])
+                continue
+            groups[-1].append(children[i])
+            i += 1
+        parent.children = []
+        for group in groups:
+            if not group:
+                continue
+            if len(group) == 1 and group[0].tag in BLOCK_ELEMENTS:
+                parent.append(group[0])
+                continue
+            p = Node("p")
+            for item in group:
+                p.append(item)
+            parent.append(p)
+
+
+# ---------------------------------------------------------------------------
+# stage 2-6: grab article
+# ---------------------------------------------------------------------------
+
+def _grab_article(body: Node, flags: int) -> Optional[Node]:
+    # step 2: strip unlikely candidates
+    if flags & FLAG_STRIP_UNLIKELYS:
+        for node in list(body.iter_elements()):
+            ci = node.class_id
+            if (
+                ci
+                and UNLIKELY_CANDIDATES.search(ci)
+                and not OK_MAYBE_CANDIDATE.search(ci)
+                and node.tag not in ("body", "a", "html")
+            ):
+                node.remove()
+
+    # divs with no block children behave as paragraphs
+    to_score: list[Node] = []
+    for node in body.iter_elements():
+        if node.tag in SCORE_TAGS:
+            to_score.append(node)
+        elif node.tag == "div" and not _has_block_child(node):
+            to_score.append(node)
+
+    # step 3-4: score candidates
+    scores: dict[int, float] = {}
+    nodes_by_id: dict[int, Node] = {}
+
+    def ensure(node: Node) -> int:
+        key = id(node)
+        if key not in scores:
+            scores[key] = _initialize_score(node, flags)
+            nodes_by_id[key] = node
+        return key
+
+    for node in to_score:
+        text = node.inner_text()
+        if len(text) < 25:
+            continue
+        content_score = 1.0 + text.count(",") + min(len(text) // 100, 3)
+        for level, ancestor in enumerate(node.ancestors(max_depth=5)):
+            if ancestor.tag in (None, "#root", "html"):
+                break
+            key = ensure(ancestor)
+            if level == 0:
+                scores[key] += content_score
+            elif level == 1:
+                scores[key] += content_score / 2.0
+            else:
+                scores[key] += content_score / (3.0 * level)
+
+    if not scores:
+        # no scorable candidates (e.g. plain text, no block structure):
+        # last-resort fallback — use the whole body as the article
+        # (the public algorithm's "use body" path)
+        if body.inner_text():
+            article = Node("div", {"id": "readability-content"})
+            for child in list(body.children):
+                child.remove()
+                article.append(child)
+            return article
+        return None
+
+    # step 5: link-density scaling; pick top candidate
+    top_key, top_score = None, float("-inf")
+    for key, raw in scores.items():
+        node = nodes_by_id[key]
+        final = raw * (1.0 - node.link_density())
+        scores[key] = final
+        if final > top_score:
+            top_key, top_score = key, final
+    top = nodes_by_id[top_key]
+
+    # step 6: sibling merge into a fresh container
+    article = Node("div", {"id": "readability-content"})
+    sibling_threshold = max(10.0, top_score * 0.2)
+    parent = top.parent
+    siblings = parent.children if parent is not None else [top]
+    for sibling in list(siblings):
+        if sibling.is_text:
+            if sibling.text.strip():
+                article.append(Node(text=sibling.text, src_start=sibling.src_start, src_end=sibling.src_end))
+            continue
+        keep = False
+        if sibling is top:
+            keep = True
+        else:
+            bonus = 0.0
+            if sibling.get("class") and sibling.get("class") == top.get("class"):
+                bonus = top_score * 0.2
+            sib_score = scores.get(id(sibling), 0.0) + bonus
+            if sib_score >= sibling_threshold:
+                keep = True
+            elif sibling.tag == "p":
+                text = sibling.inner_text()
+                ld = sibling.link_density()
+                if len(text) > 80 and ld < 0.25:
+                    keep = True
+                elif len(text) < 80 and len(text) > 0 and ld == 0.0 and SENTENCE_END.search(text):
+                    keep = True
+        if keep:
+            sibling.remove()
+            article.append(sibling)
+    return article
+
+
+# ---------------------------------------------------------------------------
+# stage 7: conditional cleanup (boilerplate strip)
+# ---------------------------------------------------------------------------
+
+def _clean_conditionally(article: Node, tag: str, flags: int) -> None:
+    if not (flags & FLAG_CLEAN_CONDITIONALLY):
+        return
+    for node in list(article.iter_elements(tag)):
+        if node is article:
+            continue
+        weight = _class_weight(node, flags)
+        if weight < 0:
+            node.remove()
+            continue
+        text = node.inner_text()
+        if text.count(",") < 10:
+            p_count = sum(1 for _ in node.iter_elements("p"))
+            img_count = sum(1 for _ in node.iter_elements("img"))
+            li_count = sum(1 for _ in node.iter_elements("li")) - 100
+            input_count = sum(1 for _ in node.iter_elements("input"))
+            ld = node.link_density()
+            remove = (
+                (img_count > p_count and img_count > 1)
+                or (li_count > p_count and tag not in ("ul", "ol"))
+                or (input_count > p_count / 3)
+                or (len(text) < 25 and (img_count == 0 or img_count > 2))
+                or (weight < 25 and ld > 0.2)
+                or (weight >= 25 and ld > 0.5)
+            )
+            if remove:
+                node.remove()
+
+
+def _prep_article(article: Node, flags: int) -> None:
+    _strip(article, "form", "button", "textarea", "select", "footer", "aside", "nav")
+    for tag in EMBED_TAGS:
+        _strip(article, tag)
+    for tag in ("table", "ul", "div"):
+        _clean_conditionally(article, tag, flags)
+    # drop empty paragraphs (no text, no images/embeds)
+    for p in list(article.iter_elements("p")):
+        if not p.inner_text() and not any(
+            c.tag in ("img", "object", "embed") for c in p.iter_elements()
+        ):
+            p.remove()
+
+
+# ---------------------------------------------------------------------------
+# entry point
+# ---------------------------------------------------------------------------
+
+def extract_main_content(raw_html: str) -> ExtractionResult:
+    """Extract the main article content from raw HTML.
+
+    Implements SURVEY.md §2.2 steps 1-8 with the retry-flag ladder:
+    if the extracted text is shorter than :data:`MIN_CONTENT_LENGTH`,
+    retry with STRIP_UNLIKELYS, then WEIGHT_CLASSES, then
+    CLEAN_CONDITIONALLY disabled; the longest attempt wins.
+    """
+    if raw_html is None or not raw_html.strip():
+        return ExtractionResult("", "", "", [], parse_failed=True)
+
+    source_text_len = len(_WS_RE.sub(" ", re.sub(r"<[^>]+>", " ", raw_html)).strip()) or 1
+
+    flag_ladder = [
+        ALL_FLAGS,
+        ALL_FLAGS & ~FLAG_STRIP_UNLIKELYS,
+        ALL_FLAGS & ~FLAG_STRIP_UNLIKELYS & ~FLAG_WEIGHT_CLASSES,
+        0,
+    ]
+    best: Optional[ExtractionResult] = None
+    title = ""
+    for flags in flag_ladder:
+        root = parse_html(raw_html)  # reparse: stripping mutates the tree
+        if not title:
+            title = _extract_title(root)
+        _preprocess(root)
+        body = body_of(root)
+        article = _grab_article(body, flags)
+        if article is None:
+            continue
+        _prep_article(article, flags)
+        text = article.inner_text()
+        result = ExtractionResult(
+            content=article.serialize(),
+            text_content=text,
+            title=title,
+            spans=article.text_spans(),
+            parse_failed=not text,
+            content_ratio=min(1.0, len(text) / source_text_len),
+        )
+        if len(text) >= MIN_CONTENT_LENGTH:
+            return result
+        if best is None or len(text) > len(best.text_content):
+            best = result
+
+    if best is not None and best.text_content:
+        return best
+    # total failure → the reference's 204/no-content path
+    return ExtractionResult("", "", title, [], parse_failed=True)

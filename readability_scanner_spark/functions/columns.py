@@ -1,0 +1,84 @@
+"""Pure-SQL (JVM-side) column expressions for the regex-expressible text
+stats T1–T4 and cleaning/preview operators.
+
+These mirror the Python implementations in functions/textstats.py exactly
+(same regexes as news-scanner/readability/text_stats.py:27-74) but stay
+inside whole-stage codegen — zero Python in the plan. Used by the
+oracle-checked queries in __spark_entry__.py; the full-stats path
+(syllables needed) goes through the Arrow UDF instead.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def words_col(text: Column) -> Column:
+    """T3: count of \\b\\w+\\b matches (text_stats.py:60-68)."""
+    return F.coalesce(F.regexp_count(text, F.lit(r"\b\w+\b")), F.lit(0)).cast("long")
+
+
+def sentences_col(text: Column) -> Column:
+    """T1: split on [.!?]+(\\s+|$), count non-empty (text_stats.py:27-42).
+
+    The Python version first collapses whitespace; splitting is
+    whitespace-insensitive so the collapse does not change the count.
+    """
+    normalized = F.trim(F.regexp_replace(text, r"\s+", " "))
+    parts = F.split(normalized, r"[.!?]+(?:\s+|$)")
+    return F.size(F.filter(parts, lambda x: F.trim(x) != "")).cast("long")
+
+
+def paragraphs_col(text: Column) -> Column:
+    """T2: split on blank lines (text_stats.py:45-57)."""
+    parts = F.split(text, r"\n\s*\n|\r\n\s*\r\n")
+    return F.size(F.filter(parts, lambda x: F.trim(x) != "")).cast("long")
+
+
+def characters_col(text: Column) -> Column:
+    """T4: length excluding all whitespace (text_stats.py:71-74)."""
+    return F.length(F.regexp_replace(text, r"\s", "")).cast("long")
+
+
+def clean_html_col(html: Column) -> Column:
+    """Pure-SQL fallback of E2 cleaning (analyzer.py:34-74): strip
+    script/style blocks, strip tags, unescape the 5 legacy entities,
+    collapse whitespace. The UDF path is authoritative for parity; this
+    is the fast path for crude bulk filtering."""
+    no_script = F.regexp_replace(html, r"(?is)<script[^>]*>.*?</script>", " ")
+    no_style = F.regexp_replace(no_script, r"(?is)<style[^>]*>.*?</style>", " ")
+    no_tags = F.regexp_replace(no_style, r"<[^>]+>", " ")
+    unescaped = no_tags
+    for ent, rep in (("&nbsp;", " "), ("&amp;", "&"), ("&lt;", "<"), ("&gt;", ">"), ("&quot;", "\"")):
+        unescaped = F.replace(unescaped, F.lit(ent), F.lit(rep))
+    return F.trim(F.regexp_replace(unescaped, r"\s+", " "))
+
+
+def preview_col(text: Column, max_chars: int = 200) -> Column:
+    """E6 preview/truncate (article_search_routes.py:247-270): collapse
+    whitespace, cut at max_chars on a word boundary, append '...'."""
+    normalized = F.trim(F.regexp_replace(text, r"\s+", " "))
+    cut = F.substring(normalized, 1, max_chars)
+    # drop the trailing partial word if we actually truncated
+    last_word = F.element_at(F.split(cut, " "), -1)
+    word_bounded = F.when(
+        F.instr(cut, " ") > 0,
+        F.substring(cut, F.lit(1), F.length(cut) - F.length(last_word) - 1),
+    ).otherwise(cut)
+    return F.when(F.length(normalized) <= max_chars, normalized).otherwise(
+        F.concat(word_bounded, F.lit("..."))
+    )
+
+
+def with_sql_text_stats(df: DataFrame, text: str = "text") -> DataFrame:
+    """Append T1–T4 as JVM columns."""
+    t = F.col(text)
+    return df.withColumns(
+        {
+            "words": words_col(t),
+            "sentences": sentences_col(t),
+            "paragraphs": paragraphs_col(t),
+            "characters": characters_col(t),
+        }
+    )

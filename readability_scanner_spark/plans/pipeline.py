@@ -1,0 +1,178 @@
+"""The flagship extraction pipeline (SURVEY.md §3.1 Spark shape).
+
+    read transcripts
+      → explicit repartition on salted conv_id hash (skew-safe)
+      → extract_udf (Arrow batch: readability + cleaning + dates + image)
+      → stats_udf  (Arrow batch: T1–T7)
+      → F1–F9 as native Column expressions (JVM, whole-stage codegen)
+      → future-date clamp (reference rss_parser.py:166-172)
+      → idempotent partition-bucket commit + _meta lineage/metrics row
+
+Replaces the reference's celery fan-out / HTTP extraction / Mongo upsert
+loop (news-scanner/celery_app/jobs/rss_jobs.py:94-192,
+scanner/scanner.py:32-114, database/articles.py:89-200). The retry /
+semaphore / stagger machinery disappears: there are no network calls
+inside the job.
+
+Scale design (north_rule):
+  * conv_id is the natural shuffle key; mega-conversations are salted
+    with turn_idx ranges so no single task owns a 10^7-turn conversation:
+    salt = turn_idx // SALT_SPAN → repartition(hash(conv_id, salt)).
+    Extraction is per-row, so salting changes no results — it only
+    flattens task sizes. Downstream per-conv aggregations re-aggregate
+    partials across salts (two-stage agg), which is cheap because
+    partials are tiny.
+  * checkpoint/resume: the work unit is a deterministic conv bucket
+    (pmod(hash(conv_id), n_buckets)). Each bucket commits its output
+    under bucket=K/ and appends a _meta row (turns, parse failures, mean
+    content ratio — the analog of the reference's ScanStats,
+    models/scan_result.py:10-57). A killed run resumes by anti-joining
+    buckets against committed _meta rows. On Iceberg this becomes
+    MERGE/overwritePartitions; parquet subdirs + a manifest give the
+    same idempotency in this sandbox.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from readability_scanner_spark.functions.formulas import with_readability_scores
+from readability_scanner_spark.functions.udfs import extract_udf, stats_udf
+
+SALT_SPAN = 1000  # turns per salt shard within one conversation
+
+
+def salted_repartition(df: DataFrame, num_partitions: int | None = None) -> DataFrame:
+    """Explicit repartition on (conv_id, turn_idx // SALT_SPAN).
+
+    hash-partitioning on conv_id alone sends a mega-conversation's 10^7
+    turns to one task; the salt bounds any task's share of a single
+    conversation to SALT_SPAN turns while keeping normal conversations
+    (< SALT_SPAN turns) on a single partition.
+    """
+    salt = (F.col("turn_idx") / SALT_SPAN).cast("int").alias("_salt")
+    if num_partitions:
+        return df.repartition(num_partitions, F.col("conv_id"), salt)
+    return df.repartition(F.col("conv_id"), salt)
+
+
+def extract_and_score(df: DataFrame, repartition_to: int | None = None) -> DataFrame:
+    """transcripts(conv_id, turn_idx, role, text, tool, ts) → scored docs.
+
+    One wide row per turn: extraction struct fields, stats, 8 scores +
+    grade, with the future-date clamp applied to ts.
+    """
+    out = salted_repartition(df, repartition_to) if repartition_to != 0 else df
+    out = out.withColumn("_ex", extract_udf(F.col("text")))
+    out = out.select(
+        "conv_id",
+        "turn_idx",
+        "role",
+        "tool",
+        # future-date clamp (reference rss_parser.py:166-172)
+        F.when(F.col("ts") > F.current_timestamp(), F.current_timestamp())
+        .otherwise(F.col("ts"))
+        .alias("ts"),
+        F.col("_ex.content").alias("content"),
+        F.col("_ex.text_content").alias("cleaned_data"),
+        F.col("_ex.title").alias("title"),
+        F.col("_ex.image_url").alias("image_url"),
+        F.col("_ex.published_ts").alias("publication_date"),
+        F.col("_ex.spans").alias("spans"),
+        F.col("_ex.parse_failed").alias("parse_failed"),
+        F.col("_ex.content_ratio").alias("content_ratio"),
+    )
+    out = out.withColumn("_st", stats_udf(F.col("cleaned_data")))
+    out = out.select("*", "_st.*").drop("_st")
+    return with_readability_scores(out)
+
+
+# ---------------------------------------------------------------------------
+# resumable batch runner (checkpoint `_meta` protocol)
+# ---------------------------------------------------------------------------
+
+def _meta_path(output_path: str) -> str:
+    return os.path.join(output_path, "_meta")
+
+
+def committed_buckets(output_path: str) -> set[int]:
+    meta = _meta_path(output_path)
+    if not os.path.isdir(meta):
+        return set()
+    done = set()
+    for name in os.listdir(meta):
+        if name.endswith(".json"):
+            with open(os.path.join(meta, name)) as fh:
+                done.add(json.load(fh)["bucket"])
+    return done
+
+
+def run_pipeline(
+    spark: SparkSession,
+    transcripts: DataFrame,
+    output_path: str,
+    n_buckets: int = 8,
+    repartition_to: int | None = None,
+) -> dict:
+    """Resumable run: process conv buckets not yet committed to _meta.
+
+    Returns a summary dict {buckets_run, turns, parse_failures}.
+    On Iceberg the bucket loop becomes df.writeTo(t).overwritePartitions()
+    per bucket with the _meta row in an Iceberg `_meta` table — same
+    protocol, transactional commit. Here: parquet dir per bucket + a JSON
+    manifest written after the parquet job succeeds (write-then-commit
+    ordering makes a killed run re-do at most the in-flight bucket).
+    """
+    os.makedirs(_meta_path(output_path), exist_ok=True)
+    done = committed_buckets(output_path)
+    bucketed = transcripts.withColumn(
+        "_bucket", F.pmod(F.xxhash64(F.col("conv_id")), F.lit(n_buckets)).cast("int")
+    )
+    summary = {"buckets_run": 0, "turns": 0, "parse_failures": 0}
+    for bucket in range(n_buckets):
+        if bucket in done:
+            continue
+        started = time.time()
+        part = bucketed.where(F.col("_bucket") == bucket).drop("_bucket")
+        scored = extract_and_score(part, repartition_to)
+        bucket_dir = os.path.join(output_path, f"bucket={bucket}")
+        scored.write.mode("overwrite").parquet(bucket_dir)
+        # metrics pass over the committed output (reads the small parquet
+        # we just wrote — no recompute of the UDFs)
+        metrics = (
+            spark.read.parquet(bucket_dir)
+            .agg(
+                F.count("*").alias("turns"),
+                F.sum(F.col("parse_failed").cast("long")).alias("failures"),
+                F.avg("content_ratio").alias("mean_content_ratio"),
+            )
+            .first()
+        )
+        meta_row = {
+            "bucket": bucket,
+            "turns_processed": metrics["turns"],
+            "parse_failures": metrics["failures"] or 0,
+            "mean_content_ratio": float(metrics["mean_content_ratio"] or 0.0),
+            "duration_seconds": round(time.time() - started, 3),
+            "committed_at": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
+        }
+        tmp = os.path.join(_meta_path(output_path), f".bucket-{bucket}.json.tmp")
+        final = os.path.join(_meta_path(output_path), f"bucket-{bucket}.json")
+        with open(tmp, "w") as fh:
+            json.dump(meta_row, fh)
+        os.replace(tmp, final)  # atomic commit point
+        summary["buckets_run"] += 1
+        summary["turns"] += meta_row["turns_processed"]
+        summary["parse_failures"] += meta_row["parse_failures"]
+    return summary
+
+
+def read_output(spark: SparkSession, output_path: str) -> DataFrame:
+    return spark.read.option("basePath", output_path).parquet(
+        os.path.join(output_path, "bucket=*")
+    )

@@ -1,0 +1,72 @@
+from readability_scanner_spark.dom import parse_html
+
+
+def test_basic_tree():
+    root = parse_html("<html><body><div id='a'><p>hello <b>world</b></p></div></body></html>")
+    div = root.find("div")
+    assert div.get("id") == "a"
+    assert div.inner_text() == "hello world"
+
+
+def test_entities_decoded():
+    root = parse_html("<p>a&nbsp;&amp;&lt;&gt;&quot;&#65;</p>")
+    # raw text keeps the nbsp; normalized inner_text collapses it (as the
+    # reference's \s+ collapse does, analyzer.py:56)
+    assert root.find("p").inner_text(normalize=False) == 'a\xa0&<>"A'
+    assert root.find("p").inner_text() == 'a &<>"A'
+
+
+def test_void_elements_do_not_nest():
+    root = parse_html("<p>a<br>b<img src='x'>c</p>")
+    p = root.find("p")
+    assert p.inner_text() == "abc"
+    assert [c.tag for c in p.children if c.tag] == ["br", "img"]
+
+
+def test_unclosed_p_recovery():
+    root = parse_html("<div><p>one<p>two</div>")
+    ps = list(root.iter_elements("p"))
+    assert len(ps) == 2
+    assert ps[0].inner_text() == "one"
+    assert ps[1].inner_text() == "two"
+
+
+def test_unmatched_end_tag_ignored():
+    root = parse_html("<div>a</span>b</div>")
+    assert root.find("div").inner_text() == "ab"
+
+
+def test_text_spans_point_into_source():
+    html = "<div><p>alpha</p><p>beta</p></div>"
+    root = parse_html(html)
+    spans = root.text_spans()
+    assert [html[s:e] for s, e in spans] == ["alpha", "beta"]
+
+
+def test_spans_with_entities_cover_raw_input():
+    html = "<p>a&amp;b</p>"
+    root = parse_html(html)
+    (span,) = root.text_spans()
+    assert html[span[0] : span[1]] == "a&amp;b"
+    assert root.find("p").inner_text() == "a&b"
+
+
+def test_link_density():
+    root = parse_html("<div><a href='#'>12345</a>67890</div>")
+    assert abs(root.find("div").link_density() - 0.5) < 1e-9
+
+
+def test_serialize_roundtrip():
+    root = parse_html('<div class="x"><p>a &amp; b</p></div>')
+    out = root.serialize()
+    assert parse_html(out).find("div").inner_text() == "a & b"
+
+
+def test_comments_and_doctype_dropped():
+    root = parse_html("<!DOCTYPE html><!-- hi --><p>x</p>")
+    assert root.inner_text() == "x"
+
+
+def test_malformed_never_raises():
+    for bad in ["<<<", "<a <b>>", "<p", "&#xZZ;", "<script>un<closed", ""]:
+        parse_html(bad)

@@ -1,0 +1,176 @@
+"""Extraction behavior per fixture class (FIXTURES.md §2) + golden parity.
+
+Goldens in tests/golden/extraction_goldens.json are produced by
+scripts/make_goldens.py from the pinned implementation; this test
+guards against regressions (per-turn text equality, BASELINE.json).
+"""
+
+import json
+import os
+
+import pytest
+
+from readability_scanner_spark.extraction.cleaning import clean_html_content, make_preview
+from readability_scanner_spark.extraction.dates import extract_publication_date, normalize_date
+from readability_scanner_spark.extraction.images import extract_primary_image
+from readability_scanner_spark.extraction.links import extract_article_url
+from readability_scanner_spark.extraction.readability import extract_main_content
+from readability_scanner_spark.dom import parse_html
+from readability_scanner_spark.sources.fixtures import fixture_classes, make_fixture
+
+GOLDEN_PATH = os.path.join(os.path.dirname(__file__), "golden", "extraction_goldens.json")
+
+
+def _fx(cls: str, seed: int = 1) -> str:
+    return make_fixture(cls, seed)
+
+
+def test_plain_article_extracts_everything():
+    r = extract_main_content(_fx("plain_article"))
+    assert not r.parse_failed
+    assert len(r.text_content) > 200
+    assert r.title.startswith("plain_article")
+
+
+def test_boilerplate_stripped():
+    html = _fx("boilerplate_heavy")
+    r = extract_main_content(html)
+    assert not r.parse_failed
+    assert "Buy now!" not in r.text_content
+    assert "Copyright" not in r.text_content
+
+
+def test_comments_stripped():
+    r = extract_main_content(_fx("comment_section"))
+    assert not r.parse_failed
+    # comment paragraphs are short, no commas; article survives
+    assert len(r.text_content) > 150
+
+
+def test_link_dense_nav_excluded():
+    r = extract_main_content(_fx("link_dense_nav"))
+    assert not r.parse_failed
+    # nav link labels are single words wrapped in <a>; ensure low link density
+    root = parse_html(r.content)
+    assert root.link_density() < 0.25
+
+
+def test_short_content_retry_path():
+    r = extract_main_content(_fx("short_content"))
+    # short but non-empty: retry ladder should still return the paragraph
+    assert not r.parse_failed
+    assert 0 < len(r.text_content) < 500
+
+
+def test_no_content_flags_failure():
+    r = extract_main_content(_fx("no_content"))
+    assert r.parse_failed or len(r.text_content) < 120
+
+
+def test_empty_input_fails():
+    assert extract_main_content("").parse_failed
+    assert extract_main_content(None).parse_failed
+    assert extract_main_content("   ").parse_failed
+
+
+def test_script_style_removed():
+    r = extract_main_content(_fx("script_style"))
+    assert "var x" not in r.text_content
+    assert "color:red" not in r.text_content
+
+
+def test_entities_unescaped():
+    r = extract_main_content(_fx("entities_whitespace"))
+    assert "&amp;" not in r.text_content
+    assert "&nbsp;" not in r.text_content
+
+
+def test_non_html_fallback():
+    r = extract_main_content(_fx("non_html"))
+    assert not r.parse_failed
+    assert len(r.text_content) > 50
+
+
+def test_spans_index_original_html():
+    html = _fx("plain_article")
+    r = extract_main_content(html)
+    assert r.spans, "expected non-empty spans"
+    for start, end in r.spans:
+        assert 0 <= start < end <= len(html)
+        assert html[start:end].strip()
+
+
+def test_extraction_deterministic():
+    html = _fx("boilerplate_heavy", seed=7)
+    a, b = extract_main_content(html), extract_main_content(html)
+    assert a.text_content == b.text_content
+    assert a.spans == b.spans
+
+
+# --- cleaning / preview -----------------------------------------------------
+
+def test_clean_html_matches_reference_semantics():
+    assert clean_html_content("<p>a</p> <p>b</p>") == "a b"
+    assert clean_html_content("x<script>bad()</script>y") == "xy"
+    assert clean_html_content("a\n\n   b\t c") == "a b c"
+
+
+def test_preview_word_boundary():
+    text = "alpha beta gamma delta epsilon"
+    assert make_preview(text, 12) == "alpha beta..."
+    assert make_preview("short", 12) == "short"
+
+
+# --- dates / images / links --------------------------------------------------
+
+def test_meta_date_extraction():
+    root = parse_html(_fx("meta_dates"))
+    dt = extract_publication_date(root)
+    assert dt is not None and (dt.year, dt.month, dt.day, dt.hour) == (2025, 3, 14, 9)
+
+
+def test_normalize_date_variants():
+    assert normalize_date("2025-03-14T09:30:00Z").hour == 9
+    assert normalize_date("2025-03-14").day == 14
+    assert normalize_date("14 Mar 2025 09:30:00 GMT").hour == 9
+    assert normalize_date("March 14, 2025").month == 3
+    assert normalize_date("") is None
+    assert normalize_date("not a date") is None
+    # naive → assumed UTC (date_normalizer.py:13-66)
+    from datetime import datetime, timezone
+    assert normalize_date(datetime(2025, 1, 1)).tzinfo == timezone.utc
+
+
+def test_image_precedence():
+    root = parse_html(_fx("images"))
+    url = extract_primary_image(root, base_url="https://news.example.com/a")
+    assert url == "https://cdn.example.com/lead.jpg"
+
+
+def test_relative_image_resolved():
+    root = parse_html('<html><body><img src="/pic.png"/></body></html>')
+    assert (
+        extract_primary_image(root, base_url="https://h.com/x")
+        == "https://h.com/pic.png"
+    )
+
+
+def test_reddit_link_extraction():
+    html = _fx("reddit_link", seed=3)
+    url = extract_article_url(html)
+    assert url == "https://example.com/story-3"
+
+
+# --- golden parity -----------------------------------------------------------
+
+@pytest.mark.skipif(not os.path.exists(GOLDEN_PATH), reason="goldens not generated")
+def test_golden_parity():
+    with open(GOLDEN_PATH) as fh:
+        goldens = json.load(fh)
+    assert len(goldens) >= len(fixture_classes())
+    for g in goldens:
+        html = make_fixture(g["cls"], g["seed"])
+        r = extract_main_content(html)
+        assert r.text_content == g["text_content"], (g["cls"], g["seed"])
+        assert r.parse_failed == g["parse_failed"], (g["cls"], g["seed"])
+        assert [[s, e] for s, e in r.spans] == g["spans"], (g["cls"], g["seed"])
