@@ -1,38 +1,647 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` runs the flagship extraction pipeline on sf0.001.
+``queries()`` exposes one entry per implemented operator from
+SURVEY.md §2 (+ the training-data-pipeline operators); ``oracle_sql()``
+holds the DuckDB-equivalent SQL for every SQL-expressible one. Names and
+aliases match column-for-column between the two sides.
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+# word/sentence regexes shared by Spark and DuckDB sides (ASCII-equivalent
+# semantics in Java regex and RE2)
+WORD_PAT = r"\b\w+\b"
+SENT_PAT = r"[.!?]+(?:\s+|$)"
+TOKEN_PAT = r"\w+|[^\w\s]"
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# ---------------------------------------------------------------------------
+# entry: flagship pipeline on sf0.001
+# ---------------------------------------------------------------------------
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Extract + score every document of sf0.001 through the full
+    Arrow-UDF pipeline (documents.text as the raw input column)."""
+    from readability_scanner_spark.plans.pipeline import extract_and_score
+
+    docs = _t(spark, "/root/testdata/sf0.001", "documents")
+    transcripts = docs.select(
+        F.concat(F.lit("doc-"), F.col("doc_id")).alias("conv_id"),
+        F.lit(0).alias("turn_idx"),
+        F.lit("user").alias("role"),
+        F.col("text"),
+        F.lit(None).cast("string").alias("tool"),
+        F.current_timestamp().alias("ts"),
+    )
+    return extract_and_score(transcripts).select(
+        "conv_id",
+        "cleaned_data",
+        "parse_failed",
+        "words",
+        "sentences",
+        "syllables",
+        "flesch",
+        "flesch_kincaid",
+        "smog",
+        "dale_chall",
+        "dale_chall_grade",
+        "coleman_liau",
+        "gunning_fog",
+        "spache",
+        "automated_readability",
+    )
+
+
+# ---------------------------------------------------------------------------
+# queries
+# ---------------------------------------------------------------------------
+
+def q_readability_by_source(spark, sf_dir):
+    from readability_scanner_spark.operators.analytics import readability_by_group
+
+    return readability_by_group(_t(spark, sf_dir, "documents"), "source", "text", min_docs=5)
+
+
+def q_word_topk(spark, sf_dir):
+    from readability_scanner_spark.operators.analytics import word_topk
+
+    return word_topk(_t(spark, sf_dir, "documents"), "text", k=5)
+
+
+def q_event_type_breakdown(spark, sf_dir):
+    from readability_scanner_spark.operators.analytics import status_breakdown
+
+    return status_breakdown(_t(spark, sf_dir, "events"), "event_type", "none")
+
+
+def q_orders_grand_agg(spark, sf_dir):
+    from readability_scanner_spark.operators.analytics import grand_aggregate
+
+    return grand_aggregate(_t(spark, sf_dir, "orders"), "o_totalprice")
+
+
+def q_embedding_size_groups(spark, sf_dir):
+    from readability_scanner_spark.operators.analytics import group_with_distinct
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return group_with_distinct(emb, F.size("embedding"), "label")
+
+
+def q_orders_by_priority(spark, sf_dir):
+    return (
+        _t(spark, sf_dir, "orders")
+        .groupBy(F.col("o_orderpriority").alias("priority"))
+        .agg(F.count("*").alias("cnt"))
+        .orderBy("priority")
+    )
+
+
+def q_collected_rows_per_flag(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    grouped = li.groupBy(F.col("l_returnflag").alias("flag")).agg(
+        F.sort_array(F.collect_list("l_orderkey")).alias("keys")
+    )
+    return grouped.select(
+        "flag",
+        F.size("keys").alias("n_items"),
+        F.element_at("keys", 1).alias("first_key"),
+        F.element_at("keys", -1).alias("last_key"),
+    ).orderBy("flag")
+
+
+def q_event_conditional_counts(spark, sf_dir):
+    from readability_scanner_spark.operators.analytics import conditional_counts
+
+    ev = _t(spark, sf_dir, "events")
+    return conditional_counts(
+        ev,
+        {
+            "n_click": F.col("event_type") == "click",
+            "n_error": F.col("event_type") == "error",
+            "n_big": F.col("value") > 50.0,
+            "n_null_props": F.col("props").isNull() | (F.col("props") == ""),
+        },
+    )
+
+
+def q_events_validation_agg(spark, sf_dir):
+    from readability_scanner_spark.operators.analytics import validation_aggregate
+
+    return validation_aggregate(_t(spark, sf_dir, "events"), "value", "ts")
+
+
+def q_describe_n_chars(spark, sf_dir):
+    from readability_scanner_spark.operators.analytics import describe_metrics
+
+    return describe_metrics(_t(spark, sf_dir, "documents"), "n_chars")
+
+
+def q_success_ratio(spark, sf_dir):
+    from readability_scanner_spark.operators.analytics import derived_ratios
+
+    return derived_ratios(_t(spark, sf_dir, "events"), F.col("event_type") != "error")
+
+
+def q_broadcast_lookup_join(spark, sf_dir):
+    from readability_scanner_spark.operators.analytics import lookup_join
+
+    orders = _t(spark, sf_dir, "orders").where(F.col("o_totalprice") > 400000)
+    cust = _t(spark, sf_dir, "customer")
+    return lookup_join(
+        orders, cust, "o_custkey", "c_custkey", ["c_name", "c_mktsegment"]
+    ).select("o_orderkey", "o_totalprice", "c_name", "c_mktsegment")
+
+
+def q_orders_semi_join(spark, sf_dir):
+    cust = _t(spark, sf_dir, "customer")
+    big = _t(spark, sf_dir, "orders").where(F.col("o_totalprice") > 450000)
+    return (
+        cust.join(big, cust.c_custkey == big.o_custkey, "left_semi")
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey")
+    )
+
+
+def q_latest_order_per_customer(spark, sf_dir):
+    from readability_scanner_spark.operators.analytics import per_group_latest_and_count
+
+    orders = _t(spark, sf_dir, "orders")
+    return per_group_latest_and_count(
+        orders, "o_custkey", ["o_orderdate", "o_orderkey"], ["o_orderkey", "o_totalprice"]
+    )
+
+
+def q_orders_with_part(spark, sf_dir):
+    from readability_scanner_spark.operators.analytics import array_membership
+
+    li = _t(spark, sf_dir, "lineitem")
+    return array_membership(li, "l_orderkey", "l_partkey", 42)
+
+
+def q_similar_pairs(spark, sf_dir):
+    from readability_scanner_spark.operators.similarity import similarity_pairs
+
+    return similarity_pairs(_t(spark, sf_dir, "embeddings"), "vec_id", "embedding", 0.4)
+
+
+def q_knn_topk(spark, sf_dir):
+    from readability_scanner_spark.operators.similarity import knn_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    query_vec = emb.where(F.col("vec_id") == 0).select("embedding").first()[0]
+    return knn_topk(emb.where(F.col("vec_id") != 0), "vec_id", "embedding", query_vec, k=10).select(
+        "vec_id"
+    )
+
+
+def q_orders_topk(spark, sf_dir):
+    from readability_scanner_spark.operators.analytics import top_k
+
+    return top_k(_t(spark, sf_dir, "orders"), "o_totalprice", 10, "o_orderkey").select(
+        "o_orderkey", "o_totalprice"
+    )
+
+
+def q_events_page2(spark, sf_dir):
+    from readability_scanner_spark.operators.analytics import paginate
+
+    return paginate(_t(spark, sf_dir, "events"), ["ts", "event_id"], page=2, page_size=10).select(
+        "event_id", "event_type"
+    )
+
+
+def q_multi_key_sort_top(spark, sf_dir):
+    return (
+        _t(spark, sf_dir, "events")
+        .orderBy(F.desc("value"), F.asc("event_id"))
+        .limit(20)
+        .select("event_id", F.round("value", 4).alias("value"))
+    )
+
+
+def q_rolling_7d_by_type(spark, sf_dir):
+    from readability_scanner_spark.operators.analytics import rolling_window
+
+    ev = _t(spark, sf_dir, "events")
+    recent = rolling_window(ev, "ts", 7)
+    return recent.groupBy("event_type").agg(F.count("*").alias("cnt")).orderBy("event_type")
+
+
+def q_daily_event_buckets(spark, sf_dir):
+    from readability_scanner_spark.operators.analytics import daily_buckets
+
+    return daily_buckets(_t(spark, sf_dir, "events"), "ts", "value")
+
+
+def q_sql_text_stats(spark, sf_dir):
+    from readability_scanner_spark.operators.analytics import sql_text_stats
+
+    return sql_text_stats(_t(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+def q_doc_previews(spark, sf_dir):
+    from readability_scanner_spark.functions.columns import preview_col
+
+    return _t(spark, sf_dir, "documents").select(
+        "doc_id", preview_col(F.col("text"), 80).alias("preview")
+    )
+
+
+def q_regex_filter_counts(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        docs.where(F.col("text").rlike(r"\bdata\b"))
+        .groupBy("source")
+        .agg(F.count("*").alias("cnt"))
+        .orderBy("source")
+    )
+
+
+def q_exact_dedup(spark, sf_dir):
+    from readability_scanner_spark.operators.dedup import exact_dedup
+
+    return exact_dedup(_t(spark, sf_dir, "documents"), "text", "doc_id")
+
+
+def q_lang_quality(spark, sf_dir):
+    from readability_scanner_spark.operators.textquality import (
+        lang_id_col,
+        quality_score_col,
+        token_count_col,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        lang_id_col(F.col("text")).alias("lang_guess"),
+        quality_score_col(F.col("text")).alias("quality_score"),
+        token_count_col(F.col("text")).alias("n_tokens"),
+    )
+
+
+# --- rows-only (non-SQL-expressible) -----------------------------------------
+
+def q_flagship_extract(spark, sf_dir):
+    return entry(spark) if sf_dir.endswith("sf0.001") else _flagship_on(spark, sf_dir)
+
+
+def _flagship_on(spark, sf_dir):
+    from readability_scanner_spark.plans.pipeline import extract_and_score
+
+    docs = _t(spark, sf_dir, "documents")
+    transcripts = docs.select(
+        F.concat(F.lit("doc-"), F.col("doc_id")).alias("conv_id"),
+        F.lit(0).alias("turn_idx"),
+        F.lit("user").alias("role"),
+        F.col("text"),
+        F.lit(None).cast("string").alias("tool"),
+        F.current_timestamp().alias("ts"),
+    )
+    return extract_and_score(transcripts).select(
+        "conv_id", "words", "sentences", "syllables", "flesch", "dale_chall_grade"
+    )
+
+
+def q_minhash_candidates(spark, sf_dir):
+    from readability_scanner_spark.operators.dedup import minhash_lsh_candidates
+
+    return minhash_lsh_candidates(_t(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+def q_simhash_near_dups(spark, sf_dir):
+    from readability_scanner_spark.operators.dedup import simhash_near_dups
+
+    return simhash_near_dups(_t(spark, sf_dir, "documents"), "doc_id", "text", max_hamming=6)
+
+
+def q_ngram_jaccard(spark, sf_dir):
+    from readability_scanner_spark.operators.dedup import ngram_jaccard_pairs
+
+    docs = _t(spark, sf_dir, "documents").limit(200)  # quadratic guard at larger sf
+    return ngram_jaccard_pairs(docs, "doc_id", "text", threshold=0.5)
+
+
+def q_lsh_ann_pairs(spark, sf_dir):
+    from readability_scanner_spark.operators.similarity import lsh_bucketed_pairs
+
+    emb = _t(spark, sf_dir, "embeddings")
+    dim = len(emb.select("embedding").first()[0])
+    return lsh_bucketed_pairs(emb, "vec_id", "embedding", dim, threshold=0.4, n_planes=4)
+
+
+def q_greedy_topics(spark, sf_dir):
+    from readability_scanner_spark.operators.similarity import greedy_topic_groups
+
+    emb = _t(spark, sf_dir, "embeddings").withColumn(
+        "window", (F.col("vec_id") % 4).cast("string")
+    )
+    return greedy_topic_groups(
+        emb, "vec_id", "embedding", "vec_id", "window", threshold=0.3, min_group_size=2
+    )
+
+
+def q_media_features(spark, sf_dir):
+    from readability_scanner_spark.operators.multimodal import (
+        extract_media_features,
+        synthetic_media_df,
+    )
+
+    return extract_media_features(synthetic_media_df(spark, 100)).select(
+        "media_id", "n_bytes", "checksum"
+    ).orderBy("media_id")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        "readability_by_source": q_readability_by_source,
+        "word_topk": q_word_topk,
+        "event_type_breakdown": q_event_type_breakdown,
+        "orders_grand_agg": q_orders_grand_agg,
+        "embedding_size_groups": q_embedding_size_groups,
+        "orders_by_priority": q_orders_by_priority,
+        "collected_rows_per_flag": q_collected_rows_per_flag,
+        "event_conditional_counts": q_event_conditional_counts,
+        "events_validation_agg": q_events_validation_agg,
+        "describe_n_chars": q_describe_n_chars,
+        "success_ratio": q_success_ratio,
+        "broadcast_lookup_join": q_broadcast_lookup_join,
+        "orders_semi_join": q_orders_semi_join,
+        "latest_order_per_customer": q_latest_order_per_customer,
+        "orders_with_part": q_orders_with_part,
+        "similar_pairs": q_similar_pairs,
+        "knn_topk": q_knn_topk,
+        "orders_topk": q_orders_topk,
+        "events_page2": q_events_page2,
+        "multi_key_sort_top": q_multi_key_sort_top,
+        "rolling_7d_by_type": q_rolling_7d_by_type,
+        "daily_event_buckets": q_daily_event_buckets,
+        "sql_text_stats": q_sql_text_stats,
+        "doc_previews": q_doc_previews,
+        "regex_filter_counts": q_regex_filter_counts,
+        "exact_dedup": q_exact_dedup,
+        "lang_quality": q_lang_quality,
+        # rows-only (non-SQL-expressible; pytest goldens cover semantics)
+        "flagship_extract": q_flagship_extract,
+        "minhash_candidates": q_minhash_candidates,
+        "simhash_near_dups": q_simhash_near_dups,
+        "ngram_jaccard": q_ngram_jaccard,
+        "lsh_ann_pairs": q_lsh_ann_pairs,
+        "greedy_topics": q_greedy_topics,
+        "media_features": q_media_features,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+# ---------------------------------------------------------------------------
+# DuckDB oracles
+# ---------------------------------------------------------------------------
+
+_WORDS_SQL = f"len(regexp_extract_all(text, '{WORD_PAT}'))"
+_SENTS_SQL = (
+    "len(list_filter(regexp_split_to_array(trim(regexp_replace(text, '\\s+', ' ', 'g')), "
+    f"'{SENT_PAT}'), x -> trim(x) != ''))"
+)
+_PARAS_SQL = (
+    "len(list_filter(regexp_split_to_array(text, '\\n\\s*\\n|\\r\\n\\s*\\r\\n'), "
+    "x -> trim(x) != ''))"
+)
+_CHARS_SQL = "length(regexp_replace(text, '\\s', '', 'g'))"
+
+_CL_SQL = (
+    "CASE WHEN {w} > 0 THEN greatest(0.0588 * ({c}::DOUBLE / {w}) * 100 "
+    "- 0.296 * ({s}::DOUBLE / {w}) * 100 - 15.8, 0.0) ELSE 0.0 END"
+)
+_ARI_SQL = (
+    "CASE WHEN {w} > 0 AND {s} > 0 THEN greatest(4.71 * ({c}::DOUBLE / {w}) "
+    "+ 0.5 * ({w}::DOUBLE / {s}) - 21.43, 0.0) ELSE 0.0 END"
+)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    w, s, p, c = _WORDS_SQL, _SENTS_SQL, _PARAS_SQL, _CHARS_SQL
+    cl = _CL_SQL.format(w="w", s="s", c="c")
+    ari = _ARI_SQL.format(w="w", s="s", c="c")
+    return {
+        "readability_by_source": f"""
+            WITH per_doc AS (
+              SELECT source AS grp, {w} AS w, {s} AS s, {c} AS c
+              FROM documents WHERE source IS NOT NULL
+            ), scored AS (
+              SELECT grp, w, s, c, {cl} AS cl, {ari} AS ari FROM per_doc
+            )
+            SELECT grp, count(*) AS docs,
+                   round(avg(w), 4) AS avg_words,
+                   round(avg(s), 4) AS avg_sentences,
+                   round(avg(c), 4) AS avg_characters,
+                   round(avg(cl), 4) AS avg_coleman_liau,
+                   round(avg(ari), 4) AS avg_ari
+            FROM scored GROUP BY grp HAVING count(*) >= 5
+        """,
+        "word_topk": """
+            SELECT word, count(*) AS cnt FROM (
+              SELECT unnest(string_split(text, ' ')) AS word FROM documents
+            ) t WHERE word != ''
+            GROUP BY word HAVING count(*) > 1
+            ORDER BY cnt DESC, word ASC LIMIT 5
+        """,
+        "event_type_breakdown": """
+            SELECT coalesce(event_type, 'none') AS status, count(*) AS cnt
+            FROM events GROUP BY 1
+        """,
+        "orders_grand_agg": """
+            SELECT count(*) AS cnt, round(sum(o_totalprice), 2) AS total,
+                   round(avg(o_totalprice), 4) AS mean FROM orders
+        """,
+        "embedding_size_groups": """
+            SELECT len(embedding) AS grp_size, count(*) AS cnt,
+                   count(DISTINCT label) AS distinct_vals
+            FROM embeddings GROUP BY 1
+        """,
+        "orders_by_priority": """
+            SELECT o_orderpriority AS priority, count(*) AS cnt FROM orders GROUP BY 1
+        """,
+        "collected_rows_per_flag": """
+            WITH g AS (
+              SELECT l_returnflag AS flag, list_sort(list(l_orderkey)) AS keys
+              FROM lineitem GROUP BY 1
+            )
+            SELECT flag, len(keys) AS n_items, keys[1] AS first_key,
+                   keys[-1] AS last_key FROM g
+        """,
+        "event_conditional_counts": """
+            SELECT count(*) AS total,
+                   sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS n_click,
+                   sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS n_error,
+                   sum(CASE WHEN value > 50.0 THEN 1 ELSE 0 END) AS n_big,
+                   sum(CASE WHEN props IS NULL OR props = '' THEN 1 ELSE 0 END) AS n_null_props
+            FROM events
+        """,
+        "events_validation_agg": """
+            SELECT count(*) AS cnt, round(avg(value), 4) AS mean_value,
+                   strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS min_ts,
+                   strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS max_ts
+            FROM events WHERE value IS NOT NULL
+        """,
+        "describe_n_chars": """
+            SELECT count(n_chars) AS cnt, round(avg(n_chars), 4) AS mean,
+                   round(stddev_samp(n_chars), 4) AS std, min(n_chars) AS min_v,
+                   round(percentile_cont(0.5) WITHIN GROUP (ORDER BY n_chars), 4) AS median,
+                   max(n_chars) AS max_v
+            FROM documents
+        """,
+        "success_ratio": """
+            SELECT count(*) AS total,
+                   sum(CASE WHEN event_type != 'error' THEN 1 ELSE 0 END) AS successes,
+                   round(sum(CASE WHEN event_type != 'error' THEN 1 ELSE 0 END)::DOUBLE
+                         / count(*) * 100, 4) AS success_rate_pct
+            FROM events
+        """,
+        "broadcast_lookup_join": """
+            SELECT o_orderkey, o_totalprice, c_name, c_mktsegment
+            FROM orders LEFT JOIN customer ON o_custkey = c_custkey
+            WHERE o_totalprice > 400000
+        """,
+        "orders_semi_join": """
+            SELECT c_custkey, c_name FROM customer
+            WHERE c_custkey IN (SELECT o_custkey FROM orders WHERE o_totalprice > 450000)
+        """,
+        "latest_order_per_customer": """
+            SELECT o_custkey, n_docs, o_orderkey, o_totalprice FROM (
+              SELECT o_custkey,
+                     count(*) OVER (PARTITION BY o_custkey) AS n_docs,
+                     row_number() OVER (PARTITION BY o_custkey
+                                        ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn,
+                     o_orderkey, o_totalprice
+              FROM orders
+            ) WHERE rn = 1
+        """,
+        "orders_with_part": """
+            SELECT l_orderkey, count(*) AS n_items FROM lineitem
+            GROUP BY l_orderkey
+            HAVING bool_or(l_partkey = 42)
+        """,
+        "similar_pairs": """
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b
+            FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+            WHERE len(a.embedding) = len(b.embedding)
+              AND list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.4
+        """,
+        "knn_topk": """
+            SELECT vec_id FROM (
+              SELECT vec_id,
+                     round(list_cosine_similarity(embedding::DOUBLE[],
+                       (SELECT embedding::DOUBLE[] FROM embeddings WHERE vec_id = 0)), 6) AS sim
+              FROM embeddings WHERE vec_id != 0
+            ) ORDER BY sim DESC, vec_id ASC LIMIT 10
+        """,
+        "orders_topk": """
+            SELECT o_orderkey, o_totalprice FROM orders
+            ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10
+        """,
+        "events_page2": """
+            SELECT event_id, event_type FROM (
+              SELECT event_id, event_type,
+                     row_number() OVER (ORDER BY ts ASC, event_id ASC) AS rn
+              FROM events
+            ) WHERE rn BETWEEN 11 AND 20
+        """,
+        "multi_key_sort_top": """
+            SELECT event_id, round(value, 4) AS value FROM events
+            ORDER BY value DESC, event_id ASC LIMIT 20
+        """,
+        "rolling_7d_by_type": """
+            SELECT event_type, count(*) AS cnt FROM events
+            WHERE ts >= (SELECT max(ts) FROM events) - INTERVAL 7 DAY
+            GROUP BY event_type
+        """,
+        "daily_event_buckets": """
+            SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+                   count(*) AS cnt, round(avg(value), 4) AS avg_value
+            FROM events GROUP BY 1
+        """,
+        "sql_text_stats": f"""
+            SELECT doc_id, w AS words, s AS sentences, p AS paragraphs, c AS characters,
+                   {cl} AS coleman_liau,
+                   {ari} AS automated_readability
+            FROM (
+              SELECT doc_id, {w} AS w, {s} AS s, {p} AS p, {c} AS c FROM documents
+            )
+        """,
+        "doc_previews": """
+            SELECT doc_id,
+              CASE WHEN length(norm) <= 80 THEN norm
+                   ELSE CASE WHEN strpos(cut, ' ') > 0
+                             THEN cut[1 : length(cut) - length(str_split(cut, ' ')[-1]) - 1]
+                             ELSE cut END || '...'
+              END AS preview
+            FROM (
+              SELECT doc_id, norm, norm[1:80] AS cut FROM (
+                SELECT doc_id, trim(regexp_replace(text, '\\s+', ' ', 'g')) AS norm
+                FROM documents
+              )
+            )
+        """,
+        "regex_filter_counts": """
+            SELECT source, count(*) AS cnt FROM documents
+            WHERE regexp_matches(text, '\\bdata\\b')
+            GROUP BY source
+        """,
+        "exact_dedup": """
+            SELECT min(doc_id) AS keep_id, count(*) AS n_copies
+            FROM documents GROUP BY text
+        """,
+        "lang_quality": """
+            WITH scored AS (
+              SELECT doc_id, text,
+                greatest(len(regexp_extract_all(text, '\\b\\w+\\b')), 1) AS words,
+                greatest(len(regexp_extract_all(text, '[.!?]')), 1) AS sentences,
+                length(text) AS n_chars,
+                len(regexp_extract_all(lower(text),
+                  '\\b(the|and|of|to|in|is|that|for|with|was)\\b')) AS hit_en,
+                len(regexp_extract_all(lower(text),
+                  '\\b(der|die|das|und|ist|nicht|mit|ein|eine|zu)\\b')) AS hit_de,
+                len(regexp_extract_all(lower(text),
+                  '\\b(le|la|les|et|est|une|des|dans|pour|que)\\b')) AS hit_fr,
+                len(regexp_extract_all(lower(text),
+                  '\\b(el|la|los|las|es|una|para|con|por|del)\\b')) AS hit_es,
+                len(regexp_extract_all(text, '[.,;:!?]')) AS puncts,
+                len(regexp_extract_all(text, '\\w+|[^\\w\\s]')) AS n_tokens
+              FROM documents
+            ), ratios AS (
+              SELECT *,
+                hit_en::DOUBLE / words AS s_en, hit_de::DOUBLE / words AS s_de,
+                hit_fr::DOUBLE / words AS s_fr, hit_es::DOUBLE / words AS s_es,
+                puncts::DOUBLE / words AS punct_ratio,
+                n_chars::DOUBLE / words AS mean_word_len
+              FROM scored
+            )
+            SELECT doc_id,
+              CASE WHEN greatest(s_en, s_de, s_fr, s_es) < 0.01 THEN 'und'
+                   WHEN s_fr >= greatest(s_en, s_de, s_es) THEN 'fr'
+                   WHEN s_es >= greatest(s_en, s_de) THEN 'es'
+                   WHEN s_en >= s_de THEN 'en'
+                   ELSE 'de' END AS lang_guess,
+              ((CASE WHEN n_chars BETWEEN 100 AND 50000 THEN 1.0 ELSE 0.3 END)
+                   + (CASE WHEN punct_ratio BETWEEN 0.02 AND 0.4 THEN 1.0 ELSE 0.4 END)
+                   + (CASE WHEN s_en >= 0.05 THEN 1.0 ELSE 0.5 END)
+                   + (CASE WHEN mean_word_len BETWEEN 3 AND 12 THEN 1.0 ELSE 0.4 END)
+                   + (CASE WHEN words::DOUBLE / sentences <= 60 THEN 1.0 ELSE 0.5 END)
+                    ) / 5.0 AS quality_score,
+              n_tokens
+            FROM ratios
+        """,
+    }

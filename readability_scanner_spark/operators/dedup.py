@@ -1,0 +1,215 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+Beyond the reference's upsert-by-url dedup (S4,
+news-scanner/database/articles.py:89-200 → here: keep-first by key),
+these are the standard corpus-dedup family: exact hash, MinHash+LSH,
+SimHash, n-gram Jaccard verification. Scale notes inline.
+"""
+
+from __future__ import annotations
+
+import re
+import zlib
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+_WORD_RE = re.compile(r"\b\w+\b")
+
+# --- exact dedup -----------------------------------------------------------------
+
+def exact_dedup(df: DataFrame, text_col: str, keep_col: str) -> DataFrame:
+    """Exact duplicate removal: hash-groupBy on content, keep min(key).
+    One shuffle on the content hash (not the full text — xxhash64 first
+    so the shuffle key is 8 bytes, the standard 100 TB trick)."""
+    return (
+        df.withColumn("_h", F.xxhash64(F.col(text_col)))
+        .groupBy("_h")
+        .agg(F.min(keep_col).alias("keep_id"), F.count("*").alias("n_copies"))
+        .select("keep_id", "n_copies")
+        .orderBy("keep_id")
+    )
+
+
+def dedup_by_key(df: DataFrame, key: str, order_col: str) -> DataFrame:
+    """S4 upsert-by-unique-key semantics as a batch operator: newest row
+    per key wins (articles.py:128-132 replace_one analog) — the window
+    form of Iceberg MERGE INTO."""
+    w = Window.partitionBy(key).orderBy(F.desc(order_col))
+    return df.withColumn("_rn", F.row_number().over(w)).where(F.col("_rn") == 1).drop("_rn")
+
+
+# --- shingling helpers (shared by minhash / jaccard) --------------------------------
+
+def _shingles(text: str, n: int = 3) -> set[str]:
+    words = _WORD_RE.findall((text or "").lower())
+    if len(words) < n:
+        return {" ".join(words)} if words else set()
+    return {" ".join(words[i : i + n]) for i in range(len(words) - n + 1)}
+
+
+# --- MinHash + LSH -------------------------------------------------------------------
+
+def minhash_signatures(
+    df: DataFrame, id_col: str, text_col: str, n_hashes: int = 64, shingle_n: int = 3, seed: int = 42
+) -> DataFrame:
+    """MinHash signature per document, vectorized per Arrow batch.
+    Universal hashing: h_i(x) = (a_i * crc32(x) + b_i) mod p."""
+    rng = np.random.RandomState(seed)
+    p = (1 << 61) - 1
+    a = rng.randint(1, p, size=n_hashes, dtype=np.int64)
+    b = rng.randint(0, p, size=n_hashes, dtype=np.int64)
+
+    def sign(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            sigs = []
+            for text in pdf[text_col]:
+                sh = _shingles(text, shingle_n)
+                if not sh:
+                    sigs.append([0] * n_hashes)
+                    continue
+                base = np.array(
+                    [zlib.crc32(s.encode()) for s in sh], dtype=np.int64
+                )  # (m,)
+                # (m, k) mod-p universal hashes, min over shingles
+                hashed = (base[:, None] * a[None, :] + b[None, :]) % p
+                sigs.append(hashed.min(axis=0).tolist())
+            yield pd.DataFrame({id_col: pdf[id_col], "signature": sigs})
+
+    return df.select(id_col, text_col).mapInPandas(
+        sign, schema=f"{id_col} long, signature array<long>"
+    )
+
+
+def minhash_lsh_candidates(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n_hashes: int = 64,
+    bands: int = 16,
+    shingle_n: int = 3,
+    seed: int = 42,
+) -> DataFrame:
+    """Near-dup candidate pairs via banding: split the signature into
+    `bands` bands of n_hashes/bands rows; docs sharing any full band
+    bucket are candidates. Shuffle is by (band, bucket-hash) — each
+    bucket is tiny, so the pair join never goes quadratic globally."""
+    rows = n_hashes // bands
+    sigs = minhash_signatures(df, id_col, text_col, n_hashes, shingle_n, seed)
+    banded = sigs.select(
+        id_col,
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band"),
+                        F.xxhash64(
+                            F.slice(F.col("signature"), i * rows + 1, rows).cast("string")
+                        ).alias("bucket"),
+                    )
+                    for i in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select(id_col, "bb.band", "bb.bucket")
+    a = banded.select(F.col(id_col).alias("id_a"), "band", "bucket")
+    b = banded.select(F.col(id_col).alias("id_b"), "band", "bucket")
+    return (
+        a.join(b, ["band", "bucket"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+        .orderBy("id_a", "id_b")
+    )
+
+
+# --- SimHash ---------------------------------------------------------------------------
+
+def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 64) -> DataFrame:
+    """64-bit SimHash per document (token-hash sign voting)."""
+
+    def sim(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for text in pdf[text_col]:
+                votes = np.zeros(bits, dtype=np.int64)
+                for tok in _WORD_RE.findall((text or "").lower()):
+                    h = zlib.crc32(tok.encode()) | (zlib.crc32(tok[::-1].encode()) << 32)
+                    for i in range(bits):
+                        votes[i] += 1 if (h >> i) & 1 else -1
+                val = 0
+                for i in range(bits):
+                    if votes[i] > 0:
+                        val |= 1 << i
+                out.append(np.int64(val - (1 << 63)))  # signed 64-bit
+            yield pd.DataFrame({id_col: pdf[id_col], "simhash": out})
+
+    return df.select(id_col, text_col).mapInPandas(sim, schema=f"{id_col} long, simhash long")
+
+
+def simhash_near_dups(df: DataFrame, id_col: str, text_col: str, max_hamming: int = 3) -> DataFrame:
+    """Near-dup pairs by SimHash hamming distance, blocked on the top 16
+    bits so the join is bucket-local (scale path; exact hamming verify
+    inside buckets)."""
+    hashed = simhash(df, id_col, text_col)
+    blocked = hashed.withColumn("block", F.shiftrightunsigned(F.col("simhash"), 48))
+    a = blocked.select(F.col(id_col).alias("id_a"), F.col("simhash").alias("ha"), "block")
+    b = blocked.select(F.col(id_col).alias("id_b"), F.col("simhash").alias("hb"), "block")
+    return (
+        a.join(b, ["block"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .withColumn("hamming", F.bit_count(F.col("ha").bitwiseXOR(F.col("hb"))))
+        .where(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+        .orderBy("id_a", "id_b")
+    )
+
+
+# --- n-gram Jaccard (verification stage) ---------------------------------------------------
+
+def ngram_jaccard_pairs(
+    df: DataFrame, id_col: str, text_col: str, threshold: float, shingle_n: int = 3
+) -> DataFrame:
+    """Exact n-gram Jaccard over candidate pairs. Shingle sets are built
+    JVM-side (split + transform + array_distinct), intersection via
+    array_intersect — no Python. Quadratic: use after LSH candidate cut
+    at scale; standalone form here for small inputs/oracle checks."""
+    toks = F.split(F.lower(F.regexp_replace(F.col(text_col), r"[^\w\s]", " ")), r"\s+")
+    toks = F.filter(toks, lambda x: x != "")
+    n_tok = F.size(toks)
+    grams = F.when(
+        n_tok >= shingle_n,
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(0), n_tok - shingle_n),
+                lambda i: F.concat_ws(" ", F.slice(toks, i + 1, shingle_n)),
+            )
+        ),
+    ).otherwise(F.array(F.concat_ws(" ", toks)))
+    docs = df.select(F.col(id_col).alias("doc_id"), grams.alias("grams"))
+    a = docs.select(F.col("doc_id").alias("id_a"), F.col("grams").alias("ga"))
+    b = docs.select(F.col("doc_id").alias("id_b"), F.col("grams").alias("gb"))
+    inter = F.size(F.array_intersect(F.col("ga"), F.col("gb")))
+    union = F.size(F.array_union(F.col("ga"), F.col("gb")))
+    return (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", (inter / union).alias("jaccard"))
+        .where(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", F.round("jaccard", 4).alias("jaccard"))
+        .orderBy("id_a", "id_b")
+    )
+
+
+# --- embedding near-dup ----------------------------------------------------------------------
+
+def embedding_near_dups(
+    vectors: DataFrame, id_col: str, vec_col: str, threshold: float = 0.98
+) -> DataFrame:
+    """Embedding-cosine near-dup: thin wrapper over the similarity
+    self-join with a high threshold."""
+    from readability_scanner_spark.operators.similarity import similarity_pairs
+
+    return similarity_pairs(vectors, id_col, vec_col, threshold)

@@ -1,0 +1,184 @@
+"""Vector operators V2–V5 (SURVEY.md §2.1) + ANN similarity search.
+
+Cosine similarity stays JVM-side via higher-order array functions
+(zip_with/aggregate) — no Python for the pairwise math; the O(n²) greedy
+clustering (V4) runs inside applyInPandas over bounded windows because
+the reference algorithm is order-dependent and capped at 500 rows per
+window by construction (ml-service/main.py:418, daily_topics_jobs.py:63-70).
+
+Scale path: the brute-force self-join is quadratic; `lsh_bucketed_pairs`
+blocks candidates by random-hyperplane signatures so a 10^9-vector corpus
+only compares within buckets.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def dot_col(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+
+
+def norm_col(a: Column) -> Column:
+    return F.sqrt(F.aggregate(F.transform(a, lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x))
+
+
+def cosine_col(a: Column, b: Column) -> Column:
+    """V2 cosine similarity (vector_service.py:194-215) as pure JVM
+    expressions; inputs cast to double element-wise for stable math."""
+    ad = F.transform(a, lambda x: x.cast("double"))
+    bd = F.transform(b, lambda x: x.cast("double"))
+    return dot_col(ad, bd) / (norm_col(ad) * norm_col(bd))
+
+
+def similarity_pairs(
+    vectors: DataFrame, id_col: str, vec_col: str, threshold: float
+) -> DataFrame:
+    """JN5 all-pairs theta join (vector_service.py:194-221): pairs with
+    cosine >= threshold, each pair once (id_a < id_b). Dimension-match
+    guard = V5 (ml-service/main.py:459-461)."""
+    a = vectors.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
+    b = vectors.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+    return (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .where(F.size("va") == F.size("vb"))
+        .select("id_a", "id_b", cosine_col(F.col("va"), F.col("vb")).alias("sim"))
+        .where(F.col("sim") >= threshold)
+        .select("id_a", "id_b")
+        .orderBy("id_a", "id_b")
+    )
+
+
+def knn_topk(
+    vectors: DataFrame, id_col: str, vec_col: str, query_vec: list[float], k: int = 10
+) -> DataFrame:
+    """V3 similar-items query (vector_service.py:143-225): brute-force
+    cosine top-k against one query vector; TakeOrderedAndProject, no
+    shuffle beyond the final top-k merge. Ties broken by id."""
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    return (
+        vectors.select(
+            F.col(id_col).alias("vec_id"),
+            F.round(cosine_col(F.col(vec_col), q), 6).alias("sim"),
+        )
+        .orderBy(F.desc("sim"), F.asc("vec_id"))
+        .limit(k)
+    )
+
+
+# --- scale path: LSH bucketing ------------------------------------------------
+
+def _hyperplanes(dim: int, n_planes: int, seed: int) -> np.ndarray:
+    rng = np.random.RandomState(seed)
+    return rng.randn(n_planes, dim)
+
+
+def lsh_signature_df(
+    vectors: DataFrame, id_col: str, vec_col: str, dim: int, n_planes: int = 8, seed: int = 42
+) -> DataFrame:
+    """Random-hyperplane signature per vector (sign pattern → bucket id).
+    Vectorized: one matmul per Arrow batch."""
+    planes = _hyperplanes(dim, n_planes, seed)
+
+    def sign_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            mat = np.vstack(pdf[vec_col].to_numpy())
+            bits = (mat @ planes.T) >= 0  # (n, planes)
+            bucket = bits.dot(1 << np.arange(n_planes)).astype("int64")
+            yield pd.DataFrame({id_col: pdf[id_col], "bucket": bucket})
+
+    return vectors.select(id_col, vec_col).mapInPandas(
+        sign_batches, schema=f"{id_col} long, bucket long"
+    )
+
+
+def lsh_bucketed_pairs(
+    vectors: DataFrame,
+    id_col: str,
+    vec_col: str,
+    dim: int,
+    threshold: float,
+    n_planes: int = 8,
+    seed: int = 42,
+) -> DataFrame:
+    """ANN near-pair search: bucket by hyperplane signature, compare only
+    within buckets. Recall < 1 vs brute force (documented tradeoff);
+    at 100 TB this replaces an infeasible O(n²) crossJoin with a
+    shuffle-by-bucket + per-bucket quadratic on ~n/2^planes rows."""
+    sigs = lsh_signature_df(vectors, id_col, vec_col, dim, n_planes, seed)
+    tagged = vectors.join(sigs, id_col)
+    a = tagged.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"), "bucket")
+    b = tagged.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"), "bucket")
+    return (
+        a.join(b, ["bucket"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", cosine_col(F.col("va"), F.col("vb")).alias("sim"))
+        .where(F.col("sim") >= threshold)
+        .select("id_a", "id_b")
+        .orderBy("id_a", "id_b")
+    )
+
+
+# --- V4: greedy seed clustering ---------------------------------------------------
+
+def greedy_topic_groups(
+    vectors: DataFrame,
+    id_col: str,
+    vec_col: str,
+    order_col: str,
+    window_col: str,
+    threshold: float = 0.75,
+    min_group_size: int = 3,
+    max_rows_per_window: int = 500,
+) -> DataFrame:
+    """V4 greedy clustering (ml-service/main.py:429-497): iterate items
+    newest-first; each unprocessed seed absorbs all unprocessed items with
+    cosine >= threshold; keep groups of >= min size.
+
+    Order-dependent ⇒ sequential *within* a window; windows (e.g. days)
+    are independent ⇒ parallel across windows via applyInPandas. The
+    reference caps input at 500 newest (main.py:418) — same cap applied
+    per window, deterministically by (order desc, id).
+    """
+
+    def cluster(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(
+            [order_col, id_col], ascending=[False, True], kind="mergesort"
+        ).head(max_rows_per_window)
+        if pdf.empty:
+            return pd.DataFrame(columns=["window", "topic_id", "member_id"])
+        mat = np.vstack(pdf[vec_col].to_numpy()).astype("float64")
+        norms = np.linalg.norm(mat, axis=1)
+        norms[norms == 0] = 1.0
+        unit = mat / norms[:, None]
+        sims = unit @ unit.T
+        ids = pdf[id_col].to_numpy()
+        window_val = pdf[window_col].iloc[0]
+        processed = np.zeros(len(ids), dtype=bool)
+        out = []
+        for i in range(len(ids)):
+            if processed[i]:
+                continue
+            members = [j for j in range(len(ids)) if not processed[j] and sims[i, j] >= threshold]
+            if len(members) >= min_group_size:
+                topic_id = f"{window_val}-{ids[i]}"
+                for j in members:
+                    processed[j] = True
+                    out.append((str(window_val), topic_id, int(ids[j])))
+            else:
+                processed[i] = True
+        return pd.DataFrame(out, columns=["window", "topic_id", "member_id"])
+
+    return (
+        vectors.groupBy(window_col)
+        .applyInPandas(cluster, schema="window string, topic_id string, member_id long")
+        .orderBy("window", "topic_id", "member_id")
+    )

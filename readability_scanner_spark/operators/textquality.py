@@ -1,0 +1,95 @@
+"""Text-analysis operators for training-data pipelines: language ID,
+quality scoring, token counting, document fingerprinting.
+
+All JVM-side Column expressions (regexp_count / length arithmetic) so
+they compose with the extraction pipeline at 100 TB without Python.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# stopword marker sets per language (tiny, regex-joined; heuristic n-gram
+# language ID in the classic stopword-density style)
+_LANG_MARKERS = {
+    "en": r"\b(the|and|of|to|in|is|that|for|with|was)\b",
+    "de": r"\b(der|die|das|und|ist|nicht|mit|ein|eine|zu)\b",
+    "fr": r"\b(le|la|les|et|est|une|des|dans|pour|que)\b",
+    "es": r"\b(el|la|los|las|es|una|para|con|por|del)\b",
+}
+
+
+def lang_scores(text: Column) -> dict[str, Column]:
+    words = F.greatest(F.regexp_count(text, F.lit(r"\b\w+\b")), F.lit(1))
+    return {
+        lang: F.regexp_count(F.lower(text), F.lit(pattern)) / words
+        for lang, pattern in _LANG_MARKERS.items()
+    }
+
+
+def lang_id_col(text: Column, min_ratio: float = 0.01) -> Column:
+    """Pick the language with max stopword density; 'und' if none clears
+    the floor. Deterministic tie-break by language code order."""
+    scores = lang_scores(text)
+    pairs = F.array(
+        *[
+            F.struct(scores[lang].alias("score"), F.lit(lang).alias("lang"))
+            for lang in sorted(_LANG_MARKERS)
+        ]
+    )
+    best = F.array_max(pairs)
+    return F.when(best["score"] >= min_ratio, best["lang"]).otherwise(F.lit("und"))
+
+
+def quality_score_col(text: Column) -> Column:
+    """Composite quality heuristic in [0,1]: length band + punctuation
+    ratio + stopword ratio + mean word length band (the classic C4-style
+    filters folded into one score)."""
+    n_chars = F.length(text)
+    words = F.greatest(F.regexp_count(text, F.lit(r"\b\w+\b")), F.lit(1))
+    sentences = F.greatest(F.regexp_count(text, F.lit(r"[.!?]")), F.lit(1))
+    punct_ratio = F.regexp_count(text, F.lit(r"[.,;:!?]")) / words
+    stop_ratio = F.regexp_count(F.lower(text), F.lit(_LANG_MARKERS["en"])) / words
+    mean_word_len = n_chars / words
+    length_ok = F.when((n_chars >= 100) & (n_chars <= 50000), 1.0).otherwise(0.3)
+    punct_ok = F.when((punct_ratio >= 0.02) & (punct_ratio <= 0.4), 1.0).otherwise(0.4)
+    stop_ok = F.when(stop_ratio >= 0.05, 1.0).otherwise(0.5)
+    wordlen_ok = F.when((mean_word_len >= 3) & (mean_word_len <= 12), 1.0).otherwise(0.4)
+    asl_ok = F.when(words / sentences <= 60, 1.0).otherwise(0.5)
+    return (length_ok + punct_ok + stop_ok + wordlen_ok + asl_ok) / F.lit(5.0)
+
+
+def token_count_col(text: Column) -> Column:
+    """BPE-ish token estimate: word tokens + standalone punctuation +
+    digit runs (whitespace tokenization refined by a regex, the usual
+    cheap proxy for tokenizer budget accounting)."""
+    return F.regexp_count(text, F.lit(r"\w+|[^\w\s]")).cast("long")
+
+
+def fingerprint_col(text: Column, k: int = 8) -> Column:
+    """Rolling-hash document fingerprint: xxhash64 of each k-word window,
+    min value wins (winnowing-lite, stable under small edits at the
+    document tail)."""
+    toks = F.filter(F.split(F.lower(text), r"\s+"), lambda x: x != "")
+    n = F.size(toks)
+    windows = F.when(
+        n >= k,
+        F.transform(
+            F.sequence(F.lit(0), n - k),
+            lambda i: F.xxhash64(F.concat_ws(" ", F.slice(toks, i + 1, k))),
+        ),
+    ).otherwise(F.array(F.xxhash64(F.concat_ws(" ", toks))))
+    return F.array_min(windows)
+
+
+def with_text_quality(df: DataFrame, text_col: str = "text") -> DataFrame:
+    t = F.col(text_col)
+    return df.withColumns(
+        {
+            "lang_guess": lang_id_col(t),
+            "quality_score": quality_score_col(t),
+            "n_tokens": token_count_col(t),
+            "fingerprint": fingerprint_col(t),
+        }
+    )
