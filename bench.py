@@ -1,0 +1,129 @@
+"""Benchmark harness (driver contract: prints ONE JSON line).
+
+Runs the headline workloads at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS]:
+
+  * extract_pipeline — the flagship: synthesize transcripts (seeded,
+    distributed) and run the full extract+stats+scores pipeline;
+    reports turns/sec (the BASELINE.json metric)
+  * a representative slice of the analytics/dedup/similarity operators
+
+Output: {"metric": "suite_seconds", "value": <total>, "unit": "sec",
+         "queries": {name: sec}, "sf": <sf>, "turns_per_sec": <tps>, ...}
+
+Scaling evidence (north_rule: efficiency >= 0.8 from N to 4N): run
+    SPARK_GRAFT_CPUS=8 python bench.py
+    SPARK_GRAFT_CPUS=32 python bench.py
+and compare turns_per_sec (see scripts/scaling_bench.py which automates
+this and writes BENCH/BASELINE.md).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from pyspark.sql import functions as F
+
+from readability_scanner_spark.config import build_session
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    n_convs = int(os.environ.get("BENCH_CONVS", "1500"))
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+
+    spark = build_session("bench", master=f"local[{cpus}]", shuffle_partitions=2 * cpus)
+    spark.sparkContext.setLogLevel("ERROR")
+
+    import __spark_entry__ as em
+    from readability_scanner_spark.plans.pipeline import extract_and_score
+    from readability_scanner_spark.sources.transcripts import transcripts_df
+
+    timings: dict[str, float] = {}
+    extra: dict[str, float] = {}
+
+    # --- flagship: extraction throughput -----------------------------------
+    # The north metric is turns/sec over a MATERIALIZED transcript table
+    # (the production shape: read Iceberg → extract), so generation is not
+    # part of the timed section. A small warmup run amortizes JVM/python
+    # worker startup out of the measurement.
+    tmp_tbl = os.environ.get("BENCH_TMP", "/tmp/bench_transcripts")
+    transcripts_df(spark, n_conversations=n_convs, seed=42, partitions=4 * cpus).write.mode(
+        "overwrite"
+    ).parquet(tmp_tbl)
+    table = spark.read.parquet(tmp_tbl)
+
+    def run_extract(df, parts):
+        # aggregate over UDF outputs forces full evaluation — a bare
+        # count() would let Catalyst prune the (deterministic) UDF
+        # projections and benchmark nothing
+        row = (
+            extract_and_score(df, repartition_to=parts)
+            .agg(
+                F.count("*").alias("n"),
+                F.sum("words").alias("w"),
+                F.sum(F.length("cleaned_data")).alias("c"),
+                F.sum(F.col("parse_failed").cast("long")).alias("f"),
+            )
+            .first()
+        )
+        return row["n"]
+
+    run_extract(table.limit(512), cpus)  # warmup (JVM + python workers)
+
+    t0 = time.time()
+    n_turns = run_extract(table, 4 * cpus)
+    dt = time.time() - t0
+    timings["extract_pipeline"] = round(dt, 3)
+    extra["turns"] = n_turns
+    extra["turns_per_sec"] = round(n_turns / dt, 1)
+
+    # --- analytics / dedup / similarity slice ------------------------------
+    queries = em.queries()
+    bench_set = [
+        "readability_by_source",
+        "sql_text_stats",
+        "word_topk",
+        "lang_quality",
+        "daily_event_buckets",
+        "latest_order_per_customer",
+        "broadcast_lookup_join",
+        "orders_topk",
+        "exact_dedup",
+        "minhash_candidates",
+        "simhash_near_dups",
+        "knn_topk",
+        "rolling_7d_by_type",
+    ]
+    for name in bench_set:
+        t0 = time.time()
+        df = queries[name](spark, sf_dir)
+        # count() forces full execution without driver-side collect cost
+        df.count()
+        timings[name] = round(time.time() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "suite_seconds",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+                "cpus": cpus,
+                **extra,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -68,6 +68,8 @@ class ExtractionResult:
     spans: list[tuple[int, int]] = field(default_factory=list)
     parse_failed: bool = False
     content_ratio: float = 0.0  # len(text_content) / len(normalized source text)
+    image_url: Optional[str] = None
+    published_ts: Optional[object] = None  # datetime, tz-aware UTC
 
 
 # ---------------------------------------------------------------------------
@@ -373,10 +375,20 @@ def extract_main_content(raw_html: str) -> ExtractionResult:
     ]
     best: Optional[ExtractionResult] = None
     title = ""
-    for flags in flag_ladder:
+    image_url = None
+    published = None
+    for attempt, flags in enumerate(flag_ladder):
         root = parse_html(raw_html)  # reparse: stripping mutates the tree
-        if not title:
+        if attempt == 0:
+            # head metadata (E4 dates, S3 image) from the FIRST parse,
+            # before preprocessing strips <script>/<meta> context — saves
+            # a dedicated metadata reparse per document
+            from readability_scanner_spark.extraction.dates import extract_publication_date
+            from readability_scanner_spark.extraction.images import extract_primary_image
+
             title = _extract_title(root)
+            image_url = extract_primary_image(root)
+            published = extract_publication_date(root)
         _preprocess(root)
         body = body_of(root)
         article = _grab_article(body, flags)
@@ -391,6 +403,8 @@ def extract_main_content(raw_html: str) -> ExtractionResult:
             spans=article.text_spans(),
             parse_failed=not text,
             content_ratio=min(1.0, len(text) / source_text_len),
+            image_url=image_url,
+            published_ts=published,
         )
         if len(text) >= MIN_CONTENT_LENGTH:
             return result

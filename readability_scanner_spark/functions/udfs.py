@@ -43,14 +43,9 @@ EXTRACT_SCHEMA = StructType(
         StructField("title", StringType()),
         StructField("image_url", StringType()),
         StructField("published_ts", TimestampType()),
-        StructField(
-            "spans",
-            ArrayType(
-                StructType(
-                    [StructField("start", LongType()), StructField("end", LongType())]
-                )
-            ),
-        ),
+        # [start, end] pairs; plain nested arrays convert to Arrow an
+        # order of magnitude faster than per-row lists of python dicts
+        StructField("spans", ArrayType(ArrayType(LongType()))),
         StructField("parse_failed", BooleanType()),
         StructField("content_ratio", DoubleType()),
     ]
@@ -69,93 +64,97 @@ STATS_SCHEMA = StructType(
 )
 
 
-@pandas_udf(EXTRACT_SCHEMA)
-def extract_udf(texts: pd.Series) -> pd.DataFrame:
-    # imports inside the UDF body: resolved once per python worker
-    from readability_scanner_spark.dom import parse_html
-    from readability_scanner_spark.extraction.dates import extract_publication_date
-    from readability_scanner_spark.extraction.images import extract_primary_image
+_EXTRACT_COLS = [
+    "content",
+    "text_content",
+    "title",
+    "image_url",
+    "published_ts",
+    "spans",
+    "parse_failed",
+    "content_ratio",
+]
+
+_STATS_COLS = [
+    "words",
+    "sentences",
+    "paragraphs",
+    "characters",
+    "syllables",
+    "word_syllables",
+    "complex_polysyllabic_words",
+]
+
+
+def extract_one(raw: str) -> tuple:
+    """Extraction for a single document: E1+E2+E4+S3 fused — head
+    metadata (dates/images) comes off the same first DOM parse the
+    article extraction uses. Never raises."""
     from readability_scanner_spark.extraction.readability import extract_main_content
 
-    rows = []
-    for raw in texts:
-        try:
-            if raw is None or not raw.strip():
-                rows.append(("", "", "", None, None, [], True, 0.0))
-                continue
-            result = extract_main_content(raw)
-            # dates/images read head metadata — parse once more only on
-            # success (head was stripped from the article tree)
-            image_url = None
-            published = None
-            if not result.parse_failed:
-                meta_root = parse_html(raw[:8192])
-                image_url = extract_primary_image(meta_root)
-                published = extract_publication_date(meta_root, result.text_content)
-                if published is not None:
-                    published = published.replace(tzinfo=None)  # spark naive-UTC
-            rows.append(
-                (
-                    result.content,
-                    result.text_content,
-                    result.title,
-                    image_url,
-                    published,
-                    [{"start": s, "end": e} for s, e in result.spans],
-                    result.parse_failed,
-                    result.content_ratio,
-                )
-            )
-        except Exception:
-            rows.append(("", "", "", None, None, [], True, 0.0))
-    return pd.DataFrame(
-        rows,
-        columns=[
-            "content",
-            "text_content",
-            "title",
-            "image_url",
-            "published_ts",
-            "spans",
-            "parse_failed",
-            "content_ratio",
-        ],
-    )
+    try:
+        if raw is None or not raw.strip():
+            return ("", "", "", None, None, [], True, 0.0)
+        result = extract_main_content(raw)
+        published = result.published_ts
+        if published is not None:
+            published = published.replace(tzinfo=None)  # spark naive-UTC
+        return (
+            result.content,
+            result.text_content,
+            result.title,
+            result.image_url,
+            published,
+            [[s, e] for s, e in result.spans],
+            result.parse_failed,
+            result.content_ratio,
+        )
+    except Exception:
+        return ("", "", "", None, None, [], True, 0.0)
+
+
+def stats_one(text: str) -> tuple:
+    from readability_scanner_spark.functions.textstats import calculate_text_statistics
+
+    try:
+        s = calculate_text_statistics(text or "")
+        return (
+            s.words,
+            s.sentences,
+            s.paragraphs,
+            s.characters,
+            s.syllables,
+            s.word_syllables,
+            s.complex_polysyllabic_words,
+        )
+    except Exception:
+        return (1, 1, 1, 0, 1, 1.0, 0)  # reference's error sentinel
+
+
+@pandas_udf(EXTRACT_SCHEMA)
+def extract_udf(texts: pd.Series) -> pd.DataFrame:
+    return pd.DataFrame([extract_one(raw) for raw in texts], columns=_EXTRACT_COLS)
+
+
+def extract_stats_partition(batches, passthrough: list[str]):
+    """mapInPandas body: ONE python pass per partition doing extraction +
+    stats — avoids a second Arrow round trip for the stats stage."""
+    for pdf in batches:
+        ex = [extract_one(raw) for raw in pdf["text"]]
+        st = [stats_one(e[1]) for e in ex]
+        out = pd.DataFrame(
+            {c: pdf[c].values for c in passthrough}
+        )
+        for i, col in enumerate(_EXTRACT_COLS):
+            out[col] = [e[i] for e in ex]
+        for i, col in enumerate(_STATS_COLS):
+            out[col] = [s[i] for s in st]
+        yield out
 
 
 @pandas_udf(STATS_SCHEMA)
 def stats_udf(cleaned: pd.Series) -> pd.DataFrame:
-    from readability_scanner_spark.functions.textstats import calculate_text_statistics
-
-    rows = []
-    for text in cleaned:
-        try:
-            s = calculate_text_statistics(text or "")
-            rows.append(
-                (
-                    s.words,
-                    s.sentences,
-                    s.paragraphs,
-                    s.characters,
-                    s.syllables,
-                    s.word_syllables,
-                    s.complex_polysyllabic_words,
-                )
-            )
-        except Exception:
-            rows.append((1, 1, 1, 0, 1, 1.0, 0))  # reference's error sentinel
-    return pd.DataFrame(
-        rows,
-        columns=[
-            "words",
-            "sentences",
-            "paragraphs",
-            "characters",
-            "syllables",
-            "word_syllables",
-            "complex_polysyllabic_words",
-        ],
-    )
+    return pd.DataFrame([stats_one(text) for text in cleaned], columns=_STATS_COLS)
 
 
 @pandas_udf(StringType())

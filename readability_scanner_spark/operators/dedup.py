@@ -131,20 +131,32 @@ def minhash_lsh_candidates(
 def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 64) -> DataFrame:
     """64-bit SimHash per document (token-hash sign voting)."""
 
+    shifts = np.arange(bits, dtype=np.uint64)
+
     def sim(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             out = []
             for text in pdf[text_col]:
-                votes = np.zeros(bits, dtype=np.int64)
-                for tok in _WORD_RE.findall((text or "").lower()):
-                    h = zlib.crc32(tok.encode()) | (zlib.crc32(tok[::-1].encode()) << 32)
-                    for i in range(bits):
-                        votes[i] += 1 if (h >> i) & 1 else -1
-                val = 0
-                for i in range(bits):
-                    if votes[i] > 0:
-                        val |= 1 << i
-                out.append(np.int64(val - (1 << 63)))  # signed 64-bit
+                toks = _WORD_RE.findall((text or "").lower())
+                if not toks:
+                    out.append(np.int64(-(1 << 63)))
+                    continue
+                hashes = np.fromiter(
+                    (
+                        zlib.crc32(t.encode()) | (zlib.crc32(t[::-1].encode()) << 32)
+                        for t in toks
+                    ),
+                    dtype=np.uint64,
+                    count=len(toks),
+                )
+                # vectorized sign voting: (n_tok, bits) bit matrix
+                bitmat = (hashes[:, None] >> shifts[None, :]) & np.uint64(1)
+                votes = (2 * bitmat.astype(np.int64) - 1).sum(axis=0)
+                positive = votes > 0
+                val = int((positive.astype(np.uint64) << shifts).sum(dtype=np.uint64))
+                if val >= 1 << 63:  # wrap to signed 64-bit for Spark LongType
+                    val -= 1 << 64
+                out.append(val)
             yield pd.DataFrame({id_col: pdf[id_col], "simhash": out})
 
     return df.select(id_col, text_col).mapInPandas(sim, schema=f"{id_col} long, simhash long")

@@ -41,10 +41,49 @@ import time
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from pyspark.sql.types import (
+    ArrayType,
+    BooleanType,
+    DoubleType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
 from readability_scanner_spark.functions.formulas import with_readability_scores
-from readability_scanner_spark.functions.udfs import extract_udf, stats_udf
+from readability_scanner_spark.functions.udfs import extract_stats_partition
 
 SALT_SPAN = 1000  # turns per salt shard within one conversation
+
+_PASSTHROUGH = ["conv_id", "turn_idx", "role", "tool", "ts"]
+
+_SCORED_SCHEMA = StructType(
+    [
+        StructField("conv_id", StringType()),
+        StructField("turn_idx", IntegerType()),
+        StructField("role", StringType()),
+        StructField("tool", StringType()),
+        StructField("ts", TimestampType()),
+        StructField("content", StringType()),
+        StructField("text_content", StringType()),
+        StructField("title", StringType()),
+        StructField("image_url", StringType()),
+        StructField("published_ts", TimestampType()),
+        StructField("spans", ArrayType(ArrayType(LongType()))),
+        StructField("parse_failed", BooleanType()),
+        StructField("content_ratio", DoubleType()),
+        StructField("words", LongType()),
+        StructField("sentences", LongType()),
+        StructField("paragraphs", LongType()),
+        StructField("characters", LongType()),
+        StructField("syllables", LongType()),
+        StructField("word_syllables", DoubleType()),
+        StructField("complex_polysyllabic_words", LongType()),
+    ]
+)
 
 
 def salted_repartition(df: DataFrame, num_partitions: int | None = None) -> DataFrame:
@@ -64,31 +103,26 @@ def salted_repartition(df: DataFrame, num_partitions: int | None = None) -> Data
 def extract_and_score(df: DataFrame, repartition_to: int | None = None) -> DataFrame:
     """transcripts(conv_id, turn_idx, role, text, tool, ts) → scored docs.
 
-    One wide row per turn: extraction struct fields, stats, 8 scores +
-    grade, with the future-date clamp applied to ts.
+    One wide row per turn: extraction fields, stats, 8 scores + grade,
+    with the future-date clamp applied to ts. Extraction + stats run in
+    ONE fused mapInPandas pass (a single Arrow round trip per partition;
+    a chained two-UDF plan pays the Python transfer twice); formulas are
+    JVM Column expressions on top.
     """
     out = salted_repartition(df, repartition_to) if repartition_to != 0 else df
-    out = out.withColumn("_ex", extract_udf(F.col("text")))
-    out = out.select(
-        "conv_id",
-        "turn_idx",
-        "role",
-        "tool",
-        # future-date clamp (reference rss_parser.py:166-172)
-        F.when(F.col("ts") > F.current_timestamp(), F.current_timestamp())
-        .otherwise(F.col("ts"))
-        .alias("ts"),
-        F.col("_ex.content").alias("content"),
-        F.col("_ex.text_content").alias("cleaned_data"),
-        F.col("_ex.title").alias("title"),
-        F.col("_ex.image_url").alias("image_url"),
-        F.col("_ex.published_ts").alias("publication_date"),
-        F.col("_ex.spans").alias("spans"),
-        F.col("_ex.parse_failed").alias("parse_failed"),
-        F.col("_ex.content_ratio").alias("content_ratio"),
+    out = out.mapInPandas(
+        lambda batches: extract_stats_partition(batches, _PASSTHROUGH),
+        schema=_SCORED_SCHEMA,
     )
-    out = out.withColumn("_st", stats_udf(F.col("cleaned_data")))
-    out = out.select("*", "_st.*").drop("_st")
+    out = out.withColumns(
+        {
+            # future-date clamp (reference rss_parser.py:166-172)
+            "ts": F.when(F.col("ts") > F.current_timestamp(), F.current_timestamp()).otherwise(
+                F.col("ts")
+            ),
+            "publication_date": F.col("published_ts"),
+        }
+    ).withColumnRenamed("text_content", "cleaned_data").drop("published_ts")
     return with_readability_scores(out)
 
 

@@ -68,7 +68,7 @@ def test_udf_matches_pure_python_goldens(spark):
     for got, g in zip(out, goldens):
         assert got.cleaned_data == g["text_content"], (g["cls"], g["seed"])
         assert got.parse_failed == g["parse_failed"]
-        assert [[s.start, s.end] for s in got.spans] == g["spans"]
+        assert [list(s) for s in got.spans] == g["spans"]
         assert got.words == g["stats"]["words"]
         assert got.syllables == g["stats"]["syllables"]
         assert got.flesch == pytest.approx(g["scores"]["flesch"])
