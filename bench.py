@@ -75,14 +75,16 @@ def main() -> None:
         )
         return row["n"]
 
-    run_extract(table.limit(512), cpus)  # warmup (JVM + python workers)
+    run_extract(table.limit(1024), cpus)  # warmup (JVM + python workers)
 
-    t0 = time.time()
-    n_turns = run_extract(table, 4 * cpus)
-    dt = time.time() - t0
-    timings["extract_pipeline"] = round(dt, 3)
+    best, n_turns = float("inf"), 0
+    for _ in range(int(os.environ.get("BENCH_REPEATS", "2"))):
+        t0 = time.time()
+        n_turns = run_extract(table, 4 * cpus)
+        best = min(best, time.time() - t0)
+    timings["extract_pipeline"] = round(best, 3)
     extra["turns"] = n_turns
-    extra["turns_per_sec"] = round(n_turns / dt, 1)
+    extra["turns_per_sec"] = round(n_turns / best, 1)
 
     # --- analytics / dedup / similarity slice ------------------------------
     queries = em.queries()

@@ -47,7 +47,7 @@ def build_session(
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions or max(32, cpus)))
         # Arrow everywhere; bounded batches keep UDF worker memory flat
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "512")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "4096")
         # reuse python workers across tasks (fork cost dominates small tasks)
         .config("spark.python.worker.reuse", "true")
         .config("spark.sql.files.maxPartitionBytes", "134217728")
