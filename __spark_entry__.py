@@ -294,6 +294,94 @@ def q_lang_quality(spark, sf_dir):
     )
 
 
+def q_json_props_agg(spark, sf_dir):
+    """J2/E4-analog: JSON field extraction + computed-key grouping."""
+    ev = _t(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("int")
+    return (
+        ev.select((k % 10).alias("k_mod"), "value")
+        .groupBy("k_mod")
+        .agg(F.count("*").alias("cnt"), F.round(F.avg("value"), 4).alias("avg_value"))
+        .orderBy("k_mod")
+    )
+
+
+def q_filters_combo(spark, sf_dir):
+    """P2+P5+P6+P7 combined predicate push-down shape."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.where(
+        (
+            F.col("event_type").isin("click", "view")
+            & F.col("value").between(10.0, 60.0)
+            & F.col("ts").between("2024-01-01", "2026-01-01")
+        )
+        | F.col("props").rlike(r'"k": 7\d\}')
+    ).select("event_id")
+
+
+def q_dedup_newest_by_user(spark, sf_dir):
+    """S4/M1 upsert semantics as batch: newest event per user wins."""
+    from readability_scanner_spark.operators.dedup import dedup_by_key
+
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "_ord", F.struct(F.col("ts"), F.col("event_id"))
+    )
+    return (
+        dedup_by_key(ev, "user_id", "_ord")
+        .select("user_id", "event_id")
+        .orderBy("user_id")
+    )
+
+
+def q_nested_group_structs(spark, sf_dir):
+    """A7 $push $$ROOT nested-array groups (topic_groups shape), with
+    scalar projections for the hash compare."""
+    li = _t(spark, sf_dir, "lineitem").where(F.col("l_orderkey") <= 2000)
+    grouped = li.groupBy("l_orderkey").agg(
+        F.sort_array(
+            F.collect_list(F.struct(F.col("l_linenumber"), F.col("l_partkey")))
+        ).alias("items"),
+        F.round(F.sum(F.col("l_quantity")), 4).alias("total_qty"),
+    )
+    return grouped.select(
+        "l_orderkey",
+        F.size("items").alias("n_items"),
+        F.col("items")[0]["l_partkey"].alias("first_part"),
+        "total_qty",
+    ).orderBy("l_orderkey")
+
+
+def q_embed_prep(spark, sf_dir):
+    """E7 embedding text prep (vector_service.py:49-76):
+    title+' '+content[:2000]."""
+    docs = _t(spark, sf_dir, "documents")
+    prep = F.concat_ws(" ", F.col("source"), F.substring(F.col("text"), 1, 2000))
+    return docs.select("doc_id", F.length(prep).alias("prep_len"))
+
+
+def q_revenue_by_region(spark, sf_dir):
+    """3-way broadcast-chain join (Catalyst join ordering showcase)."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy(F.col("r_name").alias("region_name"))
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "revenue"
+            ),
+            F.count("*").alias("n_items"),
+        )
+        .orderBy("region_name")
+    )
+
+
 # --- rows-only (non-SQL-expressible) -----------------------------------------
 
 def q_flagship_extract(spark, sf_dir):
@@ -395,6 +483,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "regex_filter_counts": q_regex_filter_counts,
         "exact_dedup": q_exact_dedup,
         "lang_quality": q_lang_quality,
+        "json_props_agg": q_json_props_agg,
+        "filters_combo": q_filters_combo,
+        "dedup_newest_by_user": q_dedup_newest_by_user,
+        "nested_group_structs": q_nested_group_structs,
+        "embed_prep": q_embed_prep,
+        "revenue_by_region": q_revenue_by_region,
         # rows-only (non-SQL-expressible; pytest goldens cover semantics)
         "flagship_extract": q_flagship_extract,
         "minhash_candidates": q_minhash_candidates,
@@ -603,6 +697,53 @@ def oracle_sql() -> dict[str, str]:
         "exact_dedup": """
             SELECT min(doc_id) AS keep_id, count(*) AS n_copies
             FROM documents GROUP BY text
+        """,
+        "json_props_agg": """
+            SELECT (json_extract(props, '$.k')::INT % 10) AS k_mod,
+                   count(*) AS cnt, round(avg(value), 4) AS avg_value
+            FROM events GROUP BY 1
+        """,
+        "filters_combo": """
+            SELECT event_id FROM events
+            WHERE (event_type IN ('click', 'view')
+                   AND value BETWEEN 10.0 AND 60.0
+                   AND ts BETWEEN '2024-01-01' AND '2026-01-01')
+               OR regexp_matches(props, '"k": 7\\d\\}')
+        """,
+        "dedup_newest_by_user": """
+            SELECT user_id, event_id FROM (
+              SELECT user_id, event_id,
+                     row_number() OVER (PARTITION BY user_id
+                                        ORDER BY ts DESC, event_id DESC) AS rn
+              FROM events
+            ) WHERE rn = 1
+        """,
+        "nested_group_structs": """
+            WITH g AS (
+              SELECT l_orderkey,
+                     list_sort(list({'l_linenumber': l_linenumber, 'l_partkey': l_partkey})) AS items,
+                     round(sum(l_quantity), 4) AS total_qty
+              FROM lineitem WHERE l_orderkey <= 2000 GROUP BY 1
+            )
+            SELECT l_orderkey, len(items) AS n_items,
+                   items[1].l_partkey AS first_part, total_qty
+            FROM g
+        """,
+        "embed_prep": """
+            SELECT doc_id,
+                   length(concat_ws(' ', source, text[1:2000])) AS prep_len
+            FROM documents
+        """,
+        "revenue_by_region": """
+            SELECT r_name AS region_name,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+                   count(*) AS n_items
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation ON c_nationkey = n_nationkey
+            JOIN region ON n_regionkey = r_regionkey
+            GROUP BY r_name
         """,
         "lang_quality": """
             WITH scored AS (

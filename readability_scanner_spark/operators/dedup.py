@@ -163,19 +163,42 @@ def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 64) -> DataFr
 
 
 def simhash_near_dups(df: DataFrame, id_col: str, text_col: str, max_hamming: int = 3) -> DataFrame:
-    """Near-dup pairs by SimHash hamming distance, blocked on the top 16
-    bits so the join is bucket-local (scale path; exact hamming verify
-    inside buckets)."""
+    """Near-dup pairs by SimHash hamming distance, blocked on the four
+    16-bit slices (pigeonhole: any pair with hamming < 4 must agree on
+    at least one slice, so the bucket join finds every such pair while
+    staying bucket-local at scale; exact hamming verified inside
+    buckets, duplicate bucket hits deduped)."""
     hashed = simhash(df, id_col, text_col)
-    blocked = hashed.withColumn("block", F.shiftrightunsigned(F.col("simhash"), 48))
-    a = blocked.select(F.col(id_col).alias("id_a"), F.col("simhash").alias("ha"), "block")
-    b = blocked.select(F.col(id_col).alias("id_b"), F.col("simhash").alias("hb"), "block")
+    blocked = hashed.select(
+        id_col,
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("block_idx"),
+                        (F.shiftrightunsigned(F.col("simhash"), 16 * i).bitwiseAND(F.lit(0xFFFF))).alias(
+                            "block_val"
+                        ),
+                    )
+                    for i in range(4)
+                ]
+            )
+        ).alias("b"),
+    ).select(id_col, "simhash", "b.block_idx", "b.block_val")
+    a = blocked.select(
+        F.col(id_col).alias("id_a"), F.col("simhash").alias("ha"), "block_idx", "block_val"
+    )
+    b = blocked.select(
+        F.col(id_col).alias("id_b"), F.col("simhash").alias("hb"), "block_idx", "block_val"
+    )
     return (
-        a.join(b, ["block"])
+        a.join(b, ["block_idx", "block_val"])
         .where(F.col("id_a") < F.col("id_b"))
         .withColumn("hamming", F.bit_count(F.col("ha").bitwiseXOR(F.col("hb"))))
         .where(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
+        .distinct()
         .orderBy("id_a", "id_b")
     )
 

@@ -1,0 +1,255 @@
+"""Unit tests for the operator modules (SURVEY.md §5.2 test model):
+known-answer checks computed independently in Python/numpy."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from readability_scanner_spark.operators import dedup, io_ops, multimodal, similarity, textquality
+
+
+# --- similarity -----------------------------------------------------------------
+
+@pytest.fixture(scope="module")
+def vec_df(spark):
+    rng = np.random.RandomState(7)
+    base_a = rng.randn(8)
+    base_b = rng.randn(8)
+    rows = []
+    for i in range(10):  # cluster A: 0-9
+        rows.append((i, (base_a + 0.05 * rng.randn(8)).tolist()))
+    for i in range(10, 20):  # cluster B
+        rows.append((i, (base_b + 0.05 * rng.randn(8)).tolist()))
+    return spark.createDataFrame(rows, "vec_id long, embedding array<double>"), rows
+
+
+def _np_cos(a, b):
+    a, b = np.array(a), np.array(b)
+    return float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b)))
+
+
+def test_cosine_col_matches_numpy(spark, vec_df):
+    df, rows = vec_df
+    a = df.selectExpr("vec_id as id_a", "embedding as va")
+    b = df.selectExpr("vec_id as id_b", "embedding as vb")
+    out = (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", similarity.cosine_col(F.col("va"), F.col("vb")).alias("sim"))
+        .collect()
+    )
+    lookup = {r[0]: r[1] for r in rows}
+    for row in out:
+        assert row.sim == pytest.approx(_np_cos(lookup[row.id_a], lookup[row.id_b]), abs=1e-9)
+
+
+def test_similarity_pairs_finds_clusters(spark, vec_df):
+    df, _ = vec_df
+    pairs = similarity.similarity_pairs(df, "vec_id", "embedding", 0.9).collect()
+    assert len(pairs) == 90  # 2 * C(10,2) within-cluster pairs
+    for p in pairs:
+        assert (p.id_a < 10) == (p.id_b < 10)
+
+
+def test_knn_topk_matches_bruteforce(spark, vec_df):
+    df, rows = vec_df
+    query = rows[0][1]
+    got = [r.vec_id for r in similarity.knn_topk(df.where("vec_id != 0"), "vec_id", "embedding", query, k=5).collect()]
+    sims = sorted(
+        ((_np_cos(query, v), -i) for i, v in rows if i != 0), reverse=True
+    )
+    expected = [-s[1] for s in sims[:5]]
+    assert got == expected
+
+
+def test_lsh_pairs_subset_of_bruteforce(spark, vec_df):
+    df, _ = vec_df
+    brute = {(p.id_a, p.id_b) for p in similarity.similarity_pairs(df, "vec_id", "embedding", 0.9).collect()}
+    lsh = {
+        (p.id_a, p.id_b)
+        for p in similarity.lsh_bucketed_pairs(df, "vec_id", "embedding", 8, 0.9, n_planes=4).collect()
+    }
+    assert lsh <= brute
+    assert len(lsh) > 0  # tight clusters should collide in buckets
+
+
+def test_greedy_topics_deterministic_and_clustered(spark, vec_df):
+    df, _ = vec_df
+    win = df.withColumn("window", F.lit("w0"))
+    out1 = similarity.greedy_topic_groups(win, "vec_id", "embedding", "vec_id", "window", 0.9, 3).collect()
+    out2 = similarity.greedy_topic_groups(win.repartition(7), "vec_id", "embedding", "vec_id", "window", 0.9, 3).collect()
+    assert out1 == out2
+    topics = {}
+    for r in out1:
+        topics.setdefault(r.topic_id, []).append(r.member_id)
+    assert len(topics) == 2
+    for members in topics.values():
+        assert len(members) == 10
+        assert len({m < 10 for m in members}) == 1  # no cross-cluster mixing
+
+
+# --- dedup -----------------------------------------------------------------------
+
+@pytest.fixture(scope="module")
+def doc_df(spark):
+    base = (
+        "the quick brown fox jumps over the lazy dog and runs through the green field "
+        "chasing rabbits all day long without any rest whatsoever in the warm sunshine"
+    )
+    near = base.replace("green field", "blue field")
+    rows = [
+        (1, base),
+        (2, base),  # exact dup of 1
+        (3, near),  # near dup of 1
+        (4, "completely different text about database engines and query optimization plans"),
+        (5, "another unrelated document mentioning spark partitions and shuffle behavior"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_exact_dedup(spark, doc_df):
+    out = {r.keep_id: r.n_copies for r in dedup.exact_dedup(doc_df, "text", "doc_id").collect()}
+    assert out[1] == 2
+    assert out[3] == 1 and out[4] == 1 and out[5] == 1
+
+
+def test_ngram_jaccard_pairs(spark, doc_df):
+    out = dedup.ngram_jaccard_pairs(doc_df, "doc_id", "text", threshold=0.5).collect()
+    pairs = {(r.id_a, r.id_b): r.jaccard for r in out}
+    assert pairs[(1, 2)] == 1.0
+    assert (1, 3) in pairs and 0.5 <= pairs[(1, 3)] < 1.0
+    assert (1, 4) not in pairs
+
+
+def test_minhash_candidates_find_near_dups(spark, doc_df):
+    out = {(r.id_a, r.id_b) for r in dedup.minhash_lsh_candidates(doc_df, "doc_id", "text").collect()}
+    assert (1, 2) in out
+    assert (1, 3) in out
+    assert (4, 5) not in out
+
+
+def test_simhash_near_dups(spark, doc_df):
+    out = {(r.id_a, r.id_b): r.hamming for r in dedup.simhash_near_dups(doc_df, "doc_id", "text", max_hamming=10).collect()}
+    assert out.get((1, 2)) == 0
+    assert (1, 3) in out and out[(1, 3)] <= 10
+    assert (4, 5) not in out
+
+
+def test_dedup_by_key_keeps_newest(spark):
+    df = spark.createDataFrame(
+        [("a", 1, 10), ("a", 2, 20), ("b", 1, 30)], "k string, ver int, v int"
+    )
+    out = {r.k: (r.ver, r.v) for r in dedup.dedup_by_key(df, "k", "ver").collect()}
+    assert out == {"a": (2, 20), "b": (1, 30)}
+
+
+# --- textquality -----------------------------------------------------------------
+
+def test_lang_id(spark):
+    rows = [
+        (1, "the cat is on the mat and the dog is in the house with the children"),
+        (2, "der hund ist nicht mit der katze und das haus ist ein schönes haus"),
+        (3, "le chat est dans la maison et les enfants sont dans le jardin pour que"),
+        (4, "xqz brzk fhwq pltm"),
+    ]
+    df = spark.createDataFrame(rows, "id long, text string")
+    out = {r.id: r.lang for r in df.select("id", textquality.lang_id_col(F.col("text")).alias("lang")).collect()}
+    assert out[1] == "en" and out[2] == "de" and out[3] == "fr" and out[4] == "und"
+
+
+def test_quality_and_tokens(spark):
+    good = "This is a well formed sentence, with punctuation. It has the usual structure of the readable text. " * 3
+    df = spark.createDataFrame([(1, good), (2, "x y z")], "id long, text string")
+    out = {r.id: (r.q, r.t) for r in df.select(
+        "id",
+        textquality.quality_score_col(F.col("text")).alias("q"),
+        textquality.token_count_col(F.col("text")).alias("t"),
+    ).collect()}
+    assert out[1][0] > out[2][0]
+    assert out[1][1] > 50 and out[2][1] == 3
+
+
+def test_fingerprint_stable_and_discriminative(spark):
+    df = spark.createDataFrame(
+        [(1, "a b c d e f g h i j k l"), (2, "a b c d e f g h i j k l"), (3, "z y x w v u t s r q p o")],
+        "id long, text string",
+    )
+    out = {r.id: r.fp for r in df.select("id", textquality.fingerprint_col(F.col("text")).alias("fp")).collect()}
+    assert out[1] == out[2] != out[3]
+
+
+# --- io_ops -----------------------------------------------------------------------
+
+def test_upsert_by_key(spark):
+    existing = spark.createDataFrame([("u1", 1, "old"), ("u2", 1, "keep")], "url string, ver int, v string")
+    incoming = spark.createDataFrame([("u1", 2, "new"), ("u3", 1, "ins")], "url string, ver int, v string")
+    out = {r.url: r.v for r in io_ops.upsert_by_key(existing, incoming, "url", "ver").collect()}
+    assert out == {"u1": "new", "u2": "keep", "u3": "ins"}
+
+
+def test_migrate_legacy_columns(spark):
+    df = spark.createDataFrame(
+        [(1, None, "2020"), (2, "2021", None), (3, None, None)],
+        "id long, publication_date string, publishedTime string",
+    )
+    out = {r.id: r.publication_date for r in io_ops.migrate_legacy_columns(
+        df, "publication_date", ["publishedTime"]
+    ).collect()}
+    assert out == {1: "2020", 2: "2021", 3: None}
+    assert "publishedTime" not in io_ops.migrate_legacy_columns(df, "publication_date", ["publishedTime"]).columns
+
+
+def test_backfill_remaining(spark):
+    full = spark.createDataFrame([(i,) for i in range(10)], "id long")
+    done = spark.createDataFrame([(i,) for i in (0, 3, 7)], "id long")
+    left = sorted(r.id for r in io_ops.backfill_remaining(full, done, "id").collect())
+    assert left == [1, 2, 4, 5, 6, 8, 9]
+
+
+def test_delete_and_set(spark):
+    df = spark.createDataFrame([(1, "pending"), (2, "failed"), (3, "done")], "id long, status string")
+    kept = sorted(r.id for r in io_ops.delete_where(df, F.col("status") == "failed").collect())
+    assert kept == [1, 3]
+    out = {r.id: r.status for r in io_ops.set_columns_where(
+        df, F.col("status") == "pending", {"status": F.lit("processing")}
+    ).collect()}
+    assert out[1] == "processing" and out[2] == "failed"
+
+
+def test_export_ml_dataset(spark, tmp_path):
+    df = spark.createDataFrame(
+        [(f"text {i}", "reliable" if i % 2 else "unreliable") for i in range(40)],
+        "body string, reliability string",
+    )
+    path = str(tmp_path / "ml")
+    io_ops.export_ml_dataset(df, path, "reliability", "body")
+    back = spark.read.text(path)
+    assert back.count() == 40
+    import os
+    splits = {d for d in os.listdir(path) if d.startswith("split=")}
+    assert splits == {"split=train", "split=test"}
+
+
+# --- multimodal --------------------------------------------------------------------
+
+def test_media_features_deterministic(spark):
+    media = multimodal.synthetic_media_df(spark, 30)
+    a = multimodal.extract_media_features(media).orderBy("media_id").collect()
+    b = multimodal.extract_media_features(media.repartition(5)).orderBy("media_id").collect()
+    assert a == b
+    assert all(len(r.features) == 16 for r in a)
+    assert all(r.n_bytes > 0 for r in a)
+
+
+def test_frame_sampling(spark):
+    media = multimodal.synthetic_media_df(spark, 30)
+    frames = multimodal.sample_frames(media, every_ms=1000)
+    per_video = {r.media_id: r.cnt for r in frames.groupBy("media_id").agg(F.count("*").alias("cnt")).collect()}
+    videos = {r.media_id: r.duration_ms for r in media.where("kind = 'video'").collect()}
+    assert set(per_video) == set(videos)
+    for mid, dur in videos.items():
+        assert per_video[mid] == max(dur // 1000, 1)
+
+
+def test_decode_stub_raises():
+    with pytest.raises(NotImplementedError):
+        multimodal._decode_image(b"\x89PNG")
