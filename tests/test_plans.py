@@ -1,0 +1,91 @@
+"""Physical-plan assertions: the optimizations we rely on at 100 TB must
+actually appear in the plan (predicate pushdown, column pruning,
+broadcast joins, top-k without full sort, whole-stage codegen).
+A plan regression here is a scale bug even when results stay correct."""
+
+import pytest
+from pyspark.sql import functions as F
+
+SF = "/root/testdata/sf0.001"
+
+
+def _plan(df) -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(df._jdf.queryExecution(), "formatted")
+
+
+def test_filter_pushdown_reaches_parquet(spark):
+    df = spark.read.parquet(f"{SF}/orders.parquet").where(F.col("o_totalprice") > 400000)
+    plan = _plan(df)
+    assert "PushedFilters: [IsNotNull(o_totalprice), GreaterThan(o_totalprice,400000.0)" in plan
+
+
+def test_column_pruning_reaches_parquet(spark):
+    df = spark.read.parquet(f"{SF}/lineitem.parquet").select("l_orderkey", "l_quantity")
+    plan = _plan(df)
+    assert "ReadSchema: struct<l_orderkey:bigint,l_quantity:double>" in plan
+
+
+def test_lookup_join_is_broadcast(spark):
+    from readability_scanner_spark.operators.analytics import lookup_join
+
+    orders = spark.read.parquet(f"{SF}/orders.parquet")
+    cust = spark.read.parquet(f"{SF}/customer.parquet")
+    df = lookup_join(orders, cust, "o_custkey", "c_custkey", ["c_name"])
+    plan = _plan(df)
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_topk_uses_take_ordered(spark):
+    from readability_scanner_spark.operators.analytics import top_k
+
+    orders = spark.read.parquet(f"{SF}/orders.parquet")
+    plan = _plan(top_k(orders, "o_totalprice", 10, "o_orderkey"))
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_formulas_stay_in_codegen(spark):
+    """F1-F9 must be JVM expressions inside WholeStageCodegen, not
+    python calls."""
+    from readability_scanner_spark.functions.formulas import with_readability_scores
+
+    df = spark.createDataFrame(
+        [(10, 2, 40, 15, 1)],
+        "words long, sentences long, characters long, syllables long, complex_polysyllabic_words long",
+    )
+    plan = _plan(with_readability_scores(df))
+    assert "codegen id" in plan  # '*' nodes = inside WholeStageCodegen
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+
+
+def test_sql_text_stats_has_no_python(spark):
+    """T1-T4 fast path is pure JVM."""
+    from readability_scanner_spark.operators.analytics import sql_text_stats
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    plan = _plan(sql_text_stats(docs, "doc_id", "text"))
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+    assert "ReadSchema: struct<doc_id:bigint,text:string>" in plan  # pruned scan
+
+
+def test_pipeline_single_python_stage(spark):
+    """The fused pipeline must contain exactly one python eval node
+    (FlatMapGroupsInPandas/MapInPandas) — a second one means the
+    extract/stats fusion regressed."""
+    from readability_scanner_spark.plans.pipeline import extract_and_score
+
+    src = spark.createDataFrame(
+        [("c", 0, "user", "<p>text</p>", None, None)],
+        "conv_id string, turn_idx int, role string, text string, tool string, ts timestamp",
+    )
+    plan = _plan(extract_and_score(src, repartition_to=4))
+    # formatted output lists each node twice (tree + detail section)
+    assert plan.count("MapInPandas") == 2
+    assert "ArrowEvalPython" not in plan
+
+
+def test_semi_join_planned(spark):
+    cust = spark.read.parquet(f"{SF}/customer.parquet")
+    orders = spark.read.parquet(f"{SF}/orders.parquet").where("o_totalprice > 450000")
+    df = cust.join(orders, cust.c_custkey == orders.o_custkey, "left_semi")
+    assert "LeftSemi" in _plan(df)
