@@ -443,6 +443,38 @@ def q_greedy_topics(spark, sf_dir):
     )
 
 
+def q_daily_topics(spark, sf_dir):
+    """§3.3 daily-topics pipeline over the embeddings table (synthetic
+    monotone ts per vec_id); nested article structs per topic."""
+    from readability_scanner_spark.plans.topics import build_daily_topics
+
+    emb = _t(spark, sf_dir, "embeddings").withColumn(
+        "ts",
+        F.to_timestamp(F.lit("2025-06-01 00:00:00")) + F.make_interval(mins=F.col("vec_id")),
+    )
+    topics = build_daily_topics(
+        emb, "vec_id", "embedding", "ts", ["label"], threshold=0.4, min_group_size=2
+    )
+    return topics.select("topic_id", "article_count")
+
+
+def q_full_report(spark, sf_dir):
+    """A1 over the full scored pipeline output (all 15 metrics)."""
+    from readability_scanner_spark.operators.reports import readability_report
+    from readability_scanner_spark.plans.pipeline import extract_and_score
+
+    docs = _t(spark, sf_dir, "documents")
+    transcripts = docs.select(
+        F.col("source").alias("conv_id"),
+        F.col("doc_id").cast("int").alias("turn_idx"),
+        F.lit("user").alias("role"),
+        F.col("text"),
+        F.lit(None).cast("string").alias("tool"),
+        F.to_timestamp(F.lit("2025-06-01 00:00:00")).alias("ts"),
+    )
+    return readability_report(extract_and_score(transcripts, repartition_to=0), "conv_id")
+
+
 def q_media_features(spark, sf_dir):
     from readability_scanner_spark.operators.multimodal import (
         extract_media_features,
@@ -496,6 +528,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard": q_ngram_jaccard,
         "lsh_ann_pairs": q_lsh_ann_pairs,
         "greedy_topics": q_greedy_topics,
+        "daily_topics": q_daily_topics,
+        "full_report": q_full_report,
         "media_features": q_media_features,
     }
 

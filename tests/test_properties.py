@@ -1,0 +1,104 @@
+"""Property-based robustness tests (hypothesis): the extraction stack
+must never raise and must keep its invariants on arbitrary input —
+at 10^12 turns, 'pathological input exists' is a certainty."""
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from readability_scanner_spark.dom import parse_html
+from readability_scanner_spark.extraction.cleaning import clean_html_content, make_preview
+from readability_scanner_spark.extraction.dates import normalize_date
+from readability_scanner_spark.extraction.readability import extract_main_content
+from readability_scanner_spark.functions.syllables import estimate_syllables
+from readability_scanner_spark.functions.textstats import calculate_text_statistics
+from readability_scanner_spark.functions import formulas
+
+text_like = st.text(max_size=400)
+html_like = st.one_of(
+    st.text(max_size=400),
+    st.builds(
+        lambda tag, body, cls: f'<{tag} class="{cls}">{body}</{tag}>',
+        st.sampled_from(["div", "p", "span", "table", "a", "script"]),
+        st.text(max_size=200),
+        st.text(alphabet="abcdefgh -", max_size=20),
+    ),
+)
+
+
+@settings(max_examples=150, deadline=None)
+@given(html_like)
+def test_parse_never_raises_and_spans_valid(raw):
+    root = parse_html(raw)
+    for start, end in root.text_spans():
+        assert 0 <= start < end <= len(raw)
+
+
+@settings(max_examples=100, deadline=None)
+@given(html_like)
+def test_extract_never_raises(raw):
+    r = extract_main_content(raw)
+    assert isinstance(r.parse_failed, bool)
+    assert 0.0 <= r.content_ratio <= 1.0
+    if r.parse_failed:
+        assert r.text_content == ""
+    for start, end in r.spans:
+        assert 0 <= start < end <= len(raw)
+
+
+@settings(max_examples=150, deadline=None)
+@given(text_like)
+def test_clean_idempotent(raw):
+    once = clean_html_content(raw)
+    assert clean_html_content(once) == once  # cleaning plain text is stable
+    assert "  " not in once  # whitespace fully collapsed
+
+
+@settings(max_examples=150, deadline=None)
+@given(text_like, st.integers(min_value=5, max_value=300))
+def test_preview_bounds(raw, k):
+    p = make_preview(raw, k)
+    assert len(p) <= k + 3  # content cut + '...'
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.text(alphabet=st.characters(min_codepoint=32, max_codepoint=0x2FF), max_size=30))
+def test_syllables_always_positive(word):
+    assert estimate_syllables(word) >= 1
+
+
+@settings(max_examples=150, deadline=None)
+@given(text_like)
+def test_stats_invariants(raw):
+    s = calculate_text_statistics(raw)
+    assert s.complex_polysyllabic_words <= max(s.words, 1)
+    if raw.strip():
+        assert s.words >= 1 and s.sentences >= 1  # reference floors
+        assert s.syllables >= s.words * 0 and s.characters >= 0
+    else:
+        assert s.words == 0 and s.sentences == 0
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    st.integers(0, 10_000), st.integers(0, 1_000), st.integers(0, 80_000),
+    st.integers(0, 30_000), st.integers(0, 10_000),
+)
+def test_formula_clamps(words, sentences, characters, syllables, complex_words):
+    from readability_scanner_spark.functions.textstats import TextStatistics
+
+    s = TextStatistics(words, sentences, 1, characters, syllables,
+                       syllables / words if words else 0.0, min(complex_words, words))
+    assert 0.0 <= formulas.flesch_reading_ease(s) <= 100.0
+    for fn in (formulas.flesch_kincaid_grade, formulas.smog_index, formulas.dale_chall,
+               formulas.coleman_liau, formulas.gunning_fog, formulas.spache,
+               formulas.automated_readability):
+        assert fn(s) >= 0.0
+    assert formulas.dale_chall_grade(formulas.dale_chall(s))
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.text(max_size=40))
+def test_normalize_date_never_raises(s):
+    out = normalize_date(s)
+    if out is not None:
+        assert out.tzinfo is not None

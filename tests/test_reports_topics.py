@@ -1,0 +1,108 @@
+"""Reports (A1 over full scored output, compat view) + daily-topics plan."""
+
+import datetime
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from readability_scanner_spark.operators.reports import (
+    A1_METRICS,
+    compat_view,
+    daily_report_windows,
+    readability_report,
+)
+from readability_scanner_spark.plans.pipeline import extract_and_score
+from readability_scanner_spark.plans.topics import build_daily_topics
+from readability_scanner_spark.sources.transcripts import transcripts_df
+
+
+@pytest.fixture(scope="module")
+def scored(spark):
+    df = extract_and_score(transcripts_df(spark, 10, seed=42), repartition_to=8).cache()
+    df.count()
+    yield df
+    df.unpersist()
+
+
+def test_compat_view_field_names(scored):
+    view = compat_view(scored)
+    cols = set(view.columns)
+    for legacy in (
+        "word syllables",
+        "complex polysillabic words",
+        "Flesch",
+        "Flesch Kincaid",
+        "Dale Chall: Grade",
+        "Cleaned Data",
+        "Automated Readability",
+    ):
+        assert legacy in cols, legacy
+    # values unchanged, only names
+    a = scored.agg(F.sum("flesch")).first()[0]
+    b = view.agg(F.sum(F.col("Flesch"))).first()[0]
+    assert a == b
+
+
+def test_readability_report_matches_manual(spark, scored):
+    rep = {r.grp: r for r in readability_report(scored, "conv_id", min_docs=1).collect()}
+    ok = scored.where(~F.col("parse_failed"))
+    manual = {
+        r.conv_id: r
+        for r in ok.groupBy("conv_id")
+        .agg(F.count("*").alias("n"), F.avg("flesch").alias("f"), F.avg("words").alias("w"))
+        .collect()
+    }
+    assert set(rep) == set(manual)
+    for k, row in rep.items():
+        assert row.documents == manual[k].n
+        assert row.avg_flesch == pytest.approx(manual[k].f)
+        assert row.avg_words == pytest.approx(manual[k].w)
+    # all 15 metric averages present
+    for m in A1_METRICS:
+        assert f"avg_{m}" in rep[next(iter(rep))].asDict()
+
+
+def test_readability_report_window_and_having(spark, scored):
+    full = readability_report(scored, "conv_id", min_docs=1).count()
+    filtered = readability_report(scored, "conv_id", min_docs=5).count()
+    assert filtered <= full
+    narrow = readability_report(
+        scored, "conv_id", start=datetime.datetime(2100, 1, 1), min_docs=1
+    ).count()
+    assert narrow == 0
+
+
+def test_daily_report_windows(scored):
+    rows = daily_report_windows(scored).collect()
+    assert rows
+    assert sum(r.documents for r in rows) == scored.where(~F.col("parse_failed")).count()
+
+
+def test_build_daily_topics(spark):
+    rng = np.random.RandomState(3)
+    base_a, base_b = rng.randn(8), rng.randn(8)
+    rows = []
+    day0 = datetime.datetime(2025, 6, 1, 12, 0, 0)
+    for i in range(8):
+        vec = base_a + 0.03 * rng.randn(8)
+        rows.append((i, vec.tolist(), day0 + datetime.timedelta(minutes=i), f"title-{i}", f"host-{i % 2}"))
+    for i in range(8, 14):
+        vec = base_b + 0.03 * rng.randn(8)
+        rows.append((i, vec.tolist(), day0 + datetime.timedelta(minutes=i), f"title-{i}", f"host-{i % 2}"))
+    # noise doc, different day, no cluster
+    rows.append((99, rng.randn(8).tolist(), day0 + datetime.timedelta(days=1), "noise", "h"))
+    docs = spark.createDataFrame(
+        rows, "doc_id long, embedding array<double>, ts timestamp, title string, host string"
+    )
+    topics = build_daily_topics(
+        docs, "doc_id", "embedding", "ts", ["title", "host"], threshold=0.9, min_group_size=3
+    ).collect()
+    assert len(topics) == 2
+    sizes = sorted(t.article_count for t in topics)
+    assert sizes == [6, 8]
+    for t in topics:
+        ids = [a.doc_id for a in t.articles]
+        assert len({i < 8 for i in ids}) == 1  # no cross-cluster mixing
+        assert t.date_range_start <= t.date_range_end
+        assert t.articles[0].title.startswith("title-")
