@@ -137,10 +137,16 @@ class Node:
 
     # -- text --------------------------------------------------------------
     def raw_text(self) -> str:
+        # hot path: inline traversal (no generator frames per node)
         parts: list[str] = []
-        for node in self.iter():
-            if node.is_text:
+        stack = [self]
+        pop, push = stack.pop, stack.extend
+        while stack:
+            node = pop()
+            if node.tag is None:
                 parts.append(node.text)
+            elif node.children:
+                push(reversed(node.children))
         return "".join(parts)
 
     def inner_text(self, normalize: bool = True) -> str:
