@@ -443,6 +443,13 @@ def q_greedy_topics(spark, sf_dir):
     )
 
 
+def q_text_search(spark, sf_dir):
+    """P9 full-text search with relevance ranking."""
+    from readability_scanner_spark.operators.search import text_search
+
+    return text_search(_t(spark, sf_dir, "documents"), "text", "data table query", "doc_id", limit=20)
+
+
 def q_daily_topics(spark, sf_dir):
     """§3.3 daily-topics pipeline over the embeddings table (synthetic
     monotone ts per vec_id); nested article structs per topic."""
@@ -521,6 +528,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "nested_group_structs": q_nested_group_structs,
         "embed_prep": q_embed_prep,
         "revenue_by_region": q_revenue_by_region,
+        "text_search": q_text_search,
         # rows-only (non-SQL-expressible; pytest goldens cover semantics)
         "flagship_extract": q_flagship_extract,
         "minhash_candidates": q_minhash_candidates,
@@ -778,6 +786,16 @@ def oracle_sql() -> dict[str, str]:
             JOIN nation ON c_nationkey = n_nationkey
             JOIN region ON n_regionkey = r_regionkey
             GROUP BY r_name
+        """,
+        "text_search": """
+            SELECT doc_id, relevance FROM (
+              SELECT doc_id,
+                     len(regexp_extract_all(lower(text), '\\bdata\\b'))
+                   + len(regexp_extract_all(lower(text), '\\btable\\b'))
+                   + len(regexp_extract_all(lower(text), '\\bquery\\b')) AS relevance
+              FROM documents
+            ) WHERE relevance > 0
+            ORDER BY relevance DESC, doc_id ASC LIMIT 20
         """,
         "lang_quality": """
             WITH scored AS (

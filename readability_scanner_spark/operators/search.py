@@ -1,0 +1,54 @@
+"""Full-text search (P9, SURVEY.md §2.1).
+
+The reference uses Mongo's `$text` index with `textScore` relevance and
+a regex fallback (news-scanner/api/routes/article_search_routes.py:52-113).
+Spark has no built-in FTS index; this is the documented-weak mapping made
+strong enough for parity: tokenized term matching with a match-count ×
+term-frequency relevance score, fully JVM-side (regexp_count), ordered
+deterministically. At 100 TB the same expressions run after partition
+pruning; a real deployment would pair this with an external index, but
+the semantics live here."""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+_TOKEN = re.compile(r"[^\w\s]")
+
+
+def _terms(query: str) -> list[str]:
+    return [t.lower() for t in _TOKEN.sub(" ", query or "").split() if t]
+
+
+def relevance_col(text: Column, query: str) -> Column:
+    """Sum of per-term occurrence counts (case-insensitive, word-bounded)
+    — the textScore analog; 0 when any... no: $text ORs terms, so score
+    is the plain sum over terms."""
+    terms = _terms(query)
+    if not terms:
+        return F.lit(0).cast("long")
+    score = F.lit(0).cast("long")
+    for t in terms:
+        score = score + F.regexp_count(F.lower(text), F.lit(rf"\b{re.escape(t)}\b")).cast("long")
+    return score
+
+
+def text_search(
+    df: DataFrame, text_col: str, query: str, id_col: str, limit: int = 20, require_all: bool = False
+) -> DataFrame:
+    """Search: relevance desc, id asc tie-break, top-k. ``require_all``
+    switches OR semantics ($text default) to AND (phrase-ish)."""
+    terms = _terms(query)
+    out = df.withColumn("relevance", relevance_col(F.col(text_col), query))
+    if require_all and terms:
+        for t in terms:
+            out = out.where(F.lower(F.col(text_col)).rlike(rf"\b{re.escape(t)}\b"))
+    return (
+        out.where(F.col("relevance") > 0)
+        .select(id_col, "relevance")
+        .orderBy(F.desc("relevance"), F.asc(id_col))
+        .limit(limit)
+    )

@@ -130,6 +130,24 @@ def extract_and_score(df: DataFrame, repartition_to: int | None = None) -> DataF
 # resumable batch runner (checkpoint `_meta` protocol)
 # ---------------------------------------------------------------------------
 
+def diagnose(meta_row: dict) -> str:
+    """X5 per-scan diagnosis generation (reference:
+    models/scan_result.py:84-112 builds human-readable diagnoses from
+    counter ratios). Same idea over the bucket metrics."""
+    turns = meta_row.get("turns_processed") or 0
+    if turns == 0:
+        return "empty bucket"
+    failure_rate = (meta_row.get("parse_failures") or 0) / turns
+    issues = []
+    if failure_rate > 0.5:
+        issues.append("critical parse-failure rate")
+    elif failure_rate > 0.1:
+        issues.append("elevated parse-failure rate")
+    if (meta_row.get("mean_content_ratio") or 0.0) < 0.1:
+        issues.append("low content ratio (boilerplate-dominated input?)")
+    return "; ".join(issues) if issues else "healthy"
+
+
 def _meta_path(output_path: str) -> str:
     return os.path.join(output_path, "_meta")
 
@@ -195,6 +213,7 @@ def run_pipeline(
             "duration_seconds": round(time.time() - started, 3),
             "committed_at": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
         }
+        meta_row["diagnosis"] = diagnose(meta_row)
         tmp = os.path.join(_meta_path(output_path), f".bucket-{bucket}.json.tmp")
         final = os.path.join(_meta_path(output_path), f"bucket-{bucket}.json")
         with open(tmp, "w") as fh:

@@ -253,3 +253,29 @@ def test_frame_sampling(spark):
 def test_decode_stub_raises():
     with pytest.raises(NotImplementedError):
         multimodal._decode_image(b"\x89PNG")
+
+
+# --- search (P9) --------------------------------------------------------------------
+
+def test_text_search_relevance_and_and_mode(spark):
+    from readability_scanner_spark.operators import search
+    rows = [
+        (1, "spark spark spark shuffle"),
+        (2, "spark shuffle partition"),
+        (3, "nothing relevant here"),
+        (4, "Spark SHUFFLE spark"),
+    ]
+    df = spark.createDataFrame(rows, "id long, text string")
+    got = [(r.id, r.relevance) for r in search.text_search(df, "text", "spark shuffle", "id").collect()]
+    assert got == [(1, 4), (4, 3), (2, 2)]  # case-insensitive, OR semantics
+    got_and = [r.id for r in search.text_search(df, "text", "spark partition", "id", require_all=True).collect()]
+    assert got_and == [2]
+
+
+def test_diagnose_rules():
+    from readability_scanner_spark.plans.pipeline import diagnose
+    assert diagnose({"turns_processed": 0}) == "empty bucket"
+    assert diagnose({"turns_processed": 100, "parse_failures": 2, "mean_content_ratio": 0.6}) == "healthy"
+    assert "elevated" in diagnose({"turns_processed": 100, "parse_failures": 20, "mean_content_ratio": 0.6})
+    assert "critical" in diagnose({"turns_processed": 100, "parse_failures": 80, "mean_content_ratio": 0.6})
+    assert "content ratio" in diagnose({"turns_processed": 100, "parse_failures": 0, "mean_content_ratio": 0.05})

@@ -102,3 +102,13 @@ def test_normalize_date_never_raises(s):
     out = normalize_date(s)
     if out is not None:
         assert out.tzinfo is not None
+
+
+@settings(max_examples=80, deadline=None)
+@given(html_like)
+def test_clone_equivalent(raw):
+    root = parse_html(raw)
+    clone = root.clone()
+    assert clone.serialize() == root.serialize()
+    assert clone.inner_text() == root.inner_text()
+    assert clone.text_spans() == root.text_spans()
