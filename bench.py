@@ -35,7 +35,7 @@ from readability_scanner_spark.config import build_session
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-    n_convs = int(os.environ.get("BENCH_CONVS", "1500"))
+    n_convs = int(os.environ.get("BENCH_CONVS", "3000"))
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
 
     spark = build_session("bench", master=f"local[{cpus}]", shuffle_partitions=2 * cpus)

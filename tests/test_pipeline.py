@@ -133,3 +133,21 @@ def test_meta_metrics_recorded(spark, small_transcripts, tmp_path):
     for m in metas:
         assert 0.0 <= m["mean_content_ratio"] <= 1.0
         assert m["committed_at"]
+
+
+def test_salted_repartition_splits_mega_conversations(spark):
+    """A mega-conversation must spread across multiple partitions
+    (SALT_SPAN-bounded tasks), while salting never changes results."""
+    from readability_scanner_spark.plans.pipeline import salted_repartition
+
+    rows = [("mega", i, "user", "<p>x</p>", None, None) for i in range(5000)]
+    df = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, text string, tool string, ts timestamp"
+    )
+    parts = (
+        salted_repartition(df, 32)
+        .select(F.spark_partition_id().alias("pid"))
+        .distinct()
+        .count()
+    )
+    assert parts >= 4  # 5000 turns / SALT_SPAN=1000 -> 5 salt shards
