@@ -25,9 +25,16 @@ SENT_PAT = r"[.!?]+(?:\s+|$)"
 TOKEN_PAT = r"\w+|[^\w\s]"
 
 
-def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+def _t(spark: SparkSession, sf_dir: str, name: str, spread: bool = False) -> DataFrame:
     spark.conf.set("spark.sql.session.timeZone", "UTC")
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    if spread:
+        # the testdata parquet files are single-row-group (unsplittable:
+        # the whole scan lands on ONE task); heavy per-row compute must
+        # repartition first or it runs single-threaded — at production
+        # scale this is the "one giant input file" guard
+        df = df.repartition(int(spark.conf.get("spark.sql.shuffle.partitions")))
+    return df
 
 
 # ---------------------------------------------------------------------------
@@ -74,13 +81,13 @@ def entry(spark: SparkSession) -> DataFrame:
 def q_readability_by_source(spark, sf_dir):
     from readability_scanner_spark.operators.analytics import readability_by_group
 
-    return readability_by_group(_t(spark, sf_dir, "documents"), "source", "text", min_docs=5)
+    return readability_by_group(_t(spark, sf_dir, "documents", spread=True), "source", "text", min_docs=5)
 
 
 def q_word_topk(spark, sf_dir):
     from readability_scanner_spark.operators.analytics import word_topk
 
-    return word_topk(_t(spark, sf_dir, "documents"), "text", k=5)
+    return word_topk(_t(spark, sf_dir, "documents", spread=True), "text", k=5)
 
 
 def q_event_type_breakdown(spark, sf_dir):
@@ -196,13 +203,13 @@ def q_orders_with_part(spark, sf_dir):
 def q_similar_pairs(spark, sf_dir):
     from readability_scanner_spark.operators.similarity import similarity_pairs
 
-    return similarity_pairs(_t(spark, sf_dir, "embeddings"), "vec_id", "embedding", 0.4)
+    return similarity_pairs(_t(spark, sf_dir, "embeddings", spread=True), "vec_id", "embedding", 0.4)
 
 
 def q_knn_topk(spark, sf_dir):
     from readability_scanner_spark.operators.similarity import knn_topk
 
-    emb = _t(spark, sf_dir, "embeddings")
+    emb = _t(spark, sf_dir, "embeddings", spread=True)
     query_vec = emb.where(F.col("vec_id") == 0).select("embedding").first()[0]
     return knn_topk(emb.where(F.col("vec_id") != 0), "vec_id", "embedding", query_vec, k=10).select(
         "vec_id"
@@ -251,19 +258,19 @@ def q_daily_event_buckets(spark, sf_dir):
 def q_sql_text_stats(spark, sf_dir):
     from readability_scanner_spark.operators.analytics import sql_text_stats
 
-    return sql_text_stats(_t(spark, sf_dir, "documents"), "doc_id", "text")
+    return sql_text_stats(_t(spark, sf_dir, "documents", spread=True), "doc_id", "text")
 
 
 def q_doc_previews(spark, sf_dir):
     from readability_scanner_spark.functions.columns import preview_col
 
-    return _t(spark, sf_dir, "documents").select(
+    return _t(spark, sf_dir, "documents", spread=True).select(
         "doc_id", preview_col(F.col("text"), 80).alias("preview")
     )
 
 
 def q_regex_filter_counts(spark, sf_dir):
-    docs = _t(spark, sf_dir, "documents")
+    docs = _t(spark, sf_dir, "documents", spread=True)
     return (
         docs.where(F.col("text").rlike(r"\bdata\b"))
         .groupBy("source")
@@ -408,13 +415,13 @@ def _flagship_on(spark, sf_dir):
 def q_minhash_candidates(spark, sf_dir):
     from readability_scanner_spark.operators.dedup import minhash_lsh_candidates
 
-    return minhash_lsh_candidates(_t(spark, sf_dir, "documents"), "doc_id", "text")
+    return minhash_lsh_candidates(_t(spark, sf_dir, "documents", spread=True), "doc_id", "text")
 
 
 def q_simhash_near_dups(spark, sf_dir):
     from readability_scanner_spark.operators.dedup import simhash_near_dups
 
-    return simhash_near_dups(_t(spark, sf_dir, "documents"), "doc_id", "text", max_hamming=6)
+    return simhash_near_dups(_t(spark, sf_dir, "documents", spread=True), "doc_id", "text", max_hamming=6)
 
 
 def q_ngram_jaccard(spark, sf_dir):
@@ -447,7 +454,7 @@ def q_text_search(spark, sf_dir):
     """P9 full-text search with relevance ranking."""
     from readability_scanner_spark.operators.search import text_search
 
-    return text_search(_t(spark, sf_dir, "documents"), "text", "data table query", "doc_id", limit=20)
+    return text_search(_t(spark, sf_dir, "documents", spread=True), "text", "data table query", "doc_id", limit=20)
 
 
 def q_daily_topics(spark, sf_dir):

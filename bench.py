@@ -106,8 +106,10 @@ def main() -> None:
     for name in bench_set:
         t0 = time.time()
         df = queries[name](spark, sf_dir)
-        # count() forces full execution without driver-side collect cost
-        df.count()
+        # hash every output column and aggregate: forces full evaluation
+        # of computed projections (a bare count() lets Catalyst prune
+        # them) without driver-side collect cost
+        df.select(F.xxhash64(F.struct("*")).alias("_h")).agg(F.bit_xor("_h")).first()
         timings[name] = round(time.time() - t0, 3)
 
     total = round(sum(timings.values()), 3)
