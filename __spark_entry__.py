@@ -25,7 +25,42 @@ SENT_PAT = r"[.!?]+(?:\s+|$)"
 TOKEN_PAT = r"\w+|[^\w\s]"
 
 
+_PKG_SHIPPED: set[int] = set()
+
+
+def _ensure_package_on_workers(spark: SparkSession) -> None:
+    """The driver may build its SparkSession without this repo on
+    PYTHONPATH; python workers then can't unpickle our UDF closures.
+    Ship the package as a zip via addPyFile (idempotent per session) —
+    the same mechanism spark-submit --py-files uses."""
+    key = id(spark)
+    if key in _PKG_SHIPPED:
+        return
+    import zipfile
+
+    repo = os.path.dirname(os.path.abspath(__file__))
+    pkg = os.path.join(repo, "readability_scanner_spark")
+    sources = [
+        os.path.join(root, f)
+        for root, _dirs, files in os.walk(pkg)
+        for f in files
+        if f.endswith(".py")
+    ]
+    newest = max(os.path.getmtime(p) for p in sources)
+    zip_path = os.path.join("/tmp", "readability_scanner_spark_pkg.zip")
+    if not os.path.exists(zip_path) or os.path.getmtime(zip_path) < newest:
+        with zipfile.ZipFile(zip_path, "w") as zf:
+            for full in sources:
+                zf.write(full, os.path.relpath(full, repo))
+    try:
+        spark.sparkContext.addPyFile(zip_path)
+    except Exception:
+        pass  # already added or unsupported context — PYTHONPATH covers it
+    _PKG_SHIPPED.add(key)
+
+
 def _t(spark: SparkSession, sf_dir: str, name: str, spread: bool = False) -> DataFrame:
+    _ensure_package_on_workers(spark)
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if spread:
@@ -495,6 +530,7 @@ def q_media_features(spark, sf_dir):
         synthetic_media_df,
     )
 
+    _ensure_package_on_workers(spark)
     return extract_media_features(synthetic_media_df(spark, 100)).select(
         "media_id", "n_bytes", "checksum"
     ).orderBy("media_id")
