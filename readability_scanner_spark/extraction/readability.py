@@ -334,10 +334,19 @@ def _clean_conditionally(article: Node, tag: str, flags: int) -> None:
             continue
         text = node.inner_text()
         if text.count(",") < 10:
-            p_count = sum(1 for _ in node.iter_elements("p"))
-            img_count = sum(1 for _ in node.iter_elements("img"))
-            li_count = sum(1 for _ in node.iter_elements("li")) - 100
-            input_count = sum(1 for _ in node.iter_elements("input"))
+            # one traversal for all descendant-tag counts
+            p_count = img_count = li_count = input_count = 0
+            for d in node.iter():
+                t = d.tag
+                if t == "p":
+                    p_count += 1
+                elif t == "img":
+                    img_count += 1
+                elif t == "li":
+                    li_count += 1
+                elif t == "input":
+                    input_count += 1
+            li_count -= 100
             ld = node.link_density()
             remove = (
                 (img_count > p_count and img_count > 1)
@@ -352,9 +361,11 @@ def _clean_conditionally(article: Node, tag: str, flags: int) -> None:
 
 
 def _prep_article(article: Node, flags: int) -> None:
-    _strip(article, "form", "button", "textarea", "select", "footer", "aside", "nav")
-    for tag in EMBED_TAGS:
-        _strip(article, tag)
+    _strip(
+        article,
+        "form", "button", "textarea", "select", "footer", "aside", "nav",
+        *EMBED_TAGS,
+    )
     for tag in ("table", "ul", "div"):
         _clean_conditionally(article, tag, flags)
     # drop empty paragraphs (no text, no images/embeds)
