@@ -485,6 +485,23 @@ def q_greedy_topics(spark, sf_dir):
     )
 
 
+def q_session_stats(spark, sf_dir):
+    """Gap-based sessionization over events (30-min gap)."""
+    from readability_scanner_spark.operators.sessions import session_stats
+
+    return session_stats(_t(spark, sf_dir, "events"), "user_id", "ts", gap_minutes=30)
+
+
+def q_rolling_mean(spark, sf_dir):
+    """Per-user trailing mean over the previous 5 events."""
+    from readability_scanner_spark.operators.sessions import rolling_mean
+
+    ev = _t(spark, sf_dir, "events")
+    return rolling_mean(ev, "user_id", ["ts", "event_id"], "value", preceding=5).select(
+        "event_id", F.round("rolling_value", 4).alias("rolling_value")
+    )
+
+
 def q_text_search(spark, sf_dir):
     """P9 full-text search with relevance ranking."""
     from readability_scanner_spark.operators.search import text_search
@@ -572,6 +589,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embed_prep": q_embed_prep,
         "revenue_by_region": q_revenue_by_region,
         "text_search": q_text_search,
+        "session_stats": q_session_stats,
+        "rolling_mean": q_rolling_mean,
         # rows-only (non-SQL-expressible; pytest goldens cover semantics)
         "flagship_extract": q_flagship_extract,
         "minhash_candidates": q_minhash_candidates,
@@ -829,6 +848,32 @@ def oracle_sql() -> dict[str, str]:
             JOIN nation ON c_nationkey = n_nationkey
             JOIN region ON n_regionkey = r_regionkey
             GROUP BY r_name
+        """,
+        "session_stats": """
+            WITH flagged AS (
+              SELECT user_id, event_id, ts,
+                CASE WHEN lag(ts) OVER w IS NULL
+                       OR epoch(ts) - epoch(lag(ts) OVER w) > 1800 THEN 1 ELSE 0 END AS new_s
+              FROM events
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+            ), sess AS (
+              SELECT user_id, event_id, ts,
+                sum(new_s) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+                                 ROWS UNBOUNDED PRECEDING) AS session_idx
+              FROM flagged
+            )
+            SELECT user_id, session_idx, count(*) AS n_events,
+                   epoch(max(ts)) - epoch(min(ts)) AS span_seconds,
+                   min(event_id) AS first_event, max(event_id) AS last_event
+            FROM sess GROUP BY user_id, session_idx
+        """,
+        "rolling_mean": """
+            SELECT event_id,
+                   round(avg(value) OVER (PARTITION BY user_id
+                                          ORDER BY ts ASC, event_id ASC
+                                          ROWS BETWEEN 5 PRECEDING AND CURRENT ROW), 4)
+                     AS rolling_value
+            FROM events
         """,
         "text_search": """
             SELECT doc_id, relevance FROM (

@@ -1,0 +1,76 @@
+"""Sessionization + ordered-window operators over event streams.
+
+Not present in the reference (its only time ops are range filters and an
+unimplemented daily-bucket TODO, SURVEY.md §2.1 W1–W3) but core to a
+transcript/training-data pipeline: gap-based sessionization of events
+per user and per-conversation rolling metrics. All window functions —
+JVM-side, one shuffle on the partition key.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _epoch(col):
+    """Fractional epoch seconds; TIMESTAMP_NTZ needs the ltz hop (session
+    tz is UTC in this engine) before a double cast is legal under ANSI."""
+    return col.cast("timestamp").cast("double")
+
+
+def sessionize(
+    df: DataFrame,
+    user_col: str,
+    ts_col: str,
+    gap_minutes: int = 30,
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Classic gap-based sessionization: a new session starts when the
+    gap to the previous event of the same user exceeds ``gap_minutes``.
+    session_idx is a per-user cumulative sum of boundary flags — one
+    shuffle on user_col, no Python."""
+    w = Window.partitionBy(user_col).orderBy(F.asc(ts_col), F.asc(id_col))
+    prev_ts = F.lag(ts_col).over(w)
+    new_session = F.when(
+        prev_ts.isNull()
+        | (_epoch(F.col(ts_col)) - _epoch(prev_ts) > gap_minutes * 60),
+        1,
+    ).otherwise(0)
+    return df.withColumn("session_idx", F.sum(new_session).over(w))
+
+
+def session_stats(
+    df: DataFrame, user_col: str, ts_col: str, gap_minutes: int = 30, id_col: str = "event_id"
+) -> DataFrame:
+    """Per-session aggregates: events, span seconds, first/last event."""
+    sess = sessionize(df, user_col, ts_col, gap_minutes, id_col)
+    return (
+        sess.groupBy(user_col, "session_idx")
+        .agg(
+            F.count("*").alias("n_events"),
+            (_epoch(F.max(ts_col)) - _epoch(F.min(ts_col))).alias(
+                "span_seconds"
+            ),
+            F.min(id_col).alias("first_event"),
+            F.max(id_col).alias("last_event"),
+        )
+        .orderBy(user_col, "session_idx")
+    )
+
+
+def rolling_mean(
+    df: DataFrame,
+    part_col: str,
+    order_cols: list[str],
+    value_col: str,
+    preceding: int = 5,
+) -> DataFrame:
+    """Per-key trailing mean over the previous N rows (inclusive) —
+    per-conversation readability drift, per-user value trend, etc."""
+    w = (
+        Window.partitionBy(part_col)
+        .orderBy(*[F.asc(c) for c in order_cols])
+        .rowsBetween(-preceding, 0)
+    )
+    return df.withColumn(f"rolling_{value_col}", F.avg(value_col).over(w))

@@ -279,3 +279,34 @@ def test_diagnose_rules():
     assert "elevated" in diagnose({"turns_processed": 100, "parse_failures": 20, "mean_content_ratio": 0.6})
     assert "critical" in diagnose({"turns_processed": 100, "parse_failures": 80, "mean_content_ratio": 0.6})
     assert "content ratio" in diagnose({"turns_processed": 100, "parse_failures": 0, "mean_content_ratio": 0.05})
+
+
+# --- sessionization -------------------------------------------------------------------
+
+def test_sessionize_gap_semantics(spark):
+    from readability_scanner_spark.operators.sessions import session_stats
+    rows = [
+        (1, 100, "2025-01-01 10:00:00"),
+        (2, 100, "2025-01-01 10:10:00"),   # same session (10 min)
+        (3, 100, "2025-01-01 11:30:00"),   # 80-min gap -> new session
+        (4, 200, "2025-01-01 10:00:00"),   # other user independent
+    ]
+    df = spark.createDataFrame(rows, "event_id long, user_id long, ts string").withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
+    out = {(r.user_id, r.session_idx): (r.n_events, r.span_seconds) for r in
+           session_stats(df, "user_id", "ts", gap_minutes=30).collect()}
+    assert out[(100, 1)] == (2, 600.0)
+    assert out[(100, 2)] == (1, 0.0)
+    assert out[(200, 1)] == (1, 0.0)
+
+
+def test_rolling_mean_window(spark):
+    from readability_scanner_spark.operators.sessions import rolling_mean
+    rows = [(i, 1, f"2025-01-01 10:{i:02d}:00", float(i)) for i in range(1, 5)]
+    df = spark.createDataFrame(rows, "event_id long, user_id long, ts string, value double").withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
+    out = {r.event_id: r.rolling_value for r in
+           rolling_mean(df, "user_id", ["ts", "event_id"], "value", preceding=1).collect()}
+    assert out == {1: 1.0, 2: 1.5, 3: 2.5, 4: 3.5}
