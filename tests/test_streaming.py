@@ -60,3 +60,50 @@ def test_metrics_stream(spark, stream_input, tmp_path):
     assert total == spark.read.parquet(stream_input).count()
     for r in rows:
         assert 0.0 <= r.mean_content_ratio <= 1.0
+
+
+def test_stateful_streaming_sessions(spark, tmp_path):
+    """applyInPandasWithState: session state must carry across
+    micro-batches (two files → maxFilesPerTrigger=1 → two batches)."""
+    import pandas as pd
+    from readability_scanner_spark.streaming.sessions import streaming_sessions
+
+    in_dir = tmp_path / "sess_in"
+    in_dir.mkdir()
+    batch1 = pd.DataFrame({
+        "event_id": [1, 2],
+        "user_id": [100, 100],
+        "ts": pd.to_datetime(["2025-01-01 10:00:00", "2025-01-01 10:10:00"]),
+    })
+    batch2 = pd.DataFrame({
+        "event_id": [3, 4],
+        "user_id": [100, 100],
+        # 3 continues the session (15 min gap), 4 starts a new one (2h gap)
+        "ts": pd.to_datetime(["2025-01-01 10:25:00", "2025-01-01 12:30:00"]),
+    })
+    batch1.to_parquet(in_dir / "b1.parquet", coerce_timestamps="us")
+    batch2.to_parquet(in_dir / "b2.parquet", coerce_timestamps="us")
+
+    stream = (
+        spark.readStream.schema("event_id long, user_id long, ts timestamp")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(in_dir))
+    )
+    q = (
+        streaming_sessions(stream, gap_minutes=30)
+        .writeStream.format("memory")
+        .queryName("sessions_out")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    rows = spark.sql(
+        "SELECT * FROM sessions_out ORDER BY last_ts"
+    ).collect()
+    # snapshot per (user, batch-group call); final state: session 2 with 1 event
+    assert rows[-1].session_idx == 2 and rows[-1].n_events == 1
+    # an earlier snapshot must show session 1 accumulating across batches
+    sess1 = [r for r in rows if r.session_idx == 1]
+    assert sess1 and max(r.n_events for r in sess1) == 3  # events 1,2 then +3
