@@ -310,3 +310,20 @@ def test_rolling_mean_window(spark):
     out = {r.event_id: r.rolling_value for r in
            rolling_mean(df, "user_id", ["ts", "event_id"], "value", preceding=1).collect()}
     assert out == {1: 1.0, 2: 1.5, 3: 2.5, 4: 3.5}
+
+
+def test_ivf_knn_recall(spark):
+    """IVF must find the true neighbors when clusters are separable."""
+    from readability_scanner_spark.operators import similarity
+    rng = np.random.RandomState(11)
+    bases = rng.randn(4, 12) * 5
+    rows = []
+    for i in range(200):
+        rows.append((i, (bases[i % 4] + 0.1 * rng.randn(12)).tolist()))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    query = rows[0][1]
+    brute = [r.vec_id for r in similarity.knn_topk(df, "vec_id", "embedding", query, k=10).collect()]
+    ivf = [r.vec_id for r in similarity.ivf_knn(df, "vec_id", "embedding", query, k=10,
+                                                n_centroids=8, n_probe=2).collect()]
+    recall = len(set(brute) & set(ivf)) / 10
+    assert recall >= 0.9
