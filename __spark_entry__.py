@@ -474,6 +474,17 @@ def q_lsh_ann_pairs(spark, sf_dir):
     return lsh_bucketed_pairs(emb, "vec_id", "embedding", dim, threshold=0.4, n_planes=4)
 
 
+def q_ivf_knn(spark, sf_dir):
+    from readability_scanner_spark.operators.similarity import ivf_knn
+
+    emb = _t(spark, sf_dir, "embeddings", spread=True)
+    query_vec = emb.where(F.col("vec_id") == 0).select("embedding").first()[0]
+    return ivf_knn(
+        emb.where(F.col("vec_id") != 0), "vec_id", "embedding",
+        [float(x) for x in query_vec], k=10, n_centroids=8, n_probe=4,
+    ).select("vec_id")
+
+
 def q_greedy_topics(spark, sf_dir):
     from readability_scanner_spark.operators.similarity import greedy_topic_groups
 
@@ -597,6 +608,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_near_dups": q_simhash_near_dups,
         "ngram_jaccard": q_ngram_jaccard,
         "lsh_ann_pairs": q_lsh_ann_pairs,
+        "ivf_knn": q_ivf_knn,
         "greedy_topics": q_greedy_topics,
         "daily_topics": q_daily_topics,
         "full_report": q_full_report,
