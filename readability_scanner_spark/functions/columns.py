@@ -6,6 +6,13 @@ These mirror the Python implementations in functions/textstats.py exactly
 inside whole-stage codegen — zero Python in the plan. Used by the
 oracle-checked queries in __spark_entry__.py; the full-stats path
 (syllables needed) goes through the Arrow UDF instead.
+
+Unicode caveat: Python's ``re`` treats ``\\w`` as unicode (CJK and
+accented word characters count — matching the reference, which uses
+Python re), while Java regex and DuckDB's RE2 treat ``\\w`` as ASCII.
+On non-ASCII text the SQL fast path undercounts vs the UDF path; the
+authoritative semantics are the Python ones. The two SQL engines agree
+with each other, which is what the oracle checks verify.
 """
 
 from __future__ import annotations

@@ -73,3 +73,12 @@ def test_word_syllables_uses_raw_word_count():
 def test_complex_word_threshold():
     s = calculate_text_statistics("cat university dog considerable")
     assert s.complex_polysyllabic_words == 2
+
+
+def test_unicode_words_match_reference_semantics():
+    # Python \w is unicode (the reference uses Python re): CJK runs and
+    # accented words count as words
+    assert count_words("café naïve") == 2
+    assert count_words("数据处理 系统") == 2
+    s = calculate_text_statistics("Überraschung! Schön.")
+    assert s.words == 2 and s.sentences == 2
