@@ -496,6 +496,28 @@ def q_greedy_topics(spark, sf_dir):
     )
 
 
+def q_stratified_sample(spark, sf_dir):
+    """Deterministic systematic sampling + per-stratum audit."""
+    from readability_scanner_spark.operators.sampling import modulo_sample, stratified_counts
+
+    docs = _t(spark, sf_dir, "documents")
+    sampled = modulo_sample(docs, "doc_id", keep_every=5)
+    return stratified_counts(docs, "lang", sampled)
+
+
+def q_balanced_classes(spark, sf_dir):
+    """Class balancing: at most 30 docs per language, deterministic."""
+    from readability_scanner_spark.operators.sampling import balance_classes
+
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        balance_classes(docs, "lang", "doc_id", per_class=30)
+        .groupBy("lang")
+        .agg(F.count("*").alias("cnt"), F.max("doc_id").alias("max_kept"))
+        .orderBy("lang")
+    )
+
+
 def q_session_stats(spark, sf_dir):
     """Gap-based sessionization over events (30-min gap)."""
     from readability_scanner_spark.operators.sessions import session_stats
@@ -600,6 +622,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embed_prep": q_embed_prep,
         "revenue_by_region": q_revenue_by_region,
         "text_search": q_text_search,
+        "stratified_sample": q_stratified_sample,
+        "balanced_classes": q_balanced_classes,
         "session_stats": q_session_stats,
         "rolling_mean": q_rolling_mean,
         # rows-only (non-SQL-expressible; pytest goldens cover semantics)
@@ -860,6 +884,24 @@ def oracle_sql() -> dict[str, str]:
             JOIN nation ON c_nationkey = n_nationkey
             JOIN region ON n_regionkey = r_regionkey
             GROUP BY r_name
+        """,
+        "stratified_sample": """
+            WITH smp AS (
+              SELECT lang, count(*) AS sampled FROM documents
+              WHERE doc_id % 5 = 0 GROUP BY lang
+            ), pop AS (
+              SELECT lang, count(*) AS population FROM documents GROUP BY lang
+            )
+            SELECT pop.lang, population, coalesce(sampled, 0) AS sampled,
+                   round(coalesce(sampled, 0)::DOUBLE / population, 4) AS rate
+            FROM pop LEFT JOIN smp ON pop.lang = smp.lang
+        """,
+        "balanced_classes": """
+            SELECT lang, count(*) AS cnt, max(doc_id) AS max_kept FROM (
+              SELECT lang, doc_id,
+                     row_number() OVER (PARTITION BY lang ORDER BY doc_id ASC) AS rn
+              FROM documents
+            ) WHERE rn <= 30 GROUP BY lang
         """,
         "session_stats": """
             WITH flagged AS (

@@ -1,0 +1,56 @@
+"""Deterministic sampling / class-balancing for training-data curation.
+
+`df.sample()` is partitioning-dependent (not reproducible across
+cluster layouts); these operators sample by pure row-content functions,
+so the same row set comes out at any parallelism — the property that
+makes 10^12-row dataset curation auditable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def deterministic_sample(df: DataFrame, key: Column, fraction: float, salt: int = 0) -> DataFrame:
+    """Keep rows where hash(key, salt) mod 10000 < fraction*10000.
+    Content-addressed: stable across runs, partitionings, and engines
+    that share the hash. Different salts give independent samples."""
+    bucket = F.pmod(F.xxhash64(key, F.lit(salt)), F.lit(10_000))
+    return df.where(bucket < int(fraction * 10_000))
+
+
+def modulo_sample(df: DataFrame, id_col: str, keep_every: int, offset: int = 0) -> DataFrame:
+    """Systematic sampling on a numeric id (oracle-friendly: any SQL
+    engine reproduces it)."""
+    return df.where(F.pmod(F.col(id_col), F.lit(keep_every)) == offset)
+
+
+def stratified_counts(df: DataFrame, strata_col: str, sampled: DataFrame) -> DataFrame:
+    """Audit table: per-stratum population vs sample counts + rate."""
+    pop = df.groupBy(strata_col).agg(F.count("*").alias("population"))
+    smp = sampled.groupBy(strata_col).agg(F.count("*").alias("sampled"))
+    return (
+        pop.join(smp, strata_col, "left")
+        .select(
+            strata_col,
+            "population",
+            F.coalesce("sampled", F.lit(0)).alias("sampled"),
+            F.round(F.coalesce("sampled", F.lit(0)) / F.col("population"), 4).alias("rate"),
+        )
+        .orderBy(strata_col)
+    )
+
+
+def balance_classes(df: DataFrame, label_col: str, id_col: str, per_class: int) -> DataFrame:
+    """Downsample every class to at most ``per_class`` rows,
+    deterministically (rank by id within class). The classic
+    class-balancing step before training export."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(label_col).orderBy(F.asc(id_col))
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") <= per_class)
+        .drop("_rn")
+    )
