@@ -181,6 +181,26 @@ def lookup_join(facts: DataFrame, dim: DataFrame, fact_key: str, dim_key: str, d
     ).drop("_dk")
 
 
+def merge_precedence_join(
+    facts: DataFrame, dim: DataFrame, fact_key: str, dim_key: str
+) -> DataFrame:
+    """JN1's exact $mergeObjects/$replaceRoot semantics
+    (articles.py:348-360: `{$mergeObjects: [{$arrayElemAt:
+    ['$source_info', 0]}, '$$ROOT']}` — the DOCUMENT's fields win; the
+    dim side only fills fields the document lacks/has null). Shared
+    column names are coalesced fact-first; dim-only columns pass
+    through."""
+    shared = [c for c in dim.columns if c in facts.columns and c != dim_key]
+    dim_renamed = dim.select(
+        F.col(dim_key).alias("_dk"),
+        *[F.col(c).alias(f"_dim_{c}") if c in shared else F.col(c) for c in dim.columns if c != dim_key],
+    )
+    joined = facts.join(F.broadcast(dim_renamed), facts[fact_key] == F.col("_dk"), "left").drop("_dk")
+    for c in shared:
+        joined = joined.withColumn(c, F.coalesce(F.col(c), F.col(f"_dim_{c}"))).drop(f"_dim_{c}")
+    return joined
+
+
 # --- JN3: per-source stats (single pass, replaces N+1 find_one loop) ------------------
 
 def per_group_latest_and_count(

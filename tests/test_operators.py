@@ -327,3 +327,23 @@ def test_ivf_knn_recall(spark):
                                                 n_centroids=8, n_probe=2).collect()]
     recall = len(set(brute) & set(ivf)) / 10
     assert recall >= 0.9
+
+
+def test_merge_precedence_join(spark):
+    """$mergeObjects semantics: the document's own field wins; the dim
+    fills only nulls (reference articles.py:348-360)."""
+    from readability_scanner_spark.operators.analytics import merge_precedence_join
+    docs = spark.createDataFrame(
+        [(1, "src-a", "Doc Name", None), (2, "src-b", None, "keep"), (3, "missing", None, None)],
+        "id long, origin string, name string, extra string",
+    )
+    urls = spark.createDataFrame(
+        [("src-a", "Feed A", "reliable"), ("src-b", "Feed B", "biased")],
+        "url string, name string, reliability string",
+    )
+    out = {r.id: r for r in merge_precedence_join(docs, urls, "origin", "url").collect()}
+    assert out[1].name == "Doc Name"          # doc field wins
+    assert out[1].reliability == "reliable"   # dim-only passes through
+    assert out[2].name == "Feed B"            # dim fills the null
+    assert out[2].extra == "keep"
+    assert out[3].name is None and out[3].reliability is None  # unmatched
