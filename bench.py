@@ -104,13 +104,16 @@ def main() -> None:
         "rolling_7d_by_type",
     ]
     for name in bench_set:
-        t0 = time.time()
-        df = queries[name](spark, sf_dir)
-        # hash every output column and aggregate: forces full evaluation
-        # of computed projections (a bare count() lets Catalyst prune
-        # them) without driver-side collect cost
-        df.select(F.xxhash64(F.struct("*")).alias("_h")).agg(F.bit_xor("_h")).first()
-        timings[name] = round(time.time() - t0, 3)
+        best = float("inf")
+        for _ in range(2):  # best-of-2: absorbs codegen/worker cold start
+            t0 = time.time()
+            df = queries[name](spark, sf_dir)
+            # hash every output column and aggregate: forces full
+            # evaluation of computed projections (a bare count() lets
+            # Catalyst prune them) without driver-side collect cost
+            df.select(F.xxhash64(F.struct("*")).alias("_h")).agg(F.bit_xor("_h")).first()
+            best = min(best, time.time() - t0)
+        timings[name] = round(best, 3)
 
     total = round(sum(timings.values()), 3)
     print(
