@@ -251,7 +251,9 @@ def latest_per_group(df: DataFrame, group_col: str, order_cols: list[str], proje
 
 def paginate(df: DataFrame, order_cols: list[str], page: int, page_size: int) -> DataFrame:
     """O4 skip/limit pagination (articles.py:398-402) as a row_number
-    window — the distributed version of Mongo's cursor skip."""
+    window. NOTE: a global ordering window funnels all rows through one
+    task — correct but inherently sequential, fine for UI-sized results.
+    At corpus scale use :func:`keyset_paginate` instead."""
     w = Window.orderBy(*[F.asc(c) for c in order_cols])
     start, end = (page - 1) * page_size + 1, page * page_size
     return (
@@ -259,6 +261,16 @@ def paginate(df: DataFrame, order_cols: list[str], page: int, page_size: int) ->
         .where(F.col("_rn").between(start, end))
         .drop("_rn")
     )
+
+
+def keyset_paginate(df: DataFrame, key_col: str, after, page_size: int) -> DataFrame:
+    """Keyset (cursor) pagination: WHERE key > last_seen ORDER BY key
+    LIMIT n. Unlike offset pagination this pushes the predicate into the
+    scan (partition/file pruning on the sort key) and plans as
+    TakeOrderedAndProject — O(page) work regardless of offset depth.
+    `after=None` fetches the first page."""
+    out = df if after is None else df.where(F.col(key_col) > F.lit(after))
+    return out.orderBy(F.asc(key_col)).limit(page_size)
 
 
 def top_k(df: DataFrame, order_col: str, k: int, tie_break: str) -> DataFrame:

@@ -43,3 +43,33 @@ def test_report_search_wordcloud(spark, scored, tmp_path):
 
     view = api.legacy_field_view(scored)
     assert "Flesch Kincaid" in view.columns
+
+
+def test_sql_registration(spark):
+    from readability_scanner_spark.sql import register_all
+    from readability_scanner_spark.sources.fixtures import make_fixture
+
+    register_all(spark)
+    spark.createDataFrame(
+        [(make_fixture("plain_article", 2),)], "text string"
+    ).createOrReplaceTempView("t_sql")
+    row = spark.sql(
+        """
+        SELECT extract_text(text) AS body,
+               text_stats(clean_html(text)).words AS words,
+               estimate_syllables('university') AS syl,
+               extract_content(text).parse_failed AS failed
+        FROM t_sql
+        """
+    ).first()
+    assert not row.failed and row.words > 50 and row.syl == 5 and len(row.body) > 100
+
+
+def test_keyset_pagination(spark):
+    from readability_scanner_spark.operators.analytics import keyset_paginate
+
+    df = spark.range(100).withColumnRenamed("id", "k")
+    p1 = [r.k for r in keyset_paginate(df, "k", None, 10).collect()]
+    assert p1 == list(range(10))
+    p2 = [r.k for r in keyset_paginate(df, "k", p1[-1], 10).collect()]
+    assert p2 == list(range(10, 20))
