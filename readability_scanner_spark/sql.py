@@ -7,10 +7,11 @@ this makes the engine usable from spark.sql / Thrift / notebooks without
 importing the package, completing the "switchable engine" story.
 """
 
-from __future__ import annotations
-
+# NOTE: no `from __future__ import annotations` here — pyspark resolves
+# pandas_udf type hints at registration time and string-ified hints for
+# locally-imported pandas fail to resolve.
+import pandas as pd
 from pyspark.sql import SparkSession
-from pyspark.sql import functions as F
 from pyspark.sql.types import StringType
 
 from readability_scanner_spark.functions.udfs import EXTRACT_SCHEMA, STATS_SCHEMA
@@ -19,7 +20,6 @@ from readability_scanner_spark.functions.udfs import EXTRACT_SCHEMA, STATS_SCHEM
 def register_all(spark: SparkSession) -> None:
     """Idempotently register UDFs: extract_content, extract_text,
     text_stats, clean_html, estimate_syllables."""
-    import pandas as pd
     from pyspark.sql.functions import pandas_udf
 
     @pandas_udf(EXTRACT_SCHEMA)
