@@ -295,12 +295,131 @@ class _TreeBuilder(HTMLParser):
         pass
 
 
+# ---------------------------------------------------------------------------
+# fast regex tokenizer (the default parser)
+# ---------------------------------------------------------------------------
+# One scan over the document with a single compiled regex; exact source
+# offsets come free from match positions. ~2-3x faster than stdlib
+# html.parser, which the extraction profile showed as the largest single
+# cost. Produces the same Node tree; stdlib html.parser remains the
+# fallback for inputs the tokenizer rejects.
+
+_TOKEN_RE = re.compile(
+    r"<!--.*?(?:-->|$)"  # comments (unterminated swallowed to EOF)
+    r"|<!\[CDATA\[.*?(?:\]\]>|$)"
+    r"|<![^>]*>"  # doctype / other declarations
+    r"|<\?[^>]*>"  # processing instructions
+    r"|</\s*([a-zA-Z][a-zA-Z0-9:_.-]*)\s*>"  # end tag -> group 1
+    r"|<([a-zA-Z][a-zA-Z0-9:_.-]*)"  # start tag name -> group 2
+    r"((?:\s+[^\s=/>]+(?:\s*=\s*(?:\"[^\"]*\"|'[^']*'|[^\s>]*))?)*)"  # attrs -> 3
+    r"\s*(/?)\s*>",  # self-closing -> 4
+    re.S,
+)
+_ATTR_RE = re.compile(
+    r"([^\s=/>]+)(?:\s*=\s*(\"([^\"]*)\"|'([^']*)'|([^\s>]*)))?"
+)
+_RAWTEXT_END = {
+    "script": re.compile(r"</script\s*>", re.I),
+    "style": re.compile(r"</style\s*>", re.I),
+}
+_INLINE_KEEP_OPEN = ("a", "span", "b", "i", "em", "strong")
+
+
+def _parse_attrs(attr_str: str) -> dict:
+    if not attr_str or not attr_str.strip():
+        return {}
+    attrs = {}
+    for m in _ATTR_RE.finditer(attr_str):
+        name = m.group(1).lower()
+        value = m.group(3) if m.group(3) is not None else (
+            m.group(4) if m.group(4) is not None else (m.group(5) or "")
+        )
+        if "&" in value:
+            value = unescape(value)
+        if name not in attrs:
+            attrs[name] = value
+    return attrs
+
+
+def fast_parse(raw: str) -> Node:
+    """Single-regex-scan HTML parser building the same tree (and the
+    same recovery rules) as the html.parser-based builder."""
+    root = Node("#root")
+    stack = [root]
+    pos, length = 0, len(raw)
+
+    def add_text(start: int, end: int) -> None:
+        chunk = raw[start:end]
+        if not chunk:
+            return
+        text = unescape(chunk) if "&" in chunk else chunk
+        parent = stack[-1]
+        last = parent.children[-1] if parent.children else None
+        if last is not None and last.is_text and last.src_end == start:
+            last.text += text
+            last.src_end = end
+        else:
+            parent.append(Node(text=text, src_start=start, src_end=end))
+
+    while pos < length:
+        m = _TOKEN_RE.search(raw, pos)
+        if m is None:
+            add_text(pos, length)
+            break
+        if m.start() > pos:
+            add_text(pos, m.start())
+        pos = m.end()
+        end_name, start_name = m.group(1), m.group(2)
+        if start_name is not None:
+            tag = start_name.lower()
+            # implicit </p> before block elements (same rule as builder)
+            if tag in _P_CLOSERS:
+                for i in range(len(stack) - 1, 0, -1):
+                    if stack[i].tag == "p":
+                        del stack[i:]
+                        break
+                    if stack[i].tag not in _INLINE_KEEP_OPEN:
+                        break
+            if tag == "li" and stack[-1].tag == "li":
+                stack.pop()
+            node = Node(tag, _parse_attrs(m.group(3)))
+            stack[-1].append(node)
+            self_closing = bool(m.group(4))
+            if tag in _RAWTEXT_END and not self_closing:
+                # raw-text element: scan directly for its end tag
+                em = _RAWTEXT_END[tag].search(raw, pos)
+                content_end = em.start() if em else length
+                if content_end > pos:
+                    node.append(
+                        Node(text=raw[pos:content_end], src_start=pos, src_end=content_end)
+                    )
+                pos = em.end() if em else length
+            elif tag not in VOID_ELEMENTS and not self_closing:
+                stack.append(node)
+        elif end_name is not None:
+            tag = end_name.lower()
+            if tag in VOID_ELEMENTS:
+                continue
+            for i in range(len(stack) - 1, 0, -1):
+                if stack[i].tag == tag:
+                    del stack[i:]
+                    break
+            # unmatched end tag: ignored (tag-soup recovery)
+        # else: comment/doctype/CDATA/PI — dropped
+    return root
+
+
 def parse_html(raw: str) -> Node:
     """Parse an HTML string into a Node tree rooted at ``#root``.
 
-    Never raises on malformed input — html.parser is already lenient and
-    the builder's recovery rules absorb unmatched tags.
+    Never raises on malformed input: the fast tokenizer handles the
+    overwhelming majority; stdlib html.parser is the fallback, and a
+    regex tag-strip is the fallback of last resort.
     """
+    try:
+        return fast_parse(raw)
+    except Exception:
+        pass
     builder = _TreeBuilder(raw)
     try:
         builder.feed(raw)
@@ -310,6 +429,14 @@ def parse_html(raw: str) -> Node:
         root = Node("#root")
         root.append(Node(text=re.sub(r"<[^>]+>", " ", raw), src_start=0, src_end=len(raw)))
         return root
+    return builder.root
+
+
+def parse_html_stdlib(raw: str) -> Node:
+    """The html.parser-based builder, exposed for parity testing."""
+    builder = _TreeBuilder(raw)
+    builder.feed(raw)
+    builder.close()
     return builder.root
 
 

@@ -70,3 +70,44 @@ def test_comments_and_doctype_dropped():
 def test_malformed_never_raises():
     for bad in ["<<<", "<a <b>>", "<p", "&#xZZ;", "<script>un<closed", ""]:
         parse_html(bad)
+
+
+def _tree_sig(n):
+    if n.is_text:
+        return ("#t", n.text, n.src_start, n.src_end)
+    return (n.tag, tuple(sorted(n.attrs.items())), tuple(_tree_sig(c) for c in n.children))
+
+
+def test_fast_parser_matches_stdlib_on_fixtures():
+    """The fast regex tokenizer (default) must build byte-identical trees
+    to the stdlib-html.parser builder on every fixture class."""
+    from readability_scanner_spark.dom import fast_parse, parse_html_stdlib
+    from readability_scanner_spark.sources.fixtures import fixture_classes, make_fixture
+
+    for cls in fixture_classes():
+        for seed in range(4):
+            html = make_fixture(cls, seed)
+            assert _tree_sig(fast_parse(html)) == _tree_sig(parse_html_stdlib(html)), (cls, seed)
+
+
+def test_fast_parser_rawtext_and_edge_cases():
+    from readability_scanner_spark.dom import fast_parse, parse_html_stdlib
+
+    cases = [
+        "<script>if (a<b && c>d) { x('</div>'); }</script><p>k</p>",
+        "<style>a>b{color:red}</style><p>k</p>",
+        "<p>unclosed <b>bold",
+        "<div data-x='a&quot;b'>t</div>",
+        "<br/><hr/><input type='text'/>",
+        "< notatag <p>real</p>",
+        "",
+    ]
+    for html in cases:
+        fast_parse(html)  # never raises
+    # rawtext content must not be parsed as tags
+    root = fast_parse("<script>var s = '<p>x</p>';</script><div>y</div>")
+    assert root.find("p") is None
+    assert root.find("div").inner_text() == "y"
+    # parity on the well-formed subset
+    for html in cases[:2]:
+        assert _tree_sig(fast_parse(html)) == _tree_sig(parse_html_stdlib(html))
