@@ -152,10 +152,12 @@ class Node:
     def inner_text(self, normalize: bool = True) -> str:
         """Concatenated text content; normalize collapses whitespace runs
         to single spaces and strips (mirrors the reference's cleaning,
-        news-scanner/readability/analyzer.py:56)."""
+        news-scanner/readability/analyzer.py:56). join/split is
+        byte-equivalent to re.sub(r'\\s+',' ').strip() (both use unicode
+        whitespace) and several times faster."""
         text = self.raw_text()
         if normalize:
-            text = _WS_RE.sub(" ", text).strip()
+            text = " ".join(text.split())
         return text
 
     def text_spans(self) -> list[tuple[int, int]]:
@@ -177,11 +179,32 @@ class Node:
         return merged
 
     def link_density(self) -> float:
-        """Length of text inside <a> descendants / total text length."""
-        total = len(self.inner_text())
+        """Length of text inside <a> descendants / total text length.
+        Single stack walk collecting total and per-anchor text (instead
+        of one traversal per anchor); lengths are of the normalized
+        text, same as inner_text."""
+        total_parts: list[str] = []
+        open_anchors: list[list[str]] = []
+        link_len = 0
+        stack: list = [self]
+        while stack:
+            node = stack.pop()
+            if node is None:  # anchor-end sentinel
+                buf = open_anchors.pop()
+                link_len += len(" ".join("".join(buf).split()))
+                continue
+            if node.tag is None:
+                total_parts.append(node.text)
+                for buf in open_anchors:
+                    buf.append(node.text)
+                continue
+            if node.tag == "a":  # includes self, matching iter_elements("a")
+                open_anchors.append([])
+                stack.append(None)
+            stack.extend(reversed(node.children))
+        total = len(" ".join("".join(total_parts).split()))
         if total == 0:
             return 0.0
-        link_len = sum(len(a.inner_text()) for a in self.iter_elements("a"))
         return min(1.0, link_len / total)
 
     # -- serialization -----------------------------------------------------

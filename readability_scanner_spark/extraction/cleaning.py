@@ -34,7 +34,7 @@ def clean_html_content(html_content: str) -> str:
         text = root.raw_text()
     except Exception:
         text = _TAG_RE.sub(" ", html_content)
-    text = _WS_RE.sub(" ", text)
+    text = " ".join(text.split())
     # the reference additionally replaces these literal entity strings if
     # they survived parsing (analyzer.py:59-63)
     text = (
@@ -52,7 +52,7 @@ def make_preview(text: str, max_chars: int = 200) -> str:
     append '...' (article_search_routes.py:247-270)."""
     if not text:
         return ""
-    text = _WS_RE.sub(" ", text).strip()
+    text = " ".join(text.split())
     if len(text) <= max_chars:
         return text
     cut = text[:max_chars]

@@ -43,7 +43,7 @@ class TextStatistics:
 
 
 def count_sentences(text: str) -> int:
-    text = _WS_RUN.sub(" ", text.strip())
+    text = " ".join(text.split())
     return sum(1 for s in _SENTENCE_SPLIT.split(text) if s.strip())
 
 
