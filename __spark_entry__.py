@@ -462,7 +462,8 @@ def q_simhash_near_dups(spark, sf_dir):
 def q_ngram_jaccard(spark, sf_dir):
     from readability_scanner_spark.operators.dedup import ngram_jaccard_pairs
 
-    docs = _t(spark, sf_dir, "documents").limit(200)  # quadratic guard at larger sf
+    # deterministic quadratic guard (limit() without order is not stable)
+    docs = _t(spark, sf_dir, "documents", spread=True).where(F.col("doc_id") < 200)
     return ngram_jaccard_pairs(docs, "doc_id", "text", threshold=0.5)
 
 
@@ -938,6 +939,27 @@ def oracle_sql() -> dict[str, str]:
               FROM documents
             ) WHERE relevance > 0
             ORDER BY relevance DESC, doc_id ASC LIMIT 20
+        """,
+        "ngram_jaccard": r"""
+            WITH toks AS (
+              SELECT doc_id,
+                list_filter(string_split_regex(lower(regexp_replace(text, '[^\w\s]', ' ', 'g')), '\s+'),
+                            x -> x != '') AS t
+              FROM documents WHERE doc_id < 200
+            ), grams AS (
+              SELECT doc_id,
+                CASE WHEN len(t) >= 3 THEN
+                  list_distinct(list_transform(generate_series(1, len(t) - 2),
+                                               i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))
+                ELSE [array_to_string(t, ' ')] END AS g
+              FROM toks
+            )
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                   round(len(list_intersect(a.g, b.g))::DOUBLE
+                         / len(list_distinct(list_concat(a.g, b.g))), 4) AS jaccard
+            FROM grams a JOIN grams b ON a.doc_id < b.doc_id
+            WHERE len(list_intersect(a.g, b.g))::DOUBLE
+                  / len(list_distinct(list_concat(a.g, b.g))) >= 0.5
         """,
         "lang_quality": """
             WITH scored AS (
