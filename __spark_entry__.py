@@ -497,6 +497,38 @@ def q_greedy_topics(spark, sf_dir):
     )
 
 
+def q_asof_join(spark, sf_dir):
+    """As-of join (composition — no built-in in Spark): each click gets
+    the most recent prior-or-equal view of the same user."""
+    from readability_scanner_spark.operators.temporal import asof_join
+
+    ev = _t(spark, sf_dir, "events")
+    clicks = ev.where(F.col("event_type") == "click").select("event_id", "user_id", "ts")
+    views = (
+        ev.where(F.col("event_type") == "view")
+        .groupBy("user_id", "ts")
+        .agg(F.max("event_id").alias("view_id"))  # dedupe equal-ts rights
+    )
+    out = asof_join(clicks, views, "user_id", "ts", ["view_id"])
+    return out.select("event_id", "view_id_asof").orderBy("event_id")
+
+
+def q_range_join(spark, sf_dir):
+    """Band-bucketed range join: clicks within 10 minutes AFTER an error
+    by the same user."""
+    from readability_scanner_spark.operators.temporal import range_join
+
+    ev = _t(spark, sf_dir, "events")
+    errors = ev.where(F.col("event_type") == "error").select(
+        F.col("event_id").alias("error_id"), "user_id", F.col("ts").alias("err_ts")
+    )
+    clicks = ev.where(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"), "user_id", F.col("ts").alias("click_ts")
+    )
+    out = range_join(errors, clicks, "user_id", "err_ts", "click_ts", 0.0, 600.0)
+    return out.select("error_id", "click_id").orderBy("error_id", "click_id")
+
+
 def q_stratified_sample(spark, sf_dir):
     """Deterministic systematic sampling + per-stratum audit."""
     from readability_scanner_spark.operators.sampling import modulo_sample, stratified_counts
@@ -623,6 +655,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embed_prep": q_embed_prep,
         "revenue_by_region": q_revenue_by_region,
         "text_search": q_text_search,
+        "asof_join": q_asof_join,
+        "range_join": q_range_join,
         "stratified_sample": q_stratified_sample,
         "balanced_classes": q_balanced_classes,
         "session_stats": q_session_stats,
@@ -885,6 +919,25 @@ def oracle_sql() -> dict[str, str]:
             JOIN nation ON c_nationkey = n_nationkey
             JOIN region ON n_regionkey = r_regionkey
             GROUP BY r_name
+        """,
+        "asof_join": """
+            WITH clicks AS (
+              SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'
+            ), views AS (
+              SELECT user_id, ts, max(event_id) AS view_id FROM events
+              WHERE event_type = 'view' GROUP BY user_id, ts
+            )
+            SELECT c.event_id, v.view_id AS view_id_asof
+            FROM clicks c ASOF LEFT JOIN views v
+              ON c.user_id = v.user_id AND c.ts >= v.ts
+        """,
+        "range_join": """
+            SELECT e.event_id AS error_id, c.event_id AS click_id
+            FROM events e JOIN events c
+              ON e.user_id = c.user_id
+             AND e.event_type = 'error' AND c.event_type = 'click'
+             AND epoch(c.ts) >= epoch(e.ts)
+             AND epoch(c.ts) <= epoch(e.ts) + 600
         """,
         "stratified_sample": """
             WITH smp AS (

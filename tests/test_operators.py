@@ -347,3 +347,34 @@ def test_merge_precedence_join(spark):
     assert out[2].name == "Feed B"            # dim fills the null
     assert out[2].extra == "keep"
     assert out[3].name is None and out[3].reliability is None  # unmatched
+
+
+# --- temporal joins -------------------------------------------------------------------
+
+def test_asof_join_semantics(spark):
+    from readability_scanner_spark.operators.temporal import asof_join
+    left = spark.createDataFrame(
+        [(1, "k", "2025-01-01 10:00:00"), (2, "k", "2025-01-01 12:00:00"), (3, "k", "2025-01-01 08:00:00")],
+        "lid long, k string, ts string").withColumn("ts", F.col("ts").cast("timestamp"))
+    right = spark.createDataFrame(
+        [(10, "k", "2025-01-01 09:00:00"), (20, "k", "2025-01-01 10:00:00"), (30, "k", "2025-01-01 11:00:00")],
+        "rid long, k string, ts string").withColumn("ts", F.col("ts").cast("timestamp"))
+    out = {r.lid: r.rid_asof for r in asof_join(left, right, "k", "ts", ["rid"]).collect()}
+    assert out[1] == 20   # equal ts -> right row included (>= semantics)
+    assert out[2] == 30   # most recent prior
+    assert out[3] is None # no prior right row
+
+
+def test_range_join_boundaries(spark):
+    from readability_scanner_spark.operators.temporal import range_join
+    left = spark.createDataFrame(
+        [(1, "k", "2025-01-01 10:00:00")], "lid long, k string, lts string"
+    ).withColumn("lts", F.col("lts").cast("timestamp"))
+    right = spark.createDataFrame(
+        [(10, "k", "2025-01-01 10:00:00"),   # lower bound inclusive
+         (20, "k", "2025-01-01 10:10:00"),   # upper bound inclusive (600s)
+         (30, "k", "2025-01-01 10:10:01"),   # just outside
+         (40, "x", "2025-01-01 10:05:00")],  # wrong key
+        "rid long, k string, rts string").withColumn("rts", F.col("rts").cast("timestamp"))
+    out = sorted(r.rid for r in range_join(left, right, "k", "lts", "rts", 0.0, 600.0).collect())
+    assert out == [10, 20]
