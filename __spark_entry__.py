@@ -497,6 +497,16 @@ def q_greedy_topics(spark, sf_dir):
     )
 
 
+def q_rollup_daily(spark, sf_dir):
+    """Hypertable-style rollup: day level re-aggregated from minute →
+    hour partials; oracle computes day straight from raw rows — equality
+    proves the re-aggregation is exact."""
+    from readability_scanner_spark.operators.rollup import finalize, rollup_hierarchy
+
+    levels = rollup_hierarchy(_t(spark, sf_dir, "events"), "ts", "value")
+    return finalize(levels["day"]).orderBy("bucket")
+
+
 def q_asof_join(spark, sf_dir):
     """As-of join (composition — no built-in in Spark): each click gets
     the most recent prior-or-equal view of the same user."""
@@ -655,6 +665,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embed_prep": q_embed_prep,
         "revenue_by_region": q_revenue_by_region,
         "text_search": q_text_search,
+        "rollup_daily": q_rollup_daily,
         "asof_join": q_asof_join,
         "range_join": q_range_join,
         "stratified_sample": q_stratified_sample,
@@ -919,6 +930,13 @@ def oracle_sql() -> dict[str, str]:
             JOIN nation ON c_nationkey = n_nationkey
             JOIN region ON n_regionkey = r_regionkey
             GROUP BY r_name
+        """,
+        "rollup_daily": """
+            SELECT strftime(date_trunc('day', ts), '%Y-%m-%d %H:%M:%S') AS bucket,
+                   count(*) AS cnt, round(sum(value), 2) AS sum_v,
+                   round(sum(value) / count(*), 4) AS avg_v,
+                   min(value) AS min_v, max(value) AS max_v
+            FROM events GROUP BY 1
         """,
         "asof_join": """
             WITH clicks AS (
