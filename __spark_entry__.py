@@ -497,6 +497,28 @@ def q_greedy_topics(spark, sf_dir):
     )
 
 
+def q_cube_report(spark, sf_dir):
+    """CUBE over (event_type, day): all grouping-set combinations in one
+    pass — the multidimensional form of the reference's per-host/per-day
+    reports. Null dims labeled for stable hashing."""
+    ev = _t(spark, sf_dir, "events").select(
+        "event_type",
+        F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd").alias("day"),
+        "value",
+    )
+    return (
+        ev.cube("event_type", "day")
+        .agg(F.count("*").alias("cnt"), F.round(F.sum("value"), 2).alias("sum_value"))
+        .select(
+            F.coalesce("event_type", F.lit("ALL")).alias("event_type"),
+            F.coalesce("day", F.lit("ALL")).alias("day"),
+            "cnt",
+            "sum_value",
+        )
+        .orderBy("event_type", "day")
+    )
+
+
 def q_rollup_daily(spark, sf_dir):
     """Hypertable-style rollup: day level re-aggregated from minute →
     hour partials; oracle computes day straight from raw rows — equality
@@ -665,6 +687,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embed_prep": q_embed_prep,
         "revenue_by_region": q_revenue_by_region,
         "text_search": q_text_search,
+        "cube_report": q_cube_report,
         "rollup_daily": q_rollup_daily,
         "asof_join": q_asof_join,
         "range_join": q_range_join,
@@ -930,6 +953,14 @@ def oracle_sql() -> dict[str, str]:
             JOIN nation ON c_nationkey = n_nationkey
             JOIN region ON n_regionkey = r_regionkey
             GROUP BY r_name
+        """,
+        "cube_report": """
+            SELECT coalesce(event_type, 'ALL') AS event_type,
+                   coalesce(day, 'ALL') AS day,
+                   count(*) AS cnt, round(sum(value), 2) AS sum_value
+            FROM (SELECT event_type, strftime(date_trunc('day', ts), '%Y-%m-%d') AS day, value
+                  FROM events)
+            GROUP BY CUBE (event_type, day)
         """,
         "rollup_daily": """
             SELECT strftime(date_trunc('day', ts), '%Y-%m-%d %H:%M:%S') AS bucket,

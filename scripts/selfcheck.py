@@ -109,6 +109,14 @@ def main() -> None:
         else:
             print(f"ok    {name}: {len(sr)} rows ({time.time()-t0:.1f}s)")
             passed += 1
+    # the driver's smoke: entry() must run and return >= 0 rows
+    if not only:
+        try:
+            n = entrymod.entry(spark).count()
+            print(f"entry() smoke: {n} rows")
+        except Exception as e:
+            print(f"FAIL  entry(): {e}")
+            failed += 1
     print(f"\n{passed} ok, {failed} failed, {rows_only} rows-only")
     spark.stop()
     sys.exit(1 if failed else 0)
