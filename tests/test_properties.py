@@ -112,3 +112,47 @@ def test_clone_equivalent(raw):
     assert clone.serialize() == root.serialize()
     assert clone.inner_text() == root.inner_text()
     assert clone.text_spans() == root.text_spans()
+
+
+# well-formed HTML generator: nested tags, attributes, entities — the
+# domain where fast_parse and the stdlib builder must agree exactly
+_safe_text = st.text(
+    alphabet=st.characters(min_codepoint=32, max_codepoint=126, blacklist_characters="<>&"),
+    max_size=40,
+)
+_tag = st.sampled_from(["div", "p", "span", "b", "a", "td", "ul", "li", "h1"])
+_attr = st.builds(
+    lambda k, v: f' {k}="{v}"',
+    st.sampled_from(["class", "id", "href", "data-x"]),
+    st.text(alphabet="abc d-", max_size=10),
+)
+_entity = st.sampled_from(["&amp;", "&lt;", "&gt;", "&quot;", "&nbsp;", "&#65;"])
+
+
+def _wf_html(depth):
+    if depth == 0:
+        return st.one_of(_safe_text, _entity)
+    child = _wf_html(depth - 1)
+    return st.one_of(
+        _safe_text,
+        _entity,
+        st.builds(
+            lambda tag, attr, kids: f"<{tag}{attr}>{''.join(kids)}</{tag}>",
+            _tag,
+            st.one_of(st.just(""), _attr),
+            st.lists(child, max_size=3),
+        ),
+    )
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.lists(_wf_html(3), max_size=4).map("".join))
+def test_fast_parser_parity_on_wellformed(html):
+    from readability_scanner_spark.dom import fast_parse, parse_html_stdlib
+
+    def sig(n):
+        if n.is_text:
+            return ("#t", n.text, n.src_start, n.src_end)
+        return (n.tag, tuple(sorted(n.attrs.items())), tuple(sig(c) for c in n.children))
+
+    assert sig(fast_parse(html)) == sig(parse_html_stdlib(html))
