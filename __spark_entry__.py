@@ -1089,7 +1089,9 @@ def oracle_sql() -> dict[str, str]:
               FROM scored
             )
             SELECT doc_id,
-              CASE WHEN greatest(s_en, s_de, s_fr, s_es) < 0.01 THEN 'und'
+              CASE WHEN len(regexp_extract_all(text, '[一-鿿]'))::DOUBLE
+                        / greatest(length(text), 1) >= 0.2 THEN 'zh'
+                   WHEN greatest(s_en, s_de, s_fr, s_es) < 0.01 THEN 'und'
                    WHEN s_fr >= greatest(s_en, s_de, s_es) THEN 'fr'
                    WHEN s_es >= greatest(s_en, s_de) THEN 'es'
                    WHEN s_en >= s_de THEN 'en'

@@ -28,9 +28,10 @@ def lang_scores(text: Column) -> dict[str, Column]:
     }
 
 
-def lang_id_col(text: Column, min_ratio: float = 0.01) -> Column:
-    """Pick the language with max stopword density; 'und' if none clears
-    the floor. Deterministic tie-break by language code order."""
+def lang_id_col(text: Column, min_ratio: float = 0.01, cjk_ratio: float = 0.2) -> Column:
+    """Pick the language with max stopword density; CJK by codepoint
+    density (no whitespace-delimited stopwords there); 'und' if nothing
+    clears its floor. Deterministic tie-break by language code order."""
     scores = lang_scores(text)
     pairs = F.array(
         *[
@@ -39,7 +40,13 @@ def lang_id_col(text: Column, min_ratio: float = 0.01) -> Column:
         ]
     )
     best = F.array_max(pairs)
-    return F.when(best["score"] >= min_ratio, best["lang"]).otherwise(F.lit("und"))
+    n_chars = F.greatest(F.length(text), F.lit(1))
+    cjk_density = F.regexp_count(text, F.lit(r"[一-鿿]")) / n_chars
+    return (
+        F.when(cjk_density >= cjk_ratio, F.lit("zh"))
+        .when(best["score"] >= min_ratio, best["lang"])
+        .otherwise(F.lit("und"))
+    )
 
 
 def quality_score_col(text: Column) -> Column:

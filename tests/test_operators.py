@@ -150,10 +150,12 @@ def test_lang_id(spark):
         (2, "der hund ist nicht mit der katze und das haus ist ein schönes haus"),
         (3, "le chat est dans la maison et les enfants sont dans le jardin pour que"),
         (4, "xqz brzk fhwq pltm"),
+        (5, "数据处理系统在大规模集群上运行良好并且性能稳定"),
     ]
     df = spark.createDataFrame(rows, "id long, text string")
     out = {r.id: r.lang for r in df.select("id", textquality.lang_id_col(F.col("text")).alias("lang")).collect()}
     assert out[1] == "en" and out[2] == "de" and out[3] == "fr" and out[4] == "und"
+    assert out[5] == "zh"
 
 
 def test_quality_and_tokens(spark):
