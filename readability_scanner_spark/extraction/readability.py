@@ -285,6 +285,37 @@ def _grab_article(body: Node, flags: int) -> Optional[Node]:
             top_key, top_score = key, final
     top = nodes_by_id[top_key]
 
+    # step 6a: ancestor promotion (public spec: consider the top ~5
+    # candidates; when >= 3 of them share an ancestor within 3 levels of
+    # the top candidate, promote that ancestor — split-article layouts
+    # where the real container never scores directly)
+    ranked = sorted(scores.items(), key=lambda kv: -kv[1])[:5]
+    alts = [
+        nodes_by_id[k]
+        for k, s in ranked[1:]
+        if s >= 0.75 * top_score and nodes_by_id[k] is not top
+    ]
+    if len(alts) >= 2:
+
+        def _under(node: Node, ancestor: Node) -> bool:
+            while node is not None:
+                if node is ancestor:
+                    return True
+                node = node.parent
+            return False
+
+        ancestor, level = top.parent, 0
+        while (
+            ancestor is not None
+            and ancestor.tag not in (None, "#root", "html", "body")
+            and level < 3
+        ):
+            if sum(1 for a in alts if _under(a, ancestor)) >= 2:
+                top = ancestor
+                top_score = scores.get(id(ancestor), top_score)
+                break
+            ancestor, level = ancestor.parent, level + 1
+
     # step 6: sibling merge into a fresh container
     article = Node("div", {"id": "readability-content"})
     sibling_threshold = max(10.0, top_score * 0.2)

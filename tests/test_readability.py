@@ -174,3 +174,28 @@ def test_golden_parity():
         assert r.text_content == g["text_content"], (g["cls"], g["seed"])
         assert r.parse_failed == g["parse_failed"], (g["cls"], g["seed"])
         assert [[s, e] for s, e in r.spans] == g["spans"], (g["cls"], g["seed"])
+
+
+def test_ancestor_promotion_for_cousin_parts():
+    """Split-article layout where parts are COUSINS (not siblings): the
+    top-candidates ancestor-promotion rule must capture all parts; plain
+    sibling merge cannot reach them."""
+    def part(i):
+        return (
+            f"<p>Part {i} of the story continues with substantial narrative, "
+            "several clauses, commas, and enough length to score well in the "
+            "candidate selection process, as real article paragraphs do.</p>"
+            f"<p>More of part {i}: the committee deliberated, the council "
+            "voted, and the reporters filed their stories before dawn.</p>"
+        )
+    html = (
+        "<html><body><div class='wrapper'>"
+        + "".join(
+            f"<div class='row'><div class='cell'>{part(i)}</div></div>" for i in (1, 2, 3)
+        )
+        + "</div></body></html>"
+    )
+    r = extract_main_content(html)
+    assert not r.parse_failed
+    for i in (1, 2, 3):
+        assert f"Part {i} of the story" in r.text_content, i
