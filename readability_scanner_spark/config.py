@@ -43,6 +43,9 @@ def build_session(
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # runtime bloom-filter pushdown for selective joins (prunes the
+        # big side's shuffle at 100 TB; no-op on small inputs)
+        .config("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
         # shuffle sizing: ~2x cores locally; thousands on a real cluster
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions or max(32, cpus)))
         # Arrow everywhere; bounded batches keep UDF worker memory flat

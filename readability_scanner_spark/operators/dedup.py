@@ -238,6 +238,74 @@ def ngram_jaccard_pairs(
     )
 
 
+# --- content-defined chunking ------------------------------------------------------------
+
+def cdc_chunks(
+    df: DataFrame, id_col: str, text_col: str, window: int = 16, mask_bits: int = 6, min_chunk: int = 64
+) -> DataFrame:
+    """Content-defined chunking: split each document at rolling-hash
+    boundary points (hash of the trailing `window` bytes ≡ 0 mod
+    2^mask_bits). Boundaries move WITH the content, so an insertion
+    early in a document only changes the chunks it touches — the
+    property exact/whole-doc hashing lacks. Output: (id, chunk_idx,
+    chunk_hash, chunk_len); partial-overlap dedup joins on chunk_hash."""
+
+    def chunk(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        mask = (1 << mask_bits) - 1
+        for pdf in batches:
+            ids, idxs, hashes, lens = [], [], [], []
+            for doc_id, text in zip(pdf[id_col], pdf[text_col]):
+                data = (text or "").encode("utf-8", "ignore")
+                start = 0
+                chunk_idx = 0
+                # polynomial rolling hash over a sliding window
+                h = 0
+                pow_w = pow(31, window - 1, 1 << 32)
+                for i, byte in enumerate(data):
+                    if i >= window:
+                        h = (h - data[i - window] * pow_w) & 0xFFFFFFFF
+                    h = (h * 31 + byte) & 0xFFFFFFFF
+                    if i - start + 1 >= min_chunk and (h & mask) == 0:
+                        piece = data[start : i + 1]
+                        ids.append(doc_id)
+                        idxs.append(chunk_idx)
+                        hashes.append(zlib.crc32(piece))
+                        lens.append(len(piece))
+                        start, chunk_idx = i + 1, chunk_idx + 1
+                if start < len(data) or chunk_idx == 0:
+                    piece = data[start:]
+                    ids.append(doc_id)
+                    idxs.append(chunk_idx)
+                    hashes.append(zlib.crc32(piece))
+                    lens.append(len(piece))
+            yield pd.DataFrame(
+                {id_col: ids, "chunk_idx": idxs, "chunk_hash": hashes, "chunk_len": lens}
+            )
+
+    return df.select(id_col, text_col).mapInPandas(
+        chunk, schema=f"{id_col} long, chunk_idx int, chunk_hash long, chunk_len long"
+    )
+
+
+def cdc_overlap_pairs(
+    df: DataFrame, id_col: str, text_col: str, min_shared_chunks: int = 2
+) -> DataFrame:
+    """Partial-overlap candidate pairs: documents sharing >=
+    min_shared_chunks content-defined chunks. Join is on chunk_hash —
+    bucket-local, never quadratic globally."""
+    chunks = cdc_chunks(df, id_col, text_col)
+    a = chunks.select(F.col(id_col).alias("id_a"), "chunk_hash")
+    b = chunks.select(F.col(id_col).alias("id_b"), "chunk_hash")
+    return (
+        a.join(b, "chunk_hash")
+        .where(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("shared_chunks"))
+        .where(F.col("shared_chunks") >= min_shared_chunks)
+        .orderBy("id_a", "id_b")
+    )
+
+
 # --- embedding near-dup ----------------------------------------------------------------------
 
 def embedding_near_dups(

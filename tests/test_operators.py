@@ -380,3 +380,20 @@ def test_range_join_boundaries(spark):
         "rid long, k string, rts string").withColumn("rts", F.col("rts").cast("timestamp"))
     out = sorted(r.rid for r in range_join(left, right, "k", "lts", "rts", 0.0, 600.0).collect())
     assert out == [10, 20]
+
+
+def test_cdc_chunking_shift_resistant(spark):
+    """Content-defined chunks survive a prefix insertion: the documents
+    still share most chunks (whole-doc hashing would share none)."""
+    base = " ".join(f"sentence number {i} with several words inside it." for i in range(60))
+    shifted = "A NEW INTRO PARAGRAPH WAS ADDED UP FRONT. " + base
+    df = spark.createDataFrame([(1, base), (2, shifted), (3, "tiny")], "doc_id long, text string")
+    out = dedup.cdc_overlap_pairs(df, "doc_id", "text", min_shared_chunks=2).collect()
+    pairs = {(r.id_a, r.id_b): r.shared_chunks for r in out}
+    assert (1, 2) in pairs and pairs[(1, 2)] >= 2
+    assert (1, 3) not in pairs
+
+    chunks = dedup.cdc_chunks(df, "doc_id", "text")
+    per_doc = {r.doc_id: r.cnt for r in chunks.groupBy("doc_id").agg(F.count("*").alias("cnt")).collect()}
+    assert per_doc[1] > 3        # long doc splits into several chunks
+    assert per_doc[3] == 1       # short doc is one chunk
