@@ -475,6 +475,14 @@ def q_lsh_ann_pairs(spark, sf_dir):
     return lsh_bucketed_pairs(emb, "vec_id", "embedding", dim, threshold=0.4, n_planes=4)
 
 
+def q_cdc_overlap(spark, sf_dir):
+    """Content-defined-chunking partial-overlap candidates."""
+    from readability_scanner_spark.operators.dedup import cdc_overlap_pairs
+
+    docs = _t(spark, sf_dir, "documents", spread=True).where(F.col("doc_id") < 300)
+    return cdc_overlap_pairs(docs, "doc_id", "text", min_shared_chunks=2)
+
+
 def q_ivf_knn(spark, sf_dir):
     from readability_scanner_spark.operators.similarity import ivf_knn
 
@@ -702,6 +710,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard": q_ngram_jaccard,
         "lsh_ann_pairs": q_lsh_ann_pairs,
         "ivf_knn": q_ivf_knn,
+        "cdc_overlap": q_cdc_overlap,
         "greedy_topics": q_greedy_topics,
         "daily_topics": q_daily_topics,
         "full_report": q_full_report,
