@@ -179,6 +179,11 @@ def run_pipeline(
     protocol, transactional commit. Here: parquet dir per bucket + a JSON
     manifest written after the parquet job succeeds (write-then-commit
     ordering makes a killed run re-do at most the in-flight bucket).
+
+    NOTE: each bucket job re-evaluates `transcripts` with its bucket
+    predicate. Against a real table that's a pruned scan (cheap); against
+    a synthetic generator it recomputes the source per bucket — pass a
+    materialized table for large synthetic runs.
     """
     os.makedirs(_meta_path(output_path), exist_ok=True)
     done = committed_buckets(output_path)
