@@ -811,7 +811,9 @@ def oracle_sql() -> dict[str, str]:
         "describe_n_chars": """
             SELECT count(n_chars) AS cnt, round(avg(n_chars), 4) AS mean,
                    round(stddev_samp(n_chars), 4) AS std, min(n_chars) AS min_v,
+                   round(percentile_cont(0.25) WITHIN GROUP (ORDER BY n_chars), 4) AS q25,
                    round(percentile_cont(0.5) WITHIN GROUP (ORDER BY n_chars), 4) AS median,
+                   round(percentile_cont(0.75) WITHIN GROUP (ORDER BY n_chars), 4) AS q75,
                    max(n_chars) AS max_v
             FROM documents
         """,

@@ -142,14 +142,29 @@ def validation_aggregate(df: DataFrame, value_col: str, ts_col: str) -> DataFram
 
 
 def describe_metrics(df: DataFrame, col: str) -> DataFrame:
-    """A10 (hug/api.py:150-154 pandas describe) as one aggregate pass."""
+    """A10 (hug/api.py:150-154 pandas describe) as one aggregate pass:
+    count/mean/std/min/quartiles/max."""
     return df.agg(
         F.count(col).alias("cnt"),
         F.round(F.avg(col), 4).alias("mean"),
         F.round(F.stddev_samp(col), 4).alias("std"),
         F.min(col).alias("min_v"),
+        F.round(F.expr(f"percentile_cont(0.25) WITHIN GROUP (ORDER BY {col})"), 4).alias("q25"),
         F.round(F.expr(f"percentile_cont(0.5) WITHIN GROUP (ORDER BY {col})"), 4).alias("median"),
+        F.round(F.expr(f"percentile_cont(0.75) WITHIN GROUP (ORDER BY {col})"), 4).alias("q75"),
         F.max(col).alias("max_v"),
+    )
+
+
+def approx_describe(df: DataFrame, col: str, key_col: str) -> DataFrame:
+    """Sketch-based profile for 100 TB-scale data exploration:
+    approx_count_distinct (HLL++) + approx_percentile (t-digest-style) —
+    one pass, bounded memory, no exact sort. Accuracy bounds are
+    asserted in tests against the exact forms."""
+    return df.agg(
+        F.count(col).alias("cnt"),
+        F.approx_count_distinct(key_col, rsd=0.02).alias("approx_distinct_keys"),
+        F.percentile_approx(col, [0.25, 0.5, 0.75], 10_000).alias("approx_quartiles"),
     )
 
 

@@ -397,3 +397,16 @@ def test_cdc_chunking_shift_resistant(spark):
     per_doc = {r.doc_id: r.cnt for r in chunks.groupBy("doc_id").agg(F.count("*").alias("cnt")).collect()}
     assert per_doc[1] > 3        # long doc splits into several chunks
     assert per_doc[3] == 1       # short doc is one chunk
+
+
+def test_approx_describe_error_bounds(spark):
+    """Sketches must land within their documented error of exact values."""
+    from readability_scanner_spark.operators.analytics import approx_describe
+    docs = spark.read.parquet("/root/testdata/sf0.01/events.parquet")
+    row = approx_describe(docs, "value", "user_id").first()
+    exact_distinct = docs.select("user_id").distinct().count()
+    assert abs(row.approx_distinct_keys - exact_distinct) / exact_distinct < 0.05
+    exact_q = docs.selectExpr(
+        "percentile_cont(0.5) WITHIN GROUP (ORDER BY value) AS m"
+    ).first().m
+    assert abs(row.approx_quartiles[1] - exact_q) / max(abs(exact_q), 1) < 0.05

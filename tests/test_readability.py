@@ -199,3 +199,14 @@ def test_ancestor_promotion_for_cousin_parts():
     assert not r.parse_failed
     for i in (1, 2, 3):
         assert f"Part {i} of the story" in r.text_content, i
+
+
+def test_extraction_idempotent_on_own_output():
+    """Extracting the extracted article HTML again must keep (nearly all
+    of) the text: the output contains no boilerplate left to strip."""
+    for cls in ("plain_article", "boilerplate_heavy", "sibling_merge"):
+        first = extract_main_content(make_fixture(cls, 9))
+        assert not first.parse_failed
+        second = extract_main_content("<html><body>" + first.content + "</body></html>")
+        assert not second.parse_failed
+        assert len(second.text_content) >= 0.9 * len(first.text_content), cls
