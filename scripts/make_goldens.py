@@ -26,7 +26,7 @@ OUT = os.path.join(os.path.dirname(__file__), "..", "tests", "golden", "extracti
 def main() -> None:
     goldens = []
     for cls in fixture_classes():
-        for seed in (0, 1, 2, 17):
+        for seed in (0, 1, 2, 17, 33, 71):
             html = make_fixture(cls, seed)
             r = extract_main_content(html)
             stats = calculate_text_statistics(r.text_content)
