@@ -796,10 +796,10 @@ def oracle_sql() -> dict[str, str]:
         """,
         "event_conditional_counts": """
             SELECT count(*) AS total,
-                   sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS n_click,
-                   sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS n_error,
-                   sum(CASE WHEN value > 50.0 THEN 1 ELSE 0 END) AS n_big,
-                   sum(CASE WHEN props IS NULL OR props = '' THEN 1 ELSE 0 END) AS n_null_props
+                   sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)::BIGINT AS n_click,
+                   sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)::BIGINT AS n_error,
+                   sum(CASE WHEN value > 50.0 THEN 1 ELSE 0 END)::BIGINT AS n_big,
+                   sum(CASE WHEN props IS NULL OR props = '' THEN 1 ELSE 0 END)::BIGINT AS n_null_props
             FROM events
         """,
         "events_validation_agg": """
@@ -819,8 +819,8 @@ def oracle_sql() -> dict[str, str]:
         """,
         "success_ratio": """
             SELECT count(*) AS total,
-                   sum(CASE WHEN event_type != 'error' THEN 1 ELSE 0 END) AS successes,
-                   round(sum(CASE WHEN event_type != 'error' THEN 1 ELSE 0 END)::DOUBLE
+                   sum(CASE WHEN event_type != 'error' THEN 1 ELSE 0 END)::BIGINT AS successes,
+                   round(sum(CASE WHEN event_type != 'error' THEN 1 ELSE 0 END)::BIGINT::DOUBLE
                          / count(*) * 100, 4) AS success_rate_pct
             FROM events
         """,
@@ -1027,11 +1027,11 @@ def oracle_sql() -> dict[str, str]:
             ), sess AS (
               SELECT user_id, event_id, ts,
                 sum(new_s) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
-                                 ROWS UNBOUNDED PRECEDING) AS session_idx
+                                 ROWS UNBOUNDED PRECEDING)::BIGINT AS session_idx
               FROM flagged
             )
             SELECT user_id, session_idx, count(*) AS n_events,
-                   epoch(max(ts)) - epoch(min(ts)) AS span_seconds,
+                   (epoch_us(max(ts)) - epoch_us(min(ts))) // 1000000 AS span_seconds,
                    min(event_id) AS first_event, max(event_id) AS last_event
             FROM sess GROUP BY user_id, session_idx
         """,

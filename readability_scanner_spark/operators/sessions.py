@@ -43,17 +43,28 @@ def sessionize(
 def session_stats(
     df: DataFrame, user_col: str, ts_col: str, gap_minutes: int = 30, id_col: str = "event_id"
 ) -> DataFrame:
-    """Per-session aggregates: events, span seconds, first/last event."""
+    """Per-session aggregates: events, span seconds, first/last event.
+    span_seconds is exact-integer seconds (microsecond diff, integer
+    floor-div) — bit-exact across engines, no float summation noise."""
     sess = sessionize(df, user_col, ts_col, gap_minutes, id_col)
+    span_us = F.unix_micros(F.max(ts_col).cast("timestamp")) - F.unix_micros(
+        F.min(ts_col).cast("timestamp")
+    )
     return (
         sess.groupBy(user_col, "session_idx")
         .agg(
             F.count("*").alias("n_events"),
-            (_epoch(F.max(ts_col)) - _epoch(F.min(ts_col))).alias(
-                "span_seconds"
-            ),
+            (span_us - span_us % 1000000).cast("long").alias("_span_us_floor"),
             F.min(id_col).alias("first_event"),
             F.max(id_col).alias("last_event"),
+        )
+        .select(
+            user_col,
+            "session_idx",
+            "n_events",
+            (F.col("_span_us_floor") / 1000000).cast("long").alias("span_seconds"),
+            "first_event",
+            "last_event",
         )
         .orderBy(user_col, "session_idx")
     )

@@ -2,7 +2,12 @@
 Spark at sf0.01 and compare against oracle_sql() in DuckDB — row count,
 column names, and order-insensitive values (doubles to 1e-6 rel tol).
 
-Usage: python scripts/selfcheck.py [sf_dir] [query ...]
+Usage: python scripts/selfcheck.py [--exact] [sf_dir] [query ...]
+
+--exact mimics the driver's value-hash bar: cells must match exactly,
+including numeric TYPE (int 5 vs double 5.0 is a mismatch — the driver
+hashes representations, not tolerant floats). Default mode keeps the
+1e-6 tolerance for quick semantic iteration.
 """
 
 from __future__ import annotations
@@ -28,7 +33,7 @@ def norm_cell(v):
     if isinstance(v, float):
         if math.isnan(v):
             return "nan"
-        return round(v, 6)
+        return v if EXACT else round(v, 6)
     if isinstance(v, (list, tuple)):
         return tuple(norm_cell(x) for x in v)
     return v
@@ -40,7 +45,19 @@ def norm_rows(cols, rows):
     return sorted(cols), sorted(out, key=lambda t: tuple(str(x) for x in t))
 
 
+EXACT = False
+
+
 def cells_match(a, b):
+    if EXACT:
+        if type(a) is not type(b):
+            # numpy scalars etc. normalize through norm_cell; date/datetime
+            # subclassing is the only benign cross-type case
+            if not (isinstance(a, type(b)) or isinstance(b, type(a))):
+                return False
+        if isinstance(a, float) and isinstance(b, float):
+            return (math.isnan(a) and math.isnan(b)) or a == b
+        return a == b
     if isinstance(a, float) and isinstance(b, (int, float)):
         return math.isclose(a, float(b), rel_tol=1e-6, abs_tol=1e-6)
     if isinstance(b, float) and isinstance(a, (int, float)):
@@ -56,8 +73,13 @@ def rows_match(a, b):
 
 
 def main() -> None:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+    global EXACT
+    args = sys.argv[1:]
+    if args and args[0] == "--exact":
+        EXACT = True
+        args = args[1:]
+    sf_dir = args[0] if args else "/root/testdata/sf0.01"
+    only = set(args[1:])
     spark = build_session("selfcheck", shuffle_partitions=16)
     con = duckdb.connect()
     for t in TABLES:
