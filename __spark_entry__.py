@@ -743,11 +743,93 @@ _ARI_SQL = (
 )
 
 
+def _simhash_oracle(max_hamming: int) -> str:
+    """Brute-force simhash recall oracle: recompute every document's
+    64-bit simhash IN SQL (md5_number_lower token hash == the operator's
+    _md5_64; ASCII word-run tokenizer == _WORD_RE), then exact
+    bit_count(xor) over the full self-join — no blocking, so it catches
+    any pair the pigeonhole bucketing would drop."""
+    return f"""
+        WITH tok AS (
+          SELECT doc_id, unnest(regexp_extract_all(lower(text), '[0-9a-z_]+')) AS t
+          FROM documents
+        ), th AS (
+          SELECT doc_id, md5_number_lower(t) AS h FROM tok
+        ), votes AS (
+          SELECT doc_id, b.bit,
+                 sum(CASE WHEN (h >> b.bit) & 1::UBIGINT = 1::UBIGINT THEN 1 ELSE -1 END) AS vote
+          FROM th CROSS JOIN (SELECT unnest(generate_series(0, 63)) AS bit) b
+          GROUP BY doc_id, b.bit
+        ), sh AS (
+          SELECT doc_id,
+                 sum(CASE WHEN vote > 0 THEN 1::UBIGINT << bit ELSE 0::UBIGINT END)::UBIGINT
+                   AS simhash
+          FROM votes GROUP BY doc_id
+        ), allsh AS (
+          SELECT d.doc_id, coalesce(s.simhash, 1::UBIGINT << 63) AS simhash
+          FROM documents d LEFT JOIN sh s USING (doc_id)
+        )
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               bit_count(xor(a.simhash, b.simhash))::INT AS hamming
+        FROM allsh a JOIN allsh b ON a.doc_id < b.doc_id
+        WHERE bit_count(xor(a.simhash, b.simhash)) <= {max_hamming}
+    """
+
+
+def _minhash_oracle(n_hashes: int = 64, bands: int = 16, seed: int = 42) -> str:
+    """MinHash LSH banding oracle: recompute the signatures in SQL with
+    the SAME (a, b) universal-hash constants the operator draws
+    (minhash_params — embedded as literals), band them, and join on
+    literal band-slice equality (the Spark side buckets by xxhash64 of
+    the slice; equal slices == equal buckets modulo 64-bit collisions)."""
+    from readability_scanner_spark.operators.dedup import MINHASH_P, minhash_params
+
+    a, b = minhash_params(n_hashes, seed)
+    rows = n_hashes // bands
+    a_list = "[" + ", ".join(str(int(x)) for x in a) + "]"
+    b_list = "[" + ", ".join(str(int(x)) for x in b) + "]"
+    return f"""
+        WITH tok AS (
+          SELECT doc_id, regexp_extract_all(lower(text), '[0-9a-z_]+') AS t FROM documents
+        ), grams AS (
+          SELECT doc_id,
+            CASE WHEN len(t) >= 3 THEN
+              list_distinct(list_transform(generate_series(1, len(t) - 2),
+                            i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))
+            WHEN len(t) > 0 THEN [array_to_string(t, ' ')]
+            ELSE [] END AS g
+          FROM tok
+        ), sx AS (
+          SELECT doc_id, (md5_number_lower(unnest(g)) % {MINHASH_P})::BIGINT AS x FROM grams
+        ), params AS (
+          SELECT i, a_arr[i + 1] AS a, b_arr[i + 1] AS b
+          FROM (SELECT unnest(generate_series(0, {n_hashes - 1})) AS i),
+               (SELECT {a_list}::BIGINT[] AS a_arr, {b_list}::BIGINT[] AS b_arr)
+        ), sig AS (
+          SELECT doc_id, i, min((a * x + b) % {MINHASH_P}) AS h
+          FROM sx CROSS JOIN params GROUP BY doc_id, i
+        ), allsig AS (
+          SELECT d.doc_id, p.i, coalesce(s.h, 0) AS h
+          FROM documents d CROSS JOIN params p
+          LEFT JOIN sig s ON s.doc_id = d.doc_id AND s.i = p.i
+        ), bands AS (
+          SELECT doc_id, i // {rows} AS band,
+                 array_to_string(list(h ORDER BY i), ',') AS slice
+          FROM allsig GROUP BY doc_id, band
+        )
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM bands a JOIN bands b
+          ON a.band = b.band AND a.slice = b.slice AND a.doc_id < b.doc_id
+    """
+
+
 def oracle_sql() -> dict[str, str]:
     w, s, p, c = _WORDS_SQL, _SENTS_SQL, _PARAS_SQL, _CHARS_SQL
     cl = _CL_SQL.format(w="w", s="s", c="c")
     ari = _ARI_SQL.format(w="w", s="s", c="c")
     return {
+        "simhash_near_dups": _simhash_oracle(max_hamming=6),
+        "minhash_candidates": _minhash_oracle(n_hashes=64, bands=16, seed=42),
         "readability_by_source": f"""
             WITH per_doc AS (
               SELECT source AS grp, {w} AS w, {s} AS s, {c} AS c

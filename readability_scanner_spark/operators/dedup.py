@@ -8,6 +8,7 @@ SimHash, n-gram Jaccard verification. Scale notes inline.
 
 from __future__ import annotations
 
+import hashlib
 import re
 import zlib
 from typing import Iterator
@@ -17,17 +18,29 @@ import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-_WORD_RE = re.compile(r"\b\w+\b")
+# ASCII word runs — deliberately the same token set as RE2/Java '\w+'
+# (Python's unicode \w would diverge from the DuckDB oracle on CJK text)
+_WORD_RE = re.compile(r"[0-9A-Za-z_]+")
+
+
+def _md5_64(s: str) -> int:
+    """Low 64 bits of md5 as the cross-engine token hash: equals DuckDB's
+    md5_number_lower(s) (little-endian of digest bytes 8..15). Unsigned."""
+    return int.from_bytes(hashlib.md5(s.encode("utf-8", "ignore")).digest()[8:], "little")
 
 # --- exact dedup -----------------------------------------------------------------
 
 def exact_dedup(df: DataFrame, text_col: str, keep_col: str) -> DataFrame:
     """Exact duplicate removal: hash-groupBy on content, keep min(key).
-    One shuffle on the content hash (not the full text — xxhash64 first
-    so the shuffle key is 8 bytes, the standard 100 TB trick)."""
+    One shuffle on the content hash (not the full text — a fixed-width
+    key, the standard 100 TB trick). The key is TWO independently-seeded
+    xxhash64 values (128 effective bits): at 10^12 keys a single 64-bit
+    hash expects birthday collisions that would silently merge distinct
+    documents; 128 bits pushes that to ~10^-14."""
     return (
-        df.withColumn("_h", F.xxhash64(F.col(text_col)))
-        .groupBy("_h")
+        df.withColumn("_h1", F.xxhash64(F.col(text_col)))
+        .withColumn("_h2", F.xxhash64(F.col(text_col), F.lit(0x9E3779B9)))
+        .groupBy("_h1", "_h2")
         .agg(F.min(keep_col).alias("keep_id"), F.count("*").alias("n_copies"))
         .select("keep_id", "n_copies")
         .orderBy("keep_id")
@@ -53,15 +66,30 @@ def _shingles(text: str, n: int = 3) -> set[str]:
 
 # --- MinHash + LSH -------------------------------------------------------------------
 
+MINHASH_P = (1 << 31) - 1  # Mersenne prime; a*x+b stays < 2^62, no int64 wrap
+
+
+def minhash_params(n_hashes: int = 64, seed: int = 42) -> tuple[np.ndarray, np.ndarray]:
+    """Deterministic (a, b) coefficient vectors for the mod-p universal
+    family h_i(x) = (a_i * x + b_i) mod p, p = 2^31-1, a,b < p. Exposed so
+    the DuckDB oracle can embed the identical constants."""
+    rng = np.random.RandomState(seed)
+    a = rng.randint(1, MINHASH_P, size=n_hashes).astype(np.int64)
+    b = rng.randint(0, MINHASH_P, size=n_hashes).astype(np.int64)
+    return a, b
+
+
 def minhash_signatures(
     df: DataFrame, id_col: str, text_col: str, n_hashes: int = 64, shingle_n: int = 3, seed: int = 42
 ) -> DataFrame:
     """MinHash signature per document, vectorized per Arrow batch.
-    Universal hashing: h_i(x) = (a_i * crc32(x) + b_i) mod p."""
-    rng = np.random.RandomState(seed)
-    p = (1 << 61) - 1
-    a = rng.randint(1, p, size=n_hashes, dtype=np.int64)
-    b = rng.randint(0, p, size=n_hashes, dtype=np.int64)
+    Universal hashing h_i(x) = (a_i * x + b_i) mod p over x = md5-low64
+    of the shingle reduced mod p first: every product fits int64 (p=2^31-1,
+    a<p, x<p ⇒ a*x < 2^62), so the stated mod-p family is exact — and the
+    whole computation is reproducible in DuckDB
+    ((a * (md5_number_lower(s) % p) + b) % p) for oracle checks."""
+    a, b = minhash_params(n_hashes, seed)
+    p = MINHASH_P
 
     def sign(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -71,9 +99,7 @@ def minhash_signatures(
                 if not sh:
                     sigs.append([0] * n_hashes)
                     continue
-                base = np.array(
-                    [zlib.crc32(s.encode()) for s in sh], dtype=np.int64
-                )  # (m,)
+                base = np.array([_md5_64(s) % p for s in sh], dtype=np.int64)  # (m,)
                 # (m, k) mod-p universal hashes, min over shingles
                 hashed = (base[:, None] * a[None, :] + b[None, :]) % p
                 sigs.append(hashed.min(axis=0).tolist())
@@ -129,7 +155,10 @@ def minhash_lsh_candidates(
 # --- SimHash ---------------------------------------------------------------------------
 
 def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 64) -> DataFrame:
-    """64-bit SimHash per document (token-hash sign voting)."""
+    """64-bit SimHash per document (token-hash sign voting). Token hash is
+    md5-low64 (= DuckDB md5_number_lower) so a brute-force SQL oracle can
+    recompute identical simhash values; tokens are ASCII word runs over
+    the lowered text (same set as RE2 '[0-9a-z_]+')."""
 
     shifts = np.arange(bits, dtype=np.uint64)
 
@@ -142,12 +171,7 @@ def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 64) -> DataFr
                     out.append(np.int64(-(1 << 63)))
                     continue
                 hashes = np.fromiter(
-                    (
-                        zlib.crc32(t.encode()) | (zlib.crc32(t[::-1].encode()) << 32)
-                        for t in toks
-                    ),
-                    dtype=np.uint64,
-                    count=len(toks),
+                    (_md5_64(t) for t in toks), dtype=np.uint64, count=len(toks)
                 )
                 # vectorized sign voting: (n_tok, bits) bit matrix
                 bitmat = (hashes[:, None] >> shifts[None, :]) & np.uint64(1)
@@ -162,13 +186,33 @@ def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 64) -> DataFr
     return df.select(id_col, text_col).mapInPandas(sim, schema=f"{id_col} long, simhash long")
 
 
+def _simhash_block_layout(max_hamming: int, bits: int = 64) -> list[tuple[int, int]]:
+    """(offset, width) slices for pigeonhole blocking: max_hamming+1
+    disjoint slices covering all 64 bits. A pair differing in at most
+    max_hamming bits can dirty at most max_hamming slices, so it MUST
+    agree exactly on at least one — completeness holds for the requested
+    threshold, not a fixed one (the round-1 4x16-bit layout was only
+    complete for hamming <= 3 and silently dropped pairs at 4-6)."""
+    n_blocks = max_hamming + 1
+    if n_blocks > bits:
+        raise ValueError(f"max_hamming {max_hamming} needs {n_blocks} blocks > {bits} bits")
+    base, extra = divmod(bits, n_blocks)
+    layout, off = [], 0
+    for i in range(n_blocks):
+        width = base + (1 if i < extra else 0)
+        layout.append((off, width))
+        off += width
+    return layout
+
+
 def simhash_near_dups(df: DataFrame, id_col: str, text_col: str, max_hamming: int = 3) -> DataFrame:
-    """Near-dup pairs by SimHash hamming distance, blocked on the four
-    16-bit slices (pigeonhole: any pair with hamming < 4 must agree on
-    at least one slice, so the bucket join finds every such pair while
-    staying bucket-local at scale; exact hamming verified inside
-    buckets, duplicate bucket hits deduped)."""
+    """Near-dup pairs by SimHash hamming distance, blocked on
+    max_hamming+1 disjoint bit slices (see _simhash_block_layout for the
+    completeness argument). Exact hamming is verified inside buckets and
+    duplicate bucket hits deduped, so the result equals the brute-force
+    all-pairs answer while the join stays bucket-local at scale."""
     hashed = simhash(df, id_col, text_col)
+    layout = _simhash_block_layout(max_hamming)
     blocked = hashed.select(
         id_col,
         "simhash",
@@ -177,11 +221,15 @@ def simhash_near_dups(df: DataFrame, id_col: str, text_col: str, max_hamming: in
                 *[
                     F.struct(
                         F.lit(i).alias("block_idx"),
-                        (F.shiftrightunsigned(F.col("simhash"), 16 * i).bitwiseAND(F.lit(0xFFFF))).alias(
-                            "block_val"
-                        ),
+                        (
+                            F.col("simhash")
+                            if width >= 64  # max_hamming=0: one full-width block
+                            else F.shiftrightunsigned(F.col("simhash"), off).bitwiseAND(
+                                F.lit((1 << width) - 1)
+                            )
+                        ).alias("block_val"),
                     )
-                    for i in range(4)
+                    for i, (off, width) in enumerate(layout)
                 ]
             )
         ).alias("b"),
@@ -309,10 +357,39 @@ def cdc_overlap_pairs(
 # --- embedding near-dup ----------------------------------------------------------------------
 
 def embedding_near_dups(
-    vectors: DataFrame, id_col: str, vec_col: str, threshold: float = 0.98
+    vectors: DataFrame,
+    id_col: str,
+    vec_col: str,
+    threshold: float = 0.98,
+    n_planes: int = 8,
+    seed: int = 42,
+    dim: int | None = None,
+    exact_max_rows: int | None = None,
 ) -> DataFrame:
-    """Embedding-cosine near-dup: thin wrapper over the similarity
-    self-join with a high threshold."""
-    from readability_scanner_spark.operators.similarity import similarity_pairs
+    """Embedding-cosine near-dup. DEFAULT is the scale path: LSH
+    hyperplane bucketing + exact cosine verification inside buckets
+    (lsh_bucketed_pairs) — shuffle by bucket, never a global O(n²)
+    nested-loop join. Recall < 1 vs brute force is the documented LSH
+    tradeoff; at threshold ~0.98 near-identical vectors land in the same
+    bucket with overwhelming probability.
 
-    return similarity_pairs(vectors, id_col, vec_col, threshold)
+    The exact all-pairs join is only reachable by passing
+    ``exact_max_rows`` explicitly, and refuses inputs larger than the
+    cap — a deliberate guard rail against the quadratic plan at scale."""
+    from readability_scanner_spark.operators.similarity import (
+        lsh_bucketed_pairs,
+        similarity_pairs,
+    )
+
+    if exact_max_rows is not None:
+        n = vectors.count()
+        if n > exact_max_rows:
+            raise ValueError(
+                f"exact all-pairs near-dup refused: {n} rows > cap {exact_max_rows}; "
+                "use the default LSH path at scale"
+            )
+        return similarity_pairs(vectors, id_col, vec_col, threshold)
+
+    if dim is None:
+        dim = len(vectors.select(vec_col).first()[0])  # one bounded driver row
+    return lsh_bucketed_pairs(vectors, id_col, vec_col, dim, threshold, n_planes, seed)

@@ -247,8 +247,10 @@ def greedy_topic_groups(
                 for j in members:
                     processed[j] = True
                     out.append((str(window_val), topic_id, int(ids[j])))
-            else:
-                processed[i] = True
+            # a failed seed is NOT marked processed: the reference
+            # (ml-service/main.py:429-497) leaves it eligible to be
+            # absorbed as a member of a later seed's group; the forward
+            # loop already guarantees it is never retried as a seed
         return pd.DataFrame(out, columns=["window", "topic_id", "member_id"])
 
     return (

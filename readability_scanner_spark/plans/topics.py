@@ -32,27 +32,49 @@ def build_daily_topics(
     min_group_size: int = 3,
     max_per_window: int = 500,
     anchor=None,
+    per_day: bool = False,
 ) -> DataFrame:
     """docs must carry id, embedding, ts + article payload columns.
 
     Returns topic_groups(topic_id, article_count, date_range_start,
     date_range_end, articles: array<struct<...article_cols>>) — the
     reference's daily_topics document shape (ml-service/main.py:471-488).
+
+    Reference semantics (default, per_day=False): ONE clustering pool of
+    the ``max_per_window`` newest articles across the whole lookback
+    window (daily_topics_jobs.py:63-70 + main.py:418) — articles from
+    different days can share a topic, and the cap is global. The cap is
+    applied BEFORE the single-group applyInPandas via orderBy+limit
+    (TakeOrderedAndProject), so only max_per_window rows ever land on one
+    task regardless of corpus size. per_day=True keeps the alternative
+    per-calendar-day partitioning (parallel across days, day-local
+    topics) as an explicit scale tradeoff, NOT reference parity.
     """
     if anchor is None:
         anchor = docs.agg(F.max(ts_col)).first()[0]
     windowed = docs.where(
         F.col(ts_col) >= F.lit(anchor) - F.expr(f"INTERVAL {lookback_days} DAYS")
-    ).withColumn("_day", F.date_format(F.date_trunc("day", F.col(ts_col)), "yyyy-MM-dd"))
+    )
+
+    if per_day:
+        pool = windowed.withColumn(
+            "_win", F.date_format(F.date_trunc("day", F.col(ts_col)), "yyyy-MM-dd")
+        )
+    else:
+        pool = (
+            windowed.orderBy(F.desc(ts_col), F.asc(id_col))
+            .limit(max_per_window)
+            .withColumn("_win", F.lit("all"))
+        )
 
     members = greedy_topic_groups(
-        windowed.select(id_col, vec_col, ts_col, "_day").withColumn(
+        pool.select(id_col, vec_col, ts_col, "_win").withColumn(
             "_ord", F.unix_timestamp(ts_col)
         ),
         id_col=id_col,
         vec_col=vec_col,
         order_col="_ord",
-        window_col="_day",
+        window_col="_win",
         threshold=threshold,
         min_group_size=min_group_size,
         max_rows_per_window=max_per_window,

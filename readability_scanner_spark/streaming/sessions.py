@@ -43,6 +43,9 @@ SESSION_STATE = StructType(
 )
 
 
+_OUT_COLS = ["user_id", "session_idx", "n_events", "span_seconds", "last_ts"]
+
+
 def make_session_fn(gap_minutes: int = 30):
     gap = gap_minutes * 60.0
 
@@ -50,6 +53,26 @@ def make_session_fn(gap_minutes: int = 30):
         key: Tuple[int], pdfs: Iterator[pd.DataFrame], state: GroupState
     ) -> Iterator[pd.DataFrame]:
         (user_id,) = key
+        if state.hasTimedOut:
+            # idle longer than the gap with no new events: flush the open
+            # session as closed and drop the per-user state so it does not
+            # accumulate forever across a 10^12-key stream
+            rows = []
+            if state.exists:
+                session_idx, n_events, session_start, last_seen = state.get
+                if n_events > 0:
+                    rows.append(
+                        (
+                            user_id,
+                            session_idx,
+                            n_events,
+                            last_seen - session_start,
+                            pd.Timestamp(last_seen, unit="s"),
+                        )
+                    )
+                state.remove()
+            yield pd.DataFrame(rows, columns=_OUT_COLS)
+            return
         if state.exists:
             session_idx, n_events, session_start, last_seen = state.get
         else:
@@ -83,17 +106,19 @@ def make_session_fn(gap_minutes: int = 30):
         if n_events > 0:
             snapshot()  # live-session snapshot at end of batch
         state.update((session_idx, n_events, session_start, last_seen))
-        yield pd.DataFrame(
-            rows,
-            columns=["user_id", "session_idx", "n_events", "span_seconds", "last_ts"],
-        )
+        # processing-time timeout: if no event arrives for a full gap the
+        # hasTimedOut branch above closes the session and clears state
+        state.setTimeoutDuration(int(gap * 1000))
+        yield pd.DataFrame(rows, columns=_OUT_COLS)
 
     return update
 
 
 def streaming_sessions(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
     """events stream (event_id, user_id, ts) → per-user live session
-    snapshot rows, state kept across micro-batches."""
+    snapshot rows, state kept across micro-batches; idle users are
+    flushed (final closed-session row) and evicted after one gap of
+    processing-time silence."""
     return (
         events.groupBy("user_id")
         .applyInPandasWithState(
@@ -101,6 +126,6 @@ def streaming_sessions(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
             outputStructType=SESSION_OUTPUT,
             stateStructType=SESSION_STATE,
             outputMode="append",
-            timeoutConf=GroupStateTimeout.NoTimeout,
+            timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
         )
     )

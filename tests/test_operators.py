@@ -87,6 +87,28 @@ def test_greedy_topics_deterministic_and_clustered(spark, vec_df):
         assert len({m < 10 for m in members}) == 1  # no cross-cluster mixing
 
 
+def test_greedy_failed_seed_still_absorbable(spark):
+    """Reference semantics (ml-service/main.py:429-497): a seed whose
+    group is too small is NOT consumed — a later seed can absorb it.
+    Seeds iterate newest-first (id 30 first). Seed 30 only matches 20
+    (group of 2 < min 3, fails); seed 20 matches {20, 30, 10} — all
+    three must land in one topic. Marking failed seeds processed (the
+    round-1 bug) would leave 30 out and emit no group at all."""
+    a = [1.0, 0.0, 0.0]
+    b = [0.70710678, 0.70710678, 0.0]  # cos(a,b)=.707, cos(b,c)=.707
+    c = [0.0, 1.0, 0.0]  # cos(a,c)=0
+    rows = [(10, a), (20, b), (30, c)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>").withColumn(
+        "window", F.lit("w")
+    )
+    out = similarity.greedy_topic_groups(
+        df, "vec_id", "embedding", "vec_id", "window", threshold=0.7, min_group_size=3
+    ).collect()
+    got = {(r.topic_id, r.member_id) for r in out}
+    assert {m for _, m in got} == {10, 20, 30}
+    assert len({t for t, _ in got}) == 1
+
+
 # --- dedup -----------------------------------------------------------------------
 
 @pytest.fixture(scope="module")
@@ -132,6 +154,61 @@ def test_simhash_near_dups(spark, doc_df):
     assert out.get((1, 2)) == 0
     assert (1, 3) in out and out[(1, 3)] <= 10
     assert (4, 5) not in out
+
+
+def test_simhash_blocking_complete_vs_bruteforce(spark):
+    """Pigeonhole blocking must find EVERY pair at the configured
+    max_hamming (the round-1 4x16 layout silently dropped hamming 4-6
+    pairs). Brute-force the hamming matrix over the raw simhashes and
+    compare pair sets exactly, for several thresholds."""
+    docs = (
+        spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        .select("doc_id", "text")
+        .repartition(8)
+    )
+    hashes = {r.doc_id: r.simhash for r in dedup.simhash(docs, "doc_id", "text").collect()}
+    ids = sorted(hashes)
+    for h_max in (3, 6, 12):
+        brute = {
+            (a, b)
+            for i, a in enumerate(ids)
+            for b in ids[i + 1 :]
+            if bin((hashes[a] ^ hashes[b]) & ((1 << 64) - 1)).count("1") <= h_max
+        }
+        blocked = {
+            (r.id_a, r.id_b)
+            for r in dedup.simhash_near_dups(docs, "doc_id", "text", max_hamming=h_max).collect()
+        }
+        assert blocked == brute, f"h={h_max}: missing={brute - blocked} extra={blocked - brute}"
+
+
+def test_simhash_block_layout_covers_all_bits():
+    for h in (0, 1, 3, 6, 20, 63):
+        layout = dedup._simhash_block_layout(h)
+        assert len(layout) == h + 1
+        assert sum(w for _, w in layout) == 64
+        offs = [o for o, _ in layout]
+        assert offs == sorted(offs) and offs[0] == 0
+
+
+def test_embedding_near_dups_default_is_lsh(spark, vec_df):
+    """Default path must be the bucket join (no nested-loop/cartesian in
+    the plan) and still find near-identical vectors; the exact quadratic
+    path must refuse inputs over its explicit cap."""
+    df, rows = vec_df
+    out = dedup.embedding_near_dups(df, "vec_id", "embedding", threshold=0.95, n_planes=4)
+    plan = out._sc._jvm.PythonSQLUtils.explainString(out._jdf.queryExecution(), "formatted")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    pairs = {(r.id_a, r.id_b) for r in out.collect()}
+    brute = {
+        (p.id_a, p.id_b)
+        for p in similarity.similarity_pairs(df, "vec_id", "embedding", 0.95).collect()
+    }
+    assert pairs <= brute and pairs
+
+    with pytest.raises(ValueError, match="refused"):
+        dedup.embedding_near_dups(df, "vec_id", "embedding", exact_max_rows=3)
 
 
 def test_dedup_by_key_keeps_newest(spark):

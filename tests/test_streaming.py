@@ -1,6 +1,7 @@
 """Structured Streaming pipeline tests: stream output equals batch
 output; metrics stream aggregates with watermark; checkpoint resume."""
 
+import pandas as pd
 import pytest
 from pyspark.sql import functions as F
 
@@ -107,3 +108,42 @@ def test_stateful_streaming_sessions(spark, tmp_path):
     # an earlier snapshot must show session 1 accumulating across batches
     sess1 = [r for r in rows if r.session_idx == 1]
     assert sess1 and max(r.n_events for r in sess1) == 3  # events 1,2 then +3
+
+
+def test_session_timeout_flushes_and_clears_state():
+    """The hasTimedOut branch must emit the open session as a final row
+    and remove the per-user state (unbounded state at 10^12 users
+    otherwise). Drive make_session_fn directly with a fake GroupState."""
+    from readability_scanner_spark.streaming.sessions import make_session_fn
+
+    class FakeState:
+        def __init__(self, tup):
+            self._t = tup
+            self.exists = tup is not None
+            self.hasTimedOut = True
+            self.removed = False
+
+        @property
+        def get(self):
+            return self._t
+
+        def remove(self):
+            self.removed = True
+
+        def update(self, t):  # pragma: no cover - not hit on timeout path
+            raise AssertionError("timeout path must not update state")
+
+    fn = make_session_fn(gap_minutes=30)
+    # open session: idx 2, 5 events, started t=1000, last seen t=1600
+    st = FakeState((2, 5, 1000.0, 1600.0))
+    frames = list(fn((7,), iter(()), st))
+    rows = pd.concat(frames)
+    assert st.removed
+    assert len(rows) == 1
+    r = rows.iloc[0]
+    assert (r.user_id, r.session_idx, r.n_events, r.span_seconds) == (7, 2, 5, 600.0)
+
+    # timed out with no existing state: no output, no crash
+    st_empty = FakeState(None)
+    frames = list(fn((8,), iter(()), st_empty))
+    assert pd.concat(frames).empty
