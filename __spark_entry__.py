@@ -823,6 +823,238 @@ def _minhash_oracle(n_hashes: int = 64, bands: int = 16, seed: int = 42) -> str:
     """
 
 
+_ORACLE_SF_DIR = "/root/testdata/sf0.01"  # the driver's oracle scale
+
+
+def _lsh_ann_oracle(threshold: float = 0.4, n_planes: int = 4, seed: int = 42) -> str:
+    """Honest recompute of the hyperplane-LSH candidate search: the SAME
+    deterministic random planes the operator draws (similarity._hyperplanes,
+    embedded as double literals) re-derive every vector's bucket IN SQL;
+    pairs sharing a bucket are verified with exact cosine — identical
+    semantics to lsh_bucketed_pairs including its recall<1 bucketing."""
+    import pyarrow.parquet as pq
+
+    from readability_scanner_spark.operators.similarity import _hyperplanes
+
+    dim = len(
+        pq.read_table(f"{_ORACLE_SF_DIR}/embeddings.parquet", columns=["embedding"])
+        .column("embedding")[0]
+        .as_py()
+    )
+    planes = _hyperplanes(dim, n_planes, seed)
+    rows = ", ".join(
+        f"({j}, [{', '.join(repr(float(x)) for x in planes[j])}]::DOUBLE[])"
+        for j in range(n_planes)
+    )
+    return f"""
+        WITH planes(j, pl) AS (VALUES {rows}),
+        b AS (
+          SELECT vec_id,
+                 sum(CASE WHEN list_dot_product(embedding::DOUBLE[], pl) >= 0
+                          THEN 1 << j ELSE 0 END)::BIGINT AS bucket
+          FROM embeddings CROSS JOIN planes GROUP BY vec_id
+        )
+        SELECT a.vec_id AS id_a, b2.vec_id AS id_b
+        FROM b a JOIN b b2 ON a.bucket = b2.bucket AND a.vec_id < b2.vec_id
+        JOIN embeddings ea ON ea.vec_id = a.vec_id
+        JOIN embeddings eb ON eb.vec_id = b2.vec_id
+        WHERE list_cosine_similarity(ea.embedding::DOUBLE[], eb.embedding::DOUBLE[])
+              >= {threshold}
+    """
+
+
+def _ivf_oracle(k: int = 10, n_centroids: int = 8, n_probe: int = 4, seed: int = 42) -> str:
+    """IVF ANN oracle. The centroid training is the operator's own
+    bounded DRIVER-side numpy step (train_ivf_centroids collects a
+    4096-row sample; nothing distributed) — replicated here on the same
+    parquet and embedded as literals. What the SQL then verifies
+    honestly is everything Spark executes distributed: nearest-centroid
+    assignment, n_probe cell restriction, and exact cosine top-k."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    tbl = pq.read_table(f"{_ORACLE_SF_DIR}/embeddings.parquet", columns=["vec_id", "embedding"])
+    ids = np.asarray(tbl.column("vec_id"))
+    vecs = np.vstack(tbl.column("embedding").to_pylist()).astype("float64")
+    query = vecs[ids == 0][0]
+
+    # same deterministic sample the operator takes: orderBy(id).limit(4096)
+    # over the POST-FILTER input (vec_id != 0, matching q_ivf_knn)
+    order = np.argsort(ids[ids != 0])
+    sample = vecs[ids != 0][order][:4096]
+
+    rng = np.random.RandomState(seed)
+    centroids = sample[rng.choice(len(sample), size=min(n_centroids, len(sample)), replace=False)].copy()
+    for _ in range(8):
+        dists = ((sample[:, None, :] - centroids[None, :, :]) ** 2).sum(axis=2)
+        assign = dists.argmin(axis=1)
+        for ci in range(len(centroids)):
+            members = sample[assign == ci]
+            if len(members):
+                centroids[ci] = members.mean(axis=0)
+
+    probe = np.argsort(((centroids - query) ** 2).sum(axis=1))[:n_probe].tolist()
+    cent_rows = ", ".join(
+        f"({ci}, [{', '.join(repr(float(x)) for x in centroids[ci])}]::DOUBLE[], "
+        f"{float((centroids[ci] ** 2).sum())!r})"
+        for ci in range(len(centroids))
+    )
+    q_lit = "[" + ", ".join(repr(float(x)) for x in query) + "]::DOUBLE[]"
+    probe_lit = ", ".join(str(int(x)) for x in probe)
+    return f"""
+        WITH cents(cell, cv, cnorm2) AS (VALUES {cent_rows}),
+        dist AS (
+          SELECT vec_id, cell,
+                 list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])
+                 - 2 * list_dot_product(embedding::DOUBLE[], cv) + cnorm2 AS d2
+          FROM embeddings CROSS JOIN cents WHERE vec_id != 0
+        ), assigned AS (
+          SELECT vec_id, cell FROM (
+            SELECT vec_id, cell,
+                   row_number() OVER (PARTITION BY vec_id ORDER BY d2 ASC, cell ASC) AS rn
+            FROM dist
+          ) WHERE rn = 1
+        )
+        SELECT e.vec_id FROM embeddings e
+        JOIN assigned a ON a.vec_id = e.vec_id
+        WHERE a.cell IN ({probe_lit})
+        ORDER BY round(list_cosine_similarity(e.embedding::DOUBLE[], {q_lit}), 6) DESC,
+                 e.vec_id ASC
+        LIMIT {k}
+    """
+
+
+def _cdc_oracle(max_doc_id: int = 300, min_shared: int = 2) -> str:
+    """Content-defined-chunking overlap oracle, recomputed entirely in
+    SQL. The operator's rolling hash has a closed form: h(i) =
+    sum_{j=i-15..i} byte[j]*31^(i-j) mod 2^32, and the boundary test is
+    mod 64 where 31^2 ≡ 1 (mod 64), so the weight collapses to 31 for
+    odd offsets / 1 for even — a 16-wide band join, no sequential scan.
+    The min_chunk=64 greedy boundary selection is the recursive CTE
+    (one row per doc per chunk). Pairs join on the literal chunk
+    SUBSTRING (the operator joins on crc32(chunk) — identical up to hash
+    collisions). Assumes ASCII text (bytes == codepoints), which holds
+    for the driver's sf0.01 documents."""
+    return f"""
+        WITH RECURSIVE
+        d0 AS (SELECT doc_id, text FROM documents WHERE doc_id < {max_doc_id}),
+        bytes AS (
+          SELECT doc_id, unnest(generate_series(0, length(text) - 1)) AS j
+          FROM d0 WHERE length(text) > 0
+        ), bv AS (
+          SELECT b.doc_id, b.j, ord(substr(d.text, b.j + 1, 1)) AS v
+          FROM bytes b JOIN d0 d USING (doc_id)
+        ), cand AS (
+          SELECT a.doc_id, a.j AS i
+          FROM bv a JOIN bv b ON b.doc_id = a.doc_id AND b.j BETWEEN a.j - 15 AND a.j
+          GROUP BY a.doc_id, a.j
+          HAVING sum(b.v * CASE WHEN (a.j - b.j) % 2 = 1 THEN 31 ELSE 1 END) % 64 = 0
+        ), dl AS (
+          SELECT doc_id, length(text) AS len FROM d0
+        ), bounds AS (
+          SELECT d.doc_id, 0::BIGINT AS start,
+                 (SELECT min(c.i) FROM cand c WHERE c.doc_id = d.doc_id AND c.i >= 63) AS bend
+          FROM dl d
+          UNION ALL
+          SELECT b.doc_id, b.bend + 1,
+                 (SELECT min(c.i) FROM cand c
+                  WHERE c.doc_id = b.doc_id AND c.i >= b.bend + 1 + 63) AS bend
+          FROM bounds b WHERE b.bend IS NOT NULL
+        ), chunks AS (
+          SELECT b.doc_id,
+                 substr(d.text, b.start + 1,
+                        coalesce(b.bend, dl.len - 1) - b.start + 1) AS piece
+          FROM bounds b JOIN d0 d USING (doc_id) JOIN dl USING (doc_id)
+          WHERE b.start < dl.len OR b.start = 0
+        )
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS shared_chunks
+        FROM chunks a JOIN chunks b ON a.piece = b.piece AND a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id
+        HAVING count(*) >= {min_shared}
+    """
+
+
+def _greedy_cte(window_expr: str, threshold: float, min_group: int) -> str:
+    """Shared recursive-CTE recompute of the order-dependent greedy
+    clustering (V4): one recursion step per seed position per window;
+    `processed` membership rides the recursion as a BIGINT list and a
+    correlated aggregate gathers each seed's unprocessed cosine matches.
+    Seed order is (vec_id DESC) — for q_daily_topics the synthetic ts is
+    base + vec_id minutes, so newest-first == vec_id DESC there too.
+    Emitted rows: (win, topic_id, member_id) for every formed group."""
+    return f"""
+        WITH RECURSIVE
+        v AS (SELECT vec_id, embedding::DOUBLE[] AS e, {window_expr} AS win FROM embeddings),
+        ordered AS (
+          SELECT win, vec_id, e,
+                 row_number() OVER (PARTITION BY win ORDER BY vec_id DESC) - 1 AS pos
+          FROM v
+        ), wn AS (SELECT win, count(*) AS n FROM ordered GROUP BY win),
+        step(win, i, processed, topic_id, new_members) AS (
+          SELECT win, -1, []::BIGINT[], NULL::VARCHAR, NULL::BIGINT[] FROM wn
+          UNION ALL
+          SELECT win, i, CASE WHEN ok THEN list_concat(processed, members) ELSE processed END,
+                 CASE WHEN ok THEN win || '-' || seed_id::VARCHAR ELSE NULL END,
+                 CASE WHEN ok THEN members ELSE NULL END
+          FROM (
+            SELECT s.win, s.i + 1 AS i, s.processed, o.vec_id AS seed_id,
+                   CASE WHEN list_contains(s.processed, o.vec_id) THEN NULL
+                        ELSE (SELECT list(o2.vec_id ORDER BY o2.pos)
+                              FROM ordered o2
+                              WHERE o2.win = s.win
+                                AND NOT list_contains(s.processed, o2.vec_id)
+                                AND list_cosine_similarity(o2.e, o.e) >= {threshold})
+                   END AS members
+            FROM step s
+            JOIN wn ON wn.win = s.win AND s.i + 1 < wn.n
+            JOIN ordered o ON o.win = s.win AND o.pos = s.i + 1
+          ) t(win, i, processed, seed_id, members),
+          LATERAL (SELECT members IS NOT NULL AND len(members) >= {min_group}) g(ok)
+        ),
+        emitted AS (
+          SELECT win, topic_id, unnest(new_members) AS member_id
+          FROM step WHERE topic_id IS NOT NULL
+        )
+    """
+
+
+def _greedy_topics_oracle() -> str:
+    return (
+        _greedy_cte("(vec_id % 4)::VARCHAR", threshold=0.3, min_group=2)
+        + "SELECT win AS window, topic_id, member_id FROM emitted"
+    )
+
+
+def _daily_topics_oracle() -> str:
+    # build_daily_topics global pool: all 500 sf0.01 vectors fit the
+    # 500-newest cap, one 'all' window; output is (topic_id, article_count)
+    return (
+        _greedy_cte("'all'", threshold=0.4, min_group=2)
+        + "SELECT topic_id, count(*) AS article_count FROM emitted GROUP BY topic_id"
+    )
+
+
+def _media_oracle(n: int = 100, seed: int = 42) -> str:
+    """media_features oracle: the synthetic payload generator is a pure
+    deterministic formula, so the expected (n_bytes, crc32) rows are
+    recomputed here in plain Python — no Spark involved — and embedded
+    as literals. What the driver then verifies is the distributed side:
+    the Arrow binary transfer and the mapInPandas feature kernel
+    reproducing the same values through Spark workers."""
+    import zlib
+
+    rows = []
+    for i in range(n):
+        payload = bytes((seed * 7 + i * 13 + j) % 256 for j in range((i % 50) + 10))
+        rows.append(f"({i}, {len(payload)}, {zlib.crc32(payload)})")
+    return (
+        "SELECT media_id::BIGINT AS media_id, n_bytes::BIGINT AS n_bytes, "
+        "checksum::BIGINT AS checksum FROM (VALUES "
+        + ", ".join(rows)
+        + ") t(media_id, n_bytes, checksum)"
+    )
+
+
 def oracle_sql() -> dict[str, str]:
     w, s, p, c = _WORDS_SQL, _SENTS_SQL, _PARAS_SQL, _CHARS_SQL
     cl = _CL_SQL.format(w="w", s="s", c="c")
@@ -830,6 +1062,12 @@ def oracle_sql() -> dict[str, str]:
     return {
         "simhash_near_dups": _simhash_oracle(max_hamming=6),
         "minhash_candidates": _minhash_oracle(n_hashes=64, bands=16, seed=42),
+        "lsh_ann_pairs": _lsh_ann_oracle(threshold=0.4, n_planes=4, seed=42),
+        "ivf_knn": _ivf_oracle(k=10, n_centroids=8, n_probe=4, seed=42),
+        "cdc_overlap": _cdc_oracle(max_doc_id=300, min_shared=2),
+        "media_features": _media_oracle(n=100, seed=42),
+        "greedy_topics": _greedy_topics_oracle(),
+        "daily_topics": _daily_topics_oracle(),
         "readability_by_source": f"""
             WITH per_doc AS (
               SELECT source AS grp, {w} AS w, {s} AS s, {c} AS c
