@@ -285,17 +285,20 @@ def _grab_article(body: Node, flags: int) -> Optional[Node]:
             top_key, top_score = key, final
     top = nodes_by_id[top_key]
 
-    # step 6a: ancestor promotion (public spec: consider the top ~5
-    # candidates; when >= 3 of them share an ancestor within 3 levels of
-    # the top candidate, promote that ancestor — split-article layouts
-    # where the real container never scores directly)
+    # step 6a: ancestor promotion — the public spec's literal rule
+    # (Readability.js MINIMUM_TOPCANDIDATES): take the top 5 candidates;
+    # the alternatives are those scoring >= 0.75x the top. When at least
+    # 3 alternatives exist, walk the top candidate's ancestor chain up to
+    # (but not including) body and promote the first ancestor that
+    # contains >= 3 of the alternatives — split-article layouts where the
+    # real container never scores directly.
     ranked = sorted(scores.items(), key=lambda kv: -kv[1])[:5]
     alts = [
         nodes_by_id[k]
         for k, s in ranked[1:]
-        if s >= 0.75 * top_score and nodes_by_id[k] is not top
+        if top_score > 0 and s / top_score >= 0.75 and nodes_by_id[k] is not top
     ]
-    if len(alts) >= 2:
+    if len(alts) >= 3:
 
         def _under(node: Node, ancestor: Node) -> bool:
             while node is not None:
@@ -304,17 +307,13 @@ def _grab_article(body: Node, flags: int) -> Optional[Node]:
                 node = node.parent
             return False
 
-        ancestor, level = top.parent, 0
-        while (
-            ancestor is not None
-            and ancestor.tag not in (None, "#root", "html", "body")
-            and level < 3
-        ):
-            if sum(1 for a in alts if _under(a, ancestor)) >= 2:
+        ancestor = top.parent
+        while ancestor is not None and ancestor.tag not in (None, "#root", "html", "body"):
+            if sum(1 for a in alts if _under(a, ancestor)) >= 3:
                 top = ancestor
                 top_score = scores.get(id(ancestor), top_score)
                 break
-            ancestor, level = ancestor.parent, level + 1
+            ancestor = ancestor.parent
 
     # step 6: sibling merge into a fresh container
     article = Node("div", {"id": "readability-content"})

@@ -36,6 +36,12 @@ _FIXTURE_CLASSES = (
     "non_html",
     "polysyllabic",
     "punctuation_edge",
+    # torture classes (golden-locked versions of tests/test_torture_html.py)
+    "tag_soup",
+    "nested_tables",
+    "cdata_comments",
+    "mixed_case",
+    "cousin_parts",
 )
 
 
@@ -186,5 +192,49 @@ def make_fixture(cls: str, seed: int) -> str:
             "The U.S. economy grew</p>" + _article_body(rng, 3)
         )
         return _page(title, body)
+
+    if cls == "tag_soup":
+        # unclosed tags, misnested blocks, stray table cell — must parse,
+        # never raise, and still pull the article text
+        return (
+            f"<html><body><div class='content'><p>intro {_paragraph(rng, 2)}"
+            f"{_article_body(rng, 4)}<div><td>stray cell {_sentence(rng, 6)}"
+        )
+
+    if cls == "nested_tables":
+        inner = f"<td class='content'>{_article_body(rng, 4)}</td>"
+        return (
+            "<table><tr>"
+            + "<td><table><tr>" * 4
+            + inner
+            + "</tr></table></td>" * 4
+            + "</tr></table>"
+        )
+
+    if cls == "cdata_comments":
+        body = (
+            "<!--[if IE]><div class='banner'>old browser junk</div><![endif]-->"
+            f"<div class='content'><![CDATA[ not content ]]>{_article_body(rng, 4)}"
+            "<!-- trailing comment --></div>"
+        )
+        return _page(title, body)
+
+    if cls == "mixed_case":
+        paras = "".join(
+            f"<P>{_paragraph(rng, rng.randint(3, 5))}</P>" for _ in range(4)
+        )
+        return (
+            f"<HTML><HEAD><TITLE>{title}</TITLE></HEAD><BODY>"
+            f"<DIV CLASS='Article-Content'>{paras}</DIV></BODY></HTML>"
+        )
+
+    if cls == "cousin_parts":
+        # split-article layout: 4 cousin cells trigger the spec's
+        # >=3-alternatives ancestor promotion (readability.py step 6a)
+        cells = "".join(
+            f"<div class='row'><div class='cell'>{_article_body(rng, 2)}</div></div>"
+            for _ in range(4)
+        )
+        return _page(title, f"<div class='wrapper'>{cells}</div>")
 
     raise ValueError(f"unknown fixture class: {cls}")

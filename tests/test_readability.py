@@ -179,7 +179,10 @@ def test_golden_parity():
 def test_ancestor_promotion_for_cousin_parts():
     """Split-article layout where parts are COUSINS (not siblings): the
     top-candidates ancestor-promotion rule must capture all parts; plain
-    sibling merge cannot reach them."""
+    sibling merge cannot reach them. The spec's literal rule needs the
+    top candidate plus >= 3 alternatives at >= 0.75x its score, so the
+    fixture carries FOUR parts (a 3-part layout must NOT promote —
+    asserted below)."""
     def part(i):
         return (
             f"<p>Part {i} of the story continues with substantial narrative, "
@@ -188,17 +191,27 @@ def test_ancestor_promotion_for_cousin_parts():
             f"<p>More of part {i}: the committee deliberated, the council "
             "voted, and the reporters filed their stories before dawn.</p>"
         )
-    html = (
-        "<html><body><div class='wrapper'>"
-        + "".join(
-            f"<div class='row'><div class='cell'>{part(i)}</div></div>" for i in (1, 2, 3)
+
+    def page(n):
+        return (
+            "<html><body><div class='wrapper'>"
+            + "".join(
+                f"<div class='row'><div class='cell'>{part(i)}</div></div>"
+                for i in range(1, n + 1)
+            )
+            + "</div></body></html>"
         )
-        + "</div></body></html>"
-    )
-    r = extract_main_content(html)
+
+    r = extract_main_content(page(4))
     assert not r.parse_failed
-    for i in (1, 2, 3):
+    for i in (1, 2, 3, 4):
         assert f"Part {i} of the story" in r.text_content, i
+
+    # only 2 alternatives: below MINIMUM_TOPCANDIDATES, no promotion —
+    # the extractor returns a single cell (plus any sibling-merge pulls)
+    r3 = extract_main_content(page(3))
+    found = sum(f"Part {i} of the story" in r3.text_content for i in (1, 2, 3))
+    assert found == 1
 
 
 def test_extraction_idempotent_on_own_output():
