@@ -118,10 +118,21 @@ class Node:
             stack.extend(reversed(node.children))
 
     def iter_elements(self, *tags: str) -> Iterator["Node"]:
+        # hot path: direct stack walk — text nodes are never yielded and
+        # never pushed (they have no children), which skips the nested
+        # generator frames of iter() on the majority node kind
         want = frozenset(t.lower() for t in tags) if tags else None
-        for node in self.iter():
-            if node.tag is not None and (want is None or node.tag in want):
+        stack = [self]
+        pop, push = stack.pop, stack.extend
+        while stack:
+            node = pop()
+            tag = node.tag
+            if tag is None:
+                continue
+            if want is None or tag in want:
                 yield node
+            if node.children:
+                push(reversed(node.children))
 
     def find(self, *tags: str) -> Optional["Node"]:
         for node in self.iter_elements(*tags):

@@ -77,7 +77,7 @@ class ExtractionResult:
 # ---------------------------------------------------------------------------
 
 def _class_weight(node: Node, flags: int) -> float:
-    if not (flags & FLAG_WEIGHT_CLASSES):
+    if not (flags & FLAG_WEIGHT_CLASSES) or not node.attrs:
         return 0.0
     weight = 0.0
     ci = node.class_id
@@ -201,9 +201,12 @@ def _preprocess(root: Node) -> None:
 # ---------------------------------------------------------------------------
 
 def _grab_article(body: Node, flags: int) -> Optional[Node]:
-    # step 2: strip unlikely candidates
+    # step 2: strip unlikely candidates (attrs-empty fast path: most
+    # nodes carry no class/id at all)
     if flags & FLAG_STRIP_UNLIKELYS:
         for node in list(body.iter_elements()):
+            if not node.attrs:
+                continue
             ci = node.class_id
             if (
                 ci
@@ -364,10 +367,15 @@ def _clean_conditionally(article: Node, tag: str, flags: int) -> None:
             continue
         text = node.inner_text()
         if text.count(",") < 10:
-            # one traversal for all descendant-tag counts
+            # one inline stack walk for all descendant-tag counts
             p_count = img_count = li_count = input_count = 0
-            for d in node.iter():
+            stack = [node]
+            pop, push = stack.pop, stack.extend
+            while stack:
+                d = pop()
                 t = d.tag
+                if t is None:
+                    continue
                 if t == "p":
                     p_count += 1
                 elif t == "img":
@@ -376,6 +384,8 @@ def _clean_conditionally(article: Node, tag: str, flags: int) -> None:
                     li_count += 1
                 elif t == "input":
                     input_count += 1
+                if d.children:
+                    push(d.children)  # order-insensitive: counting only
             li_count -= 100
             ld = node.link_density()
             remove = (

@@ -92,6 +92,14 @@ def minhash_signatures(
     p = MINHASH_P
 
     def sign(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        memo: dict[str, int] = {}  # shingle → md5%p; vocab repeats across docs
+
+        def base_of(s: str) -> int:
+            h = memo.get(s)
+            if h is None:
+                h = memo[s] = _md5_64(s) % p
+            return h
+
         for pdf in batches:
             sigs = []
             for text in pdf[text_col]:
@@ -99,7 +107,7 @@ def minhash_signatures(
                 if not sh:
                     sigs.append([0] * n_hashes)
                     continue
-                base = np.array([_md5_64(s) % p for s in sh], dtype=np.int64)  # (m,)
+                base = np.fromiter((base_of(s) for s in sh), dtype=np.int64, count=len(sh))
                 # (m, k) mod-p universal hashes, min over shingles
                 hashed = (base[:, None] * a[None, :] + b[None, :]) % p
                 sigs.append(hashed.min(axis=0).tolist())
@@ -163,6 +171,16 @@ def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 64) -> DataFr
     shifts = np.arange(bits, dtype=np.uint64)
 
     def sim(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from collections import Counter
+
+        memo: dict[str, int] = {}  # token → md5 hash; vocab repeats across docs
+
+        def hash_of(t: str) -> int:
+            h = memo.get(t)
+            if h is None:
+                h = memo[t] = _md5_64(t)
+            return h
+
         for pdf in batches:
             out = []
             for text in pdf[text_col]:
@@ -170,12 +188,16 @@ def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 64) -> DataFr
                 if not toks:
                     out.append(np.int64(-(1 << 63)))
                     continue
+                # vote per UNIQUE token weighted by its count — one hash
+                # and one bit-row per distinct token instead of per
+                # occurrence (Zipf makes this a large constant win)
+                counts = Counter(toks)
                 hashes = np.fromiter(
-                    (_md5_64(t) for t in toks), dtype=np.uint64, count=len(toks)
+                    (hash_of(t) for t in counts), dtype=np.uint64, count=len(counts)
                 )
-                # vectorized sign voting: (n_tok, bits) bit matrix
+                weights = np.fromiter(counts.values(), dtype=np.int64, count=len(counts))
                 bitmat = (hashes[:, None] >> shifts[None, :]) & np.uint64(1)
-                votes = (2 * bitmat.astype(np.int64) - 1).sum(axis=0)
+                votes = ((2 * bitmat.astype(np.int64) - 1) * weights[:, None]).sum(axis=0)
                 positive = votes > 0
                 val = int((positive.astype(np.uint64) << shifts).sum(dtype=np.uint64))
                 if val >= 1 << 63:  # wrap to signed 64-bit for Spark LongType
