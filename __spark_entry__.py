@@ -1400,6 +1400,7 @@ def oracle_sql() -> dict[str, str]:
                 greatest(len(regexp_extract_all(text, '\\b\\w+\\b')), 1) AS words,
                 greatest(len(regexp_extract_all(text, '[.!?]')), 1) AS sentences,
                 length(text) AS n_chars,
+                greatest(length(text), 1) AS n_chars1,
                 len(regexp_extract_all(lower(text),
                   '\\b(the|and|of|to|in|is|that|for|with|was)\\b')) AS hit_en,
                 len(regexp_extract_all(lower(text),
@@ -1408,6 +1409,9 @@ def oracle_sql() -> dict[str, str]:
                   '\\b(le|la|les|et|est|une|des|dans|pour|que)\\b')) AS hit_fr,
                 len(regexp_extract_all(lower(text),
                   '\\b(el|la|los|las|es|una|para|con|por|del)\\b')) AS hit_es,
+                len(regexp_extract_all(text, '[ぁ-ゟ゠-ヿ]')) AS hit_kana,
+                len(regexp_extract_all(text, '[가-힣]')) AS hit_hangul,
+                len(regexp_extract_all(text, '[一-鿿]')) AS hit_han,
                 len(regexp_extract_all(text, '[.,;:!?]')) AS puncts,
                 len(regexp_extract_all(text, '\\w+|[^\\w\\s]')) AS n_tokens
               FROM documents
@@ -1415,13 +1419,17 @@ def oracle_sql() -> dict[str, str]:
               SELECT *,
                 hit_en::DOUBLE / words AS s_en, hit_de::DOUBLE / words AS s_de,
                 hit_fr::DOUBLE / words AS s_fr, hit_es::DOUBLE / words AS s_es,
+                hit_kana::DOUBLE / n_chars1 AS d_kana,
+                hit_hangul::DOUBLE / n_chars1 AS d_hangul,
+                hit_han::DOUBLE / n_chars1 AS d_han,
                 puncts::DOUBLE / words AS punct_ratio,
                 n_chars::DOUBLE / words AS mean_word_len
               FROM scored
             )
             SELECT doc_id,
-              CASE WHEN len(regexp_extract_all(text, '[一-鿿]'))::DOUBLE
-                        / greatest(length(text), 1) >= 0.2 THEN 'zh'
+              CASE WHEN d_kana >= 0.05 THEN 'ja'
+                   WHEN d_hangul >= 0.2 THEN 'ko'
+                   WHEN d_han >= 0.2 THEN 'zh'
                    WHEN greatest(s_en, s_de, s_fr, s_es) < 0.01 THEN 'und'
                    WHEN s_fr >= greatest(s_en, s_de, s_es) THEN 'fr'
                    WHEN s_es >= greatest(s_en, s_de) THEN 'es'
@@ -1429,7 +1437,9 @@ def oracle_sql() -> dict[str, str]:
                    ELSE 'de' END AS lang_guess,
               ((CASE WHEN n_chars BETWEEN 100 AND 50000 THEN 1.0 ELSE 0.3 END)
                    + (CASE WHEN punct_ratio BETWEEN 0.02 AND 0.4 THEN 1.0 ELSE 0.4 END)
-                   + (CASE WHEN s_en >= 0.05 THEN 1.0 ELSE 0.5 END)
+                   + (CASE WHEN d_kana >= 0.05 OR d_hangul >= 0.2 OR d_han >= 0.2
+                                OR greatest(s_en, s_de, s_fr, s_es) >= 0.05
+                           THEN 1.0 ELSE 0.5 END)
                    + (CASE WHEN mean_word_len BETWEEN 3 AND 12 THEN 1.0 ELSE 0.4 END)
                    + (CASE WHEN words::DOUBLE / sentences <= 60 THEN 1.0 ELSE 0.5 END)
                     ) / 5.0 AS quality_score,

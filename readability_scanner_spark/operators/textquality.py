@@ -28,10 +28,29 @@ def lang_scores(text: Column) -> dict[str, Column]:
     }
 
 
+# CJK script classes (shared with the DuckDB oracle — identical literal
+# ranges in Java regex and RE2)
+_KANA = r"[ぁ-ゟ゠-ヿ]"  # hiragana + katakana
+_HANGUL = r"[가-힣]"
+_HAN = r"[一-鿿]"
+_KANA_MIN = 0.05  # japanese mixes kanji+kana: any real kana share → ja
+
+
+def _cjk_densities(text: Column) -> tuple[Column, Column, Column]:
+    n_chars = F.greatest(F.length(text), F.lit(1))
+    return (
+        F.regexp_count(text, F.lit(_KANA)) / n_chars,
+        F.regexp_count(text, F.lit(_HANGUL)) / n_chars,
+        F.regexp_count(text, F.lit(_HAN)) / n_chars,
+    )
+
+
 def lang_id_col(text: Column, min_ratio: float = 0.01, cjk_ratio: float = 0.2) -> Column:
     """Pick the language with max stopword density; CJK by codepoint
-    density (no whitespace-delimited stopwords there); 'und' if nothing
-    clears its floor. Deterministic tie-break by language code order."""
+    density (no whitespace-delimited stopwords there): kana presence
+    discriminates ja from zh (Japanese prose always carries kana),
+    hangul → ko, han-only → zh. 'und' if nothing clears its floor.
+    Deterministic tie-break by language code order."""
     scores = lang_scores(text)
     pairs = F.array(
         *[
@@ -40,28 +59,34 @@ def lang_id_col(text: Column, min_ratio: float = 0.01, cjk_ratio: float = 0.2) -
         ]
     )
     best = F.array_max(pairs)
-    n_chars = F.greatest(F.length(text), F.lit(1))
-    cjk_density = F.regexp_count(text, F.lit(r"[一-鿿]")) / n_chars
+    kana, hangul, han = _cjk_densities(text)
     return (
-        F.when(cjk_density >= cjk_ratio, F.lit("zh"))
+        F.when(kana >= _KANA_MIN, F.lit("ja"))
+        .when(hangul >= cjk_ratio, F.lit("ko"))
+        .when(han >= cjk_ratio, F.lit("zh"))
         .when(best["score"] >= min_ratio, best["lang"])
         .otherwise(F.lit("und"))
     )
 
 
-def quality_score_col(text: Column) -> Column:
+def quality_score_col(text: Column, cjk_ratio: float = 0.2) -> Column:
     """Composite quality heuristic in [0,1]: length band + punctuation
     ratio + stopword ratio + mean word length band (the classic C4-style
-    filters folded into one score)."""
+    filters folded into one score). The stopword term follows the
+    DETECTED language (max marker density across marker sets, not
+    English-only); CJK documents — which have no whitespace-delimited
+    stopwords — pass that term instead of flooring at 0.5."""
     n_chars = F.length(text)
     words = F.greatest(F.regexp_count(text, F.lit(r"\b\w+\b")), F.lit(1))
     sentences = F.greatest(F.regexp_count(text, F.lit(r"[.!?]")), F.lit(1))
     punct_ratio = F.regexp_count(text, F.lit(r"[.,;:!?]")) / words
-    stop_ratio = F.regexp_count(F.lower(text), F.lit(_LANG_MARKERS["en"])) / words
+    best_marker = F.greatest(*lang_scores(text).values())
+    kana, hangul, han = _cjk_densities(text)
+    is_cjk = (kana >= _KANA_MIN) | (hangul >= cjk_ratio) | (han >= cjk_ratio)
     mean_word_len = n_chars / words
     length_ok = F.when((n_chars >= 100) & (n_chars <= 50000), 1.0).otherwise(0.3)
     punct_ok = F.when((punct_ratio >= 0.02) & (punct_ratio <= 0.4), 1.0).otherwise(0.4)
-    stop_ok = F.when(stop_ratio >= 0.05, 1.0).otherwise(0.5)
+    stop_ok = F.when(is_cjk | (best_marker >= 0.05), 1.0).otherwise(0.5)
     wordlen_ok = F.when((mean_word_len >= 3) & (mean_word_len <= 12), 1.0).otherwise(0.4)
     asl_ok = F.when(words / sentences <= 60, 1.0).otherwise(0.5)
     return (length_ok + punct_ok + stop_ok + wordlen_ok + asl_ok) / F.lit(5.0)

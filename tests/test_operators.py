@@ -235,6 +235,43 @@ def test_lang_id(spark):
     assert out[5] == "zh"
 
 
+def test_lang_id_cjk_branches(spark):
+    rows = [
+        # japanese: kanji + kana mix — kana presence discriminates from zh
+        (1, "データ処理システムは大規模クラスターで安定して動作します"),
+        # korean: hangul
+        (2, "데이터 처리 시스템은 대규모 클러스터에서 안정적으로 작동합니다"),
+        # chinese: han only, no kana
+        (3, "数据处理系统在大规模集群上运行良好并且性能稳定"),
+    ]
+    df = spark.createDataFrame(rows, "id long, text string")
+    out = {r.id: r.lang for r in df.select("id", textquality.lang_id_col(F.col("text")).alias("lang")).collect()}
+    assert out == {1: "ja", 2: "ko", 3: "zh"}
+
+
+def test_quality_stopword_term_follows_language(spark):
+    """Non-English text with healthy stopword density must not be floored
+    on the stopword term; CJK text passes the term outright (it has no
+    whitespace stopwords to count)."""
+    de = (
+        "Der Hund ist nicht mit der Katze in dem Haus, und das Wetter ist "
+        "heute wirklich schön. Die Kinder spielen mit dem Ball, und der "
+        "Vater liest die Zeitung im Garten während der Nachmittag vergeht."
+    ) * 2
+    en = (
+        "The dog is not with the cat in the house, and the weather is "
+        "really nice today. The children play with the ball, and the "
+        "father reads the newspaper in the garden as the afternoon passes."
+    ) * 2
+    zh = "数据处理系统在大规模集群上运行良好，并且性能稳定。数据的质量与吞吐率都满足要求，系统每天处理大量文本。" * 3
+    df = spark.createDataFrame([(1, de), (2, en), (3, zh)], "id long, text string")
+    out = {r.id: r.q for r in df.select(
+        "id", textquality.quality_score_col(F.col("text")).alias("q")
+    ).collect()}
+    assert out[1] == out[2]  # same structure, different language: same score
+    assert out[3] >= 0.7  # stopword + punct terms pass; word-length band may not
+
+
 def test_quality_and_tokens(spark):
     good = "This is a well formed sentence, with punctuation. It has the usual structure of the readable text. " * 3
     df = spark.createDataFrame([(1, good), (2, "x y z")], "id long, text string")
