@@ -1,0 +1,192 @@
+"""Catalog-backed transactional sinks: Iceberg when the runtime ships the
+jars, a parquet staging-swap protocol otherwise — same semantics either way.
+
+The reference's core write path is ``replace_one({url}, doc, upsert=True)``
+against a unique index with a was-new signal
+(news-scanner/database/articles.py:89-200,63-87). On a lakehouse that is
+Iceberg ``MERGE INTO`` (row-level upsert with snapshot isolation); this
+module emits exactly that SQL when an Iceberg catalog is reachable and
+otherwise degrades to read-merge-swap over parquet with identical
+dataflow semantics (the window-form upsert from operators/io_ops.py).
+
+Targets: a dotted table identifier (``catalog.db.tbl``) routes to the
+catalog; anything with a path separator routes to parquet. The parquet
+swap is atomic on a POSIX filesystem (rename); object stores need the
+Iceberg path — that asymmetry is the point of the capability gate.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+from typing import Optional
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from readability_scanner_spark.operators.dedup import dedup_by_key
+from readability_scanner_spark.operators.io_ops import upsert_by_key
+
+_ICEBERG_CLASS = "org.apache.iceberg.spark.SparkCatalog"
+
+
+def iceberg_available(spark: SparkSession) -> bool:
+    """True when the Iceberg runtime jar is on the session's classpath."""
+    try:
+        spark._jvm.java.lang.Class.forName(_ICEBERG_CLASS)  # type: ignore[union-attr]
+        return True
+    except Exception:
+        return False
+
+
+def _is_path(target: str) -> bool:
+    return "/" in target or target.startswith("file:") or os.sep in target
+
+
+# ---------------------------------------------------------------------------
+# upsert
+# ---------------------------------------------------------------------------
+
+def merge_upsert(
+    spark: SparkSession,
+    target: str,
+    incoming: DataFrame,
+    key: str,
+    order_col: str,
+    mode: str = "replace",
+) -> dict:
+    """S4 upsert-by-unique-key into ``target``. Within the incoming batch
+    the newest ``order_col`` per key wins. On key collision with the
+    table, ``mode`` decides:
+
+    - ``"replace"`` (default, the reference's replace_one semantics,
+      articles.py:128-132): the incoming row ALWAYS replaces the stored
+      one, regardless of recency.
+    - ``"newest"``: the incoming row replaces only when its order_col is
+      >= the stored one — the idempotent choice for out-of-order replays
+      at scale.
+
+    Returns the reference's was-new accounting: {"inserted": n,
+    "updated": n}. Iceberg: one MERGE INTO (source pre-deduped per key,
+    as MERGE requires). Parquet: read-merge-staging-swap.
+    """
+    if mode not in ("replace", "newest"):
+        raise ValueError(f"mode must be 'replace' or 'newest', got {mode!r}")
+    deduped = dedup_by_key(incoming, key, order_col)
+
+    if _is_path(target):
+        return _parquet_upsert(spark, target, deduped, key, order_col, mode)
+
+    if not iceberg_available(spark):
+        raise RuntimeError(
+            f"target {target!r} is a table identifier but no Iceberg runtime "
+            "is on the classpath; pass a filesystem path for the parquet "
+            "fallback protocol"
+        )
+    view = "_merge_src"
+    deduped.createOrReplaceTempView(view)
+    stats = _was_new_counts(spark.table(target), deduped, key)
+    matched = (
+        "WHEN MATCHED THEN UPDATE SET *"
+        if mode == "replace"
+        else f"WHEN MATCHED AND s.{order_col} >= t.{order_col} THEN UPDATE SET *"
+    )
+    spark.sql(
+        f"""
+        MERGE INTO {target} t USING {view} s
+        ON t.{key} = s.{key}
+        {matched}
+        WHEN NOT MATCHED THEN INSERT *
+        """
+    )
+    spark.catalog.dropTempView(view)
+    return stats
+
+
+def _was_new_counts(existing: Optional[DataFrame], incoming: DataFrame, key: str) -> dict:
+    if existing is None:
+        return {"inserted": incoming.count(), "updated": 0}
+    hit = (
+        incoming.select(key)
+        .join(existing.select(key).distinct(), key, "left_semi")
+        .count()
+    )
+    return {"inserted": incoming.count() - hit, "updated": hit}
+
+
+def _swap_in(df: DataFrame, path: str) -> None:
+    """Materialize df into a staging dir, then atomically swap it in.
+    A crash before the final rename leaves the old table intact; a crash
+    between the two renames leaves ``path.__old__`` as the recovery copy.
+    """
+    staging = path + ".__staging__"
+    backup = path + ".__old__"
+    df.write.mode("overwrite").parquet(staging)
+    for leftover in (backup,):
+        if os.path.exists(leftover):
+            shutil.rmtree(leftover)
+    if os.path.exists(path):
+        os.rename(path, backup)
+    os.rename(staging, path)
+    if os.path.exists(backup):
+        shutil.rmtree(backup)
+
+
+def _parquet_upsert(
+    spark: SparkSession, path: str, deduped: DataFrame, key: str, order_col: str, mode: str
+) -> dict:
+    if os.path.exists(path):
+        existing = spark.read.parquet(path)
+        stats = _was_new_counts(existing, deduped, key)
+        if mode == "replace":
+            merged = upsert_by_key(existing, deduped, key, order_col)
+        else:
+            # newest-wins: one window over the union; ties go to incoming
+            # (mirrors MERGE's `s.order_col >= t.order_col`)
+            from pyspark.sql import Window
+
+            tagged = existing.withColumn("_src", F.lit(0)).unionByName(
+                deduped.withColumn("_src", F.lit(1))
+            )
+            w = Window.partitionBy(key).orderBy(F.desc(order_col), F.desc("_src"))
+            merged = (
+                tagged.withColumn("_rn", F.row_number().over(w))
+                .where(F.col("_rn") == 1)
+                .drop("_rn", "_src")
+            )
+    else:
+        stats = _was_new_counts(None, deduped, key)
+        merged = deduped
+    _swap_in(merged, path)
+    return stats
+
+
+# ---------------------------------------------------------------------------
+# delete / overwrite
+# ---------------------------------------------------------------------------
+
+def delete_rows(spark: SparkSession, target: str, predicate_sql: str) -> None:
+    """M4 delete-by-predicate. Iceberg: DELETE FROM (row-level, ACID).
+    Parquet: rewrite the complement through the staging swap."""
+    if _is_path(target):
+        kept = spark.read.parquet(target).where(f"NOT ({predicate_sql})")
+        _swap_in(kept, target)
+        return
+    if not iceberg_available(spark):
+        raise RuntimeError(f"no Iceberg runtime for table target {target!r}")
+    spark.sql(f"DELETE FROM {target} WHERE {predicate_sql}")
+
+
+def overwrite_all(spark: SparkSession, target: str, df: DataFrame) -> None:
+    """S5 full refresh. Iceberg: INSERT OVERWRITE (snapshot-isolated).
+    Parquet: staging swap (NOT write.mode('overwrite') directly — that
+    deletes the live table before the new data is safely written)."""
+    if _is_path(target):
+        _swap_in(df, target)
+        return
+    if not iceberg_available(spark):
+        raise RuntimeError(f"no Iceberg runtime for table target {target!r}")
+    view = "_overwrite_src"
+    df.createOrReplaceTempView(view)
+    spark.sql(f"INSERT OVERWRITE {target} SELECT * FROM {view}")
+    spark.catalog.dropTempView(view)

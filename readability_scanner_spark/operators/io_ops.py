@@ -11,8 +11,11 @@ from __future__ import annotations
 import math
 import os
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
 
 
 def upsert_by_key(existing: DataFrame, incoming: DataFrame, key: str, order_col: str) -> DataFrame:
@@ -86,10 +89,96 @@ def migrate_legacy_columns(df: DataFrame, target: str, legacy_priority: list[str
     return out.drop(*[c for c in present if c != target])
 
 
+_MIX1 = np.uint64(0xFF51AFD7ED558CCD)
+_MIX2 = np.uint64(0xC4CEB9FE1A85EC53)
+_SEED2 = np.uint64(0x9E3779B97F4A7C15)
+
+
+def _mix64(x: np.ndarray) -> np.ndarray:
+    """splitmix64 finalizer, vectorized (uint64 in/out)."""
+    x = x.astype(np.uint64, copy=True)
+    x ^= x >> np.uint64(33)
+    x *= _MIX1
+    x ^= x >> np.uint64(33)
+    x *= _MIX2
+    x ^= x >> np.uint64(33)
+    return x
+
+
+def _bloom_positions(keys: np.ndarray, n_bits: int, n_hashes: int) -> list[np.ndarray]:
+    """k bit positions per key via double hashing (h1 + i*h2)."""
+    u = keys.astype(np.int64).view(np.uint64)
+    h1 = _mix64(u)
+    h2 = _mix64(u ^ _SEED2) | np.uint64(1)
+    nb = np.uint64(n_bits)
+    return [(h1 + np.uint64(i) * h2) % nb for i in range(n_hashes)]
+
+
+def key_bloom(
+    keys_df: DataFrame, key: str, n_bits: int = 1 << 23, n_hashes: int = 4
+) -> bytes:
+    """Distributed bloom-filter build over an integer key column: each
+    partition folds its keys into one packed bitmap (n_bits/8 bytes);
+    the driver ORs the per-partition bitmaps. Driver traffic is
+    partitions x bitmap-size (1 MiB at the default), independent of key
+    count — the bounded-collect pattern, not a key collect."""
+
+    def build(batches):
+        bm = np.zeros(n_bits // 8, dtype=np.uint8)
+        for pdf in batches:
+            vals = pdf[key].to_numpy()
+            if len(vals):
+                for pos in _bloom_positions(vals, n_bits, n_hashes):
+                    np.bitwise_or.at(bm, pos >> np.uint64(3), np.left_shift(
+                        np.uint8(1), (pos & np.uint64(7)).astype(np.uint8)
+                    ))
+        yield pd.DataFrame({"bm": [bm.tobytes()]})
+
+    parts = keys_df.select(key).mapInPandas(build, schema="bm binary").collect()
+    out = np.zeros(n_bits // 8, dtype=np.uint8)
+    for row in parts:
+        out |= np.frombuffer(row.bm, dtype=np.uint8)
+    return out.tobytes()
+
+
 def backfill_remaining(
-    full: DataFrame, processed_keys: DataFrame, key: str
+    full: DataFrame,
+    processed_keys: DataFrame,
+    key: str,
+    bloom_bits: int = 0,
+    n_hashes: int = 4,
 ) -> DataFrame:
     """M3 resumable backfill (backfill_jobs.py:20-133): the work queue is
     an anti-join against already-processed keys — the set-oriented form
-    of the reference's 'rows matching predicate' batch loop."""
-    return full.join(processed_keys.select(key).distinct(), key, "left_anti")
+    of the reference's 'rows matching predicate' batch loop.
+
+    With ``bloom_bits`` > 0, a bloom pre-join prunes the shuffle: rows
+    whose key is definitely NOT in the processed set (no false negatives)
+    skip the anti-join entirely and only the "maybe processed" remainder
+    shuffles. At a resume where most keys are unprocessed this removes
+    almost the whole exchange; result is identical to the plain anti-join
+    because bloom false POSITIVES still go through the exact join."""
+    work = processed_keys.select(key).distinct()
+    if not bloom_bits:
+        return full.join(work, key, "left_anti")
+
+    bm_bytes = key_bloom(processed_keys, key, bloom_bits, n_hashes)
+    bc = full.sparkSession.sparkContext.broadcast(bm_bytes)
+    n_bits, k = bloom_bits, n_hashes
+
+    @pandas_udf("boolean")
+    def maybe_processed(col: pd.Series) -> pd.Series:
+        bm = np.frombuffer(bc.value, dtype=np.uint8)
+        vals = col.to_numpy()
+        if not len(vals):
+            return pd.Series([], dtype=bool)
+        hit = np.ones(len(vals), dtype=bool)
+        for pos in _bloom_positions(vals, n_bits, k):
+            hit &= (bm[(pos >> np.uint64(3)).astype(np.int64)] &
+                    np.left_shift(np.uint8(1), (pos & np.uint64(7)).astype(np.uint8))) != 0
+        return pd.Series(hit)
+
+    flagged = full.withColumn("_maybe", maybe_processed(F.col(key)))
+    definitely_new = flagged.where(~F.col("_maybe")).drop("_maybe")
+    needs_check = flagged.where(F.col("_maybe")).drop("_maybe")
+    return definitely_new.unionByName(needs_check.join(work, key, "left_anti"))

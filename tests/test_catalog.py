@@ -1,0 +1,103 @@
+"""Catalog sink tests: parquet staging-swap protocol always; the Iceberg
+MERGE path runs only when the runtime ships the jars (skipped otherwise —
+the capability gate itself is asserted either way)."""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from readability_scanner_spark import catalog
+
+
+def test_parquet_upsert_newest_wins_and_was_new(spark, tmp_path):
+    path = str(tmp_path / "tbl")
+    first = spark.createDataFrame(
+        [(1, 10, "a"), (2, 10, "b"), (2, 20, "b2")], "k long, ver long, v string"
+    )
+    stats = catalog.merge_upsert(spark, path, first, "k", "ver")
+    assert stats == {"inserted": 2, "updated": 0}  # incoming deduped per key
+    got = {r.k: (r.ver, r.v) for r in spark.read.parquet(path).collect()}
+    assert got == {1: (10, "a"), 2: (20, "b2")}
+
+    second = spark.createDataFrame(
+        [(2, 30, "b3"), (3, 5, "c")], "k long, ver long, v string"
+    )
+    stats = catalog.merge_upsert(spark, path, second, "k", "ver")
+    assert stats == {"inserted": 1, "updated": 1}
+    got = {r.k: (r.ver, r.v) for r in spark.read.parquet(path).collect()}
+    assert got == {1: (10, "a"), 2: (30, "b3"), 3: (5, "c")}
+    # reference replace_one semantics (default): stale incoming still
+    # replaces — the write is a full-document replace keyed on url
+    stale = spark.createDataFrame([(3, 1, "old")], "k long, ver long, v string")
+    catalog.merge_upsert(spark, path, stale, "k", "ver")
+    got = {r.k: r.v for r in spark.read.parquet(path).collect()}
+    assert got[3] == "old"
+    # newest mode: an older incoming row must NOT clobber a newer stored one
+    catalog.merge_upsert(
+        spark,
+        path,
+        spark.createDataFrame([(3, 9, "newer")], "k long, ver long, v string"),
+        "k",
+        "ver",
+    )
+    staler = spark.createDataFrame([(3, 2, "staler")], "k long, ver long, v string")
+    catalog.merge_upsert(spark, path, staler, "k", "ver", mode="newest")
+    got = {r.k: r.v for r in spark.read.parquet(path).collect()}
+    assert got[3] == "newer"
+    # no staging/backup debris
+    assert not os.path.exists(path + ".__staging__")
+    assert not os.path.exists(path + ".__old__")
+
+
+def test_parquet_delete_and_overwrite(spark, tmp_path):
+    path = str(tmp_path / "tbl2")
+    df = spark.range(10).withColumn("flag", F.col("id") % 2 == 0)
+    catalog.overwrite_all(spark, path, df)
+    assert spark.read.parquet(path).count() == 10
+    catalog.delete_rows(spark, path, "flag")
+    kept = [r.id for r in spark.read.parquet(path).collect()]
+    assert sorted(kept) == [1, 3, 5, 7, 9]
+    catalog.overwrite_all(spark, path, spark.range(3))
+    assert spark.read.parquet(path).count() == 3
+
+
+def test_table_target_requires_iceberg(spark):
+    if catalog.iceberg_available(spark):
+        pytest.skip("iceberg present: gate not exercised")
+    df = spark.range(1).withColumn("ver", F.lit(1))
+    with pytest.raises(RuntimeError, match="Iceberg"):
+        catalog.merge_upsert(spark, "lake.db.tbl", df, "id", "ver")
+    with pytest.raises(RuntimeError, match="Iceberg"):
+        catalog.delete_rows(spark, "lake.db.tbl", "id = 1")
+
+
+@pytest.mark.skipif(True, reason="evaluated at runtime below")
+def _never():  # pragma: no cover
+    pass
+
+
+def test_iceberg_merge_roundtrip(spark, tmp_path):
+    """Real MERGE INTO path — runs only on a runtime with Iceberg jars
+    (this sandbox ships none; the parquet protocol above is the tested
+    equivalence)."""
+    if not catalog.iceberg_available(spark):
+        pytest.skip("no Iceberg runtime on classpath")
+    wh = str(tmp_path / "warehouse")
+    spark.conf.set("spark.sql.catalog.lake", "org.apache.iceberg.spark.SparkCatalog")
+    spark.conf.set("spark.sql.catalog.lake.type", "hadoop")
+    spark.conf.set("spark.sql.catalog.lake.warehouse", wh)
+    spark.sql("CREATE TABLE lake.db.t (k BIGINT, ver BIGINT, v STRING) USING iceberg")
+    spark.createDataFrame([(1, 1, "a")], "k long, ver long, v string").writeTo(
+        "lake.db.t"
+    ).append()
+    stats = catalog.merge_upsert(
+        spark,
+        "lake.db.t",
+        spark.createDataFrame([(1, 2, "a2"), (2, 1, "b")], "k long, ver long, v string"),
+        "k",
+        "ver",
+    )
+    assert stats == {"inserted": 1, "updated": 1}
+    got = {r.k: r.v for r in spark.table("lake.db.t").collect()}
+    assert got == {1: "a2", 2: "b"}

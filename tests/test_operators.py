@@ -321,6 +321,38 @@ def test_backfill_remaining(spark):
     assert left == [1, 2, 4, 5, 6, 8, 9]
 
 
+def test_backfill_bloom_prefilter_identical_and_pruning(spark):
+    """Bloom pre-join must return exactly the plain anti-join result (no
+    false negatives by construction) while routing most unprocessed rows
+    around the shuffle."""
+    full = spark.createDataFrame([(i,) for i in range(5000)], "id long").repartition(8)
+    done = spark.createDataFrame([(i,) for i in range(0, 5000, 10)], "id long")
+    plain = sorted(r.id for r in io_ops.backfill_remaining(full, done, "id").collect())
+    bloomed = sorted(
+        r.id
+        for r in io_ops.backfill_remaining(full, done, "id", bloom_bits=1 << 16).collect()
+    )
+    assert bloomed == plain and len(plain) == 4500
+
+    # the bitmap itself: every processed key tests positive (no false negatives)
+    import numpy as np
+
+    bm = np.frombuffer(io_ops.key_bloom(done, "id", 1 << 16), dtype=np.uint8)
+    keys = np.arange(0, 5000, 10)
+    hit = np.ones(len(keys), dtype=bool)
+    for pos in io_ops._bloom_positions(keys, 1 << 16, 4):
+        hit &= (bm[(pos >> np.uint64(3)).astype(np.int64)]
+                & np.left_shift(np.uint8(1), (pos & np.uint64(7)).astype(np.uint8))) != 0
+    assert hit.all()
+    # and the false-positive rate over non-members is tiny at this sizing
+    others = np.arange(100000, 140000)
+    fp = np.ones(len(others), dtype=bool)
+    for pos in io_ops._bloom_positions(others, 1 << 16, 4):
+        fp &= (bm[(pos >> np.uint64(3)).astype(np.int64)]
+               & np.left_shift(np.uint8(1), (pos & np.uint64(7)).astype(np.uint8))) != 0
+    assert fp.mean() < 0.05
+
+
 def test_delete_and_set(spark):
     df = spark.createDataFrame([(1, "pending"), (2, "failed"), (3, "done")], "id long, status string")
     kept = sorted(r.id for r in io_ops.delete_where(df, F.col("status") == "failed").collect())
