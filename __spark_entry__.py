@@ -615,6 +615,49 @@ def q_text_search(spark, sf_dir):
     return text_search(_t(spark, sf_dir, "documents", spread=True), "text", "data table query", "doc_id", limit=20)
 
 
+def q_text_search_scored(spark, sf_dir):
+    """P9 textScore upgrade: field-weighted saturating-TF relevance
+    (source weight 5, text weight 1 — Mongo $text field-weight shape)."""
+    from readability_scanner_spark.operators.search import text_search_weighted
+
+    return text_search_weighted(
+        _t(spark, sf_dir, "documents", spread=True),
+        {"source": 5.0, "text": 1.0},
+        "data table query",
+        "doc_id",
+        limit=20,
+    )
+
+
+def q_status_flow(spark, sf_dir):
+    """Status-machine lifecycle over a deterministic synthetic status
+    column: claim a batch of 50 pending (lowest event_id), then A3
+    breakdown of the resulting lifecycle states."""
+    from readability_scanner_spark.operators.statusflow import claim_batch, status_counts
+
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "status",
+        F.when(F.pmod("event_id", 10) < 4, "pending")
+        .when(F.pmod("event_id", 10) < 6, "processing")
+        .when(F.pmod("event_id", 10) < 9, "completed")
+        .otherwise("failed"),
+    )
+    return status_counts(claim_batch(ev, "event_id", "status", 50), "status")
+
+
+def q_embed_stub(spark, sf_dir):
+    """V1 seam smoke: documents through the predict_batch_udf path with
+    the deterministic stub encoder; the oracle pins row coverage and
+    vector shape (vector VALUES are the stub's — semantics live in the
+    pluggable model, not here)."""
+    from readability_scanner_spark.operators.embeddings import embed_documents
+
+    _ensure_package_on_workers(spark)
+    docs = _t(spark, sf_dir, "documents", spread=True)
+    out = embed_documents(docs, "doc_id", "source", "text", dim=32)
+    return out.select("doc_id", F.size("embedding").alias("dim"))
+
+
 def q_daily_topics(spark, sf_dir):
     """§3.3 daily-topics pipeline over the embeddings table (synthetic
     monotone ts per vec_id); nested article structs per topic."""
@@ -703,6 +746,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "balanced_classes": q_balanced_classes,
         "session_stats": q_session_stats,
         "rolling_mean": q_rolling_mean,
+        "text_search_scored": q_text_search_scored,
+        "status_flow": q_status_flow,
+        "embed_stub": q_embed_stub,
         # rows-only (non-SQL-expressible; pytest goldens cover semantics)
         "flagship_extract": q_flagship_extract,
         "minhash_candidates": q_minhash_candidates,
@@ -1068,6 +1114,51 @@ def oracle_sql() -> dict[str, str]:
         "media_features": _media_oracle(n=100, seed=42),
         "greedy_topics": _greedy_topics_oracle(),
         "daily_topics": _daily_topics_oracle(),
+        "text_search_scored": """
+            WITH tf AS (
+              SELECT doc_id,
+                len(regexp_extract_all(lower(source), '\\bdata\\b'))::DOUBLE AS s1,
+                len(regexp_extract_all(lower(source), '\\btable\\b'))::DOUBLE AS s2,
+                len(regexp_extract_all(lower(source), '\\bquery\\b'))::DOUBLE AS s3,
+                len(regexp_extract_all(lower(text), '\\bdata\\b'))::DOUBLE AS t1,
+                len(regexp_extract_all(lower(text), '\\btable\\b'))::DOUBLE AS t2,
+                len(regexp_extract_all(lower(text), '\\bquery\\b'))::DOUBLE AS t3
+              FROM documents
+            )
+            SELECT doc_id, score FROM (
+              SELECT doc_id, round(
+                  (CASE WHEN s1 > 0 THEN 5.0 * (0.5 + 0.5 * s1 / (s1 + 1)) ELSE 0 END)
+                + (CASE WHEN s2 > 0 THEN 5.0 * (0.5 + 0.5 * s2 / (s2 + 1)) ELSE 0 END)
+                + (CASE WHEN s3 > 0 THEN 5.0 * (0.5 + 0.5 * s3 / (s3 + 1)) ELSE 0 END)
+                + (CASE WHEN t1 > 0 THEN 1.0 * (0.5 + 0.5 * t1 / (t1 + 1)) ELSE 0 END)
+                + (CASE WHEN t2 > 0 THEN 1.0 * (0.5 + 0.5 * t2 / (t2 + 1)) ELSE 0 END)
+                + (CASE WHEN t3 > 0 THEN 1.0 * (0.5 + 0.5 * t3 / (t3 + 1)) ELSE 0 END), 4)
+                AS score
+              FROM tf
+            ) WHERE score > 0
+            ORDER BY score DESC, doc_id ASC LIMIT 20
+        """,
+        "status_flow": """
+            WITH base AS (
+              SELECT event_id,
+                CASE WHEN event_id % 10 < 4 THEN 'pending'
+                     WHEN event_id % 10 < 6 THEN 'processing'
+                     WHEN event_id % 10 < 9 THEN 'completed'
+                     ELSE 'failed' END AS status
+              FROM events
+            ), claim AS (
+              SELECT event_id FROM base WHERE status = 'pending'
+              ORDER BY event_id LIMIT 50
+            ), updated AS (
+              SELECT CASE WHEN event_id IN (SELECT event_id FROM claim)
+                          THEN 'processing' ELSE status END AS status
+              FROM base
+            )
+            SELECT status, count(*) AS cnt FROM updated GROUP BY status
+        """,
+        "embed_stub": """
+            SELECT doc_id, 32 AS dim FROM documents
+        """,
         "readability_by_source": f"""
             WITH per_doc AS (
               SELECT source AS grp, {w} AS w, {s} AS s, {c} AS c

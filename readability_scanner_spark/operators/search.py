@@ -36,6 +36,40 @@ def relevance_col(text: Column, query: str) -> Column:
     return score
 
 
+def weighted_text_score(fields: dict[str, float], query: str) -> Column:
+    """Mongo-$text-style relevance: per indexed FIELD with weight w, per
+    query term with tf occurrences in that field, the contribution is
+    w * (0.5 + 0.5 * tf / (tf + 1)) when tf > 0 — a saturating
+    term-frequency curve with field weighting, the shape Mongo documents
+    for textScore (exact constants are not a public contract; this is
+    the documented approximation). Deliberately transcendental-free:
+    only small-int arithmetic and one IEEE division per term, so the
+    DuckDB oracle reproduces it bit-for-bit."""
+    score = F.lit(0.0)
+    for col_name, weight in fields.items():
+        low = F.lower(F.col(col_name))
+        for t in _terms(query):
+            tf = F.regexp_count(low, F.lit(rf"\b{re.escape(t)}\b")).cast("double")
+            score = score + F.when(
+                tf > 0, F.lit(float(weight)) * (0.5 + 0.5 * tf / (tf + 1))
+            ).otherwise(0.0)
+    return score
+
+
+def text_search_weighted(
+    df: DataFrame, fields: dict[str, float], query: str, id_col: str, limit: int = 20
+) -> DataFrame:
+    """P9 with field weights + TF scaling (the textScore upgrade over the
+    raw match-count form below)."""
+    return (
+        df.withColumn("score", F.round(weighted_text_score(fields, query), 4))
+        .where(F.col("score") > 0)
+        .select(id_col, "score")
+        .orderBy(F.desc("score"), F.asc(id_col))
+        .limit(limit)
+    )
+
+
 def text_search(
     df: DataFrame, text_col: str, query: str, id_col: str, limit: int = 20, require_all: bool = False
 ) -> DataFrame:

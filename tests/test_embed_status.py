@@ -1,0 +1,77 @@
+"""V1 embedding seam + status-machine + weighted text search tests."""
+
+import numpy as np
+from pyspark.sql import functions as F
+
+from readability_scanner_spark.operators import statusflow
+from readability_scanner_spark.operators.embeddings import embed_documents, stub_predict_fn
+from readability_scanner_spark.operators.search import text_search_weighted
+
+
+def test_embed_seam_deterministic_and_unit_norm(spark):
+    df = spark.createDataFrame(
+        [(1, "alpha", "some content here"), (2, "beta", "other content"), (3, "alpha", "some content here")],
+        "doc_id long, source string, text string",
+    )
+    out = {r.doc_id: r.embedding for r in embed_documents(df, "doc_id", "source", "text", dim=16).collect()}
+    assert all(len(v) == 16 for v in out.values())
+    assert out[1] == out[3]  # same prep text → same stub vector
+    assert out[1] != out[2]
+    assert abs(float(np.linalg.norm(out[1])) - 1.0) < 1e-5
+    # repartitioning must not change values (per-worker model load, pure fn)
+    out2 = {r.doc_id: r.embedding for r in embed_documents(df.repartition(3), "doc_id", "source", "text", dim=16).collect()}
+    assert out == out2
+
+
+def test_embed_seam_accepts_custom_model(spark):
+    """The predict_batch_udf contract: a user-supplied factory returning
+    fn(np.ndarray)->np.ndarray plugs in without touching the flow."""
+
+    def factory():
+        def predict(texts: np.ndarray) -> np.ndarray:
+            return np.array([[float(len(str(t))), 1.0] for t in texts], dtype=np.float32)
+
+        return predict
+
+    df = spark.createDataFrame([(1, "ab", "cd")], "doc_id long, source string, text string")
+    row = embed_documents(df, "doc_id", "source", "text", make_predict_fn=factory, dim=2).first()
+    assert row.embedding == [5.0, 1.0]  # "ab cd" → len 5
+
+
+def test_stub_predict_batch_shape():
+    fn = stub_predict_fn(dim=8)
+    out = fn(np.array(["a", "b", "a"]))
+    assert out.shape == (3, 8)
+    assert (out[0] == out[2]).all() and not (out[0] == out[1]).all()
+
+
+def test_status_lifecycle(spark):
+    df = spark.createDataFrame(
+        [(i, "pending" if i < 6 else "completed", i * 100) for i in range(10)],
+        "k long, status string, ts long",
+    )
+    claimed = statusflow.claim_batch(df, "k", "status", 3)
+    got = {r.k: r.status for r in claimed.collect()}
+    assert [got[i] for i in range(6)] == ["processing"] * 3 + ["pending"] * 3
+    done = statusflow.transition(claimed, "status", "processing", "completed", F.col("k") < 2)
+    got = {r.k: r.status for r in done.collect()}
+    assert got[0] == got[1] == "completed" and got[2] == "processing"
+    requeued = statusflow.requeue_stale(done, "status", "ts", 1000)
+    got = {r.k: r.status for r in requeued.collect()}
+    assert got[2] == "pending"  # ts 200 < cutoff → back to pending
+    counts = {r.status: r.cnt for r in statusflow.status_counts(requeued, "status").collect()}
+    assert counts == {"completed": 6, "pending": 4}
+
+
+def test_weighted_search_field_weights_dominate(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "data", "nothing relevant at all"),
+            (2, "misc", "data data data data data everywhere in the body data"),
+            (3, "misc", "nothing"),
+        ],
+        "doc_id long, source string, text string",
+    )
+    out = [r.doc_id for r in text_search_weighted(df, {"source": 5.0, "text": 1.0}, "data", "doc_id").collect()]
+    # one title hit (5 * 0.75 = 3.75) outranks many body hits (1 * <1.0)
+    assert out == [1, 2]
