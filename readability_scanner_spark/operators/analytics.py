@@ -299,10 +299,19 @@ def top_k(df: DataFrame, order_col: str, k: int, tie_break: str) -> DataFrame:
 def rolling_window(df: DataFrame, ts_col: str, days: int, anchor=None) -> DataFrame:
     """W1 7-day lookback (articles.py:479-495). `anchor` defaults to the
     data max so tests are deterministic; production passes
-    current_timestamp()."""
-    if anchor is None:
-        anchor = df.agg(F.max(ts_col)).first()[0]
-    return df.where(F.col(ts_col) >= F.lit(anchor) - F.expr(f"INTERVAL {days} DAYS"))
+    current_timestamp(). The default anchor is computed INSIDE the same
+    job (broadcast single-row aggregate join — the scalar-subquery
+    shape), not a driver-side action, so the operator stays one plan."""
+    if anchor is not None:
+        return df.where(F.col(ts_col) >= F.lit(anchor) - F.expr(f"INTERVAL {days} DAYS"))
+    bound = df.agg(
+        (F.max(ts_col) - F.expr(f"INTERVAL {days} DAYS")).alias("_cutoff")
+    )
+    return (
+        df.join(F.broadcast(bound))
+        .where(F.col(ts_col) >= F.col("_cutoff"))
+        .drop("_cutoff")
+    )
 
 
 def daily_buckets(df: DataFrame, ts_col: str, value_col: str) -> DataFrame:

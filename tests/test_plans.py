@@ -89,3 +89,38 @@ def test_semi_join_planned(spark):
     orders = spark.read.parquet(f"{SF}/orders.parquet").where("o_totalprice > 450000")
     df = cust.join(orders, cust.c_custkey == orders.o_custkey, "left_semi")
     assert "LeftSemi" in _plan(df)
+
+
+def test_rolling_window_default_anchor_is_one_plan(spark):
+    """The default anchor must be a broadcast scalar-subquery join inside
+    the SAME plan — no driver-side .first() action hidden in the builder."""
+    from readability_scanner_spark.operators.analytics import rolling_window
+
+    ev = spark.read.parquet(f"{SF}/events.parquet")
+    df = rolling_window(ev, "ts", 7)
+    plan = _plan(df)
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    # correctness vs explicit anchor
+    anchor = ev.agg(F.max("ts")).first()[0]
+    explicit = rolling_window(ev, "ts", 7, anchor=anchor).count()
+    assert df.count() == explicit
+
+
+def test_status_claim_is_broadcast(spark):
+    from readability_scanner_spark.operators.statusflow import claim_batch
+
+    ev = (
+        spark.read.parquet(f"{SF}/events.parquet")
+        .withColumn("status", F.when(F.pmod("event_id", 2) == 0, "pending").otherwise("completed"))
+    )
+    plan = _plan(claim_batch(ev, "event_id", "status", 10))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_embedding_near_dups_no_nested_loop(spark):
+    from readability_scanner_spark.operators.dedup import embedding_near_dups
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    plan = _plan(embedding_near_dups(emb, "vec_id", "embedding", threshold=0.95, n_planes=4))
+    assert "CartesianProduct" not in plan
