@@ -690,6 +690,38 @@ def q_full_report(spark, sf_dir):
     return readability_report(extract_and_score(transcripts, repartition_to=0), "conv_id")
 
 
+def q_full_report_sql(spark, sf_dir):
+    """The §3.2 report read-path THROUGH the full Python extraction
+    pipeline, restricted to its SQL-expressible metric columns so the
+    driver can verify it exactly: plain-text documents survive
+    extraction as whitespace-normalized text, so word/sentence/char
+    counts and the syllable-free formulas recompute in DuckDB. The
+    syllable-based metrics stay in `full_report` (rows-only — syllable
+    estimation is not SQL)."""
+    from readability_scanner_spark.operators.reports import readability_report
+    from readability_scanner_spark.plans.pipeline import extract_and_score
+
+    docs = _t(spark, sf_dir, "documents")
+    transcripts = docs.select(
+        F.col("source").alias("conv_id"),
+        F.col("doc_id").cast("int").alias("turn_idx"),
+        F.lit("user").alias("role"),
+        F.col("text"),
+        F.lit(None).cast("string").alias("tool"),
+        F.to_timestamp(F.lit("2025-06-01 00:00:00")).alias("ts"),
+    )
+    rep = readability_report(extract_and_score(transcripts, repartition_to=0), "conv_id")
+    return rep.select(
+        "grp",
+        "documents",
+        F.round("avg_words", 4).alias("avg_words"),
+        F.round("avg_sentences", 4).alias("avg_sentences"),
+        F.round("avg_characters", 4).alias("avg_characters"),
+        F.round("avg_coleman_liau", 4).alias("avg_coleman_liau"),
+        F.round("avg_automated_readability", 4).alias("avg_automated_readability"),
+    )
+
+
 def q_media_features(spark, sf_dir):
     from readability_scanner_spark.operators.multimodal import (
         extract_media_features,
@@ -760,6 +792,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "greedy_topics": q_greedy_topics,
         "daily_topics": q_daily_topics,
         "full_report": q_full_report,
+        "full_report_sql": q_full_report_sql,
         "media_features": q_media_features,
     }
 
@@ -1158,6 +1191,34 @@ def oracle_sql() -> dict[str, str]:
         """,
         "embed_stub": """
             SELECT doc_id, 32 AS dim FROM documents
+        """,
+        "full_report_sql": """
+            WITH norm AS (
+              SELECT source AS grp, trim(regexp_replace(text, '\\s+', ' ', 'g')) AS t
+              FROM documents
+            ), st AS (
+              SELECT grp,
+                greatest(len(regexp_extract_all(t, '\\b\\w+\\b')), 1) AS w,
+                greatest(len(list_filter(
+                  regexp_split_to_array(t, '[.!?]+(?:\\s+|$)'), x -> trim(x) != '')), 1) AS s,
+                length(regexp_replace(t, '\\s', '', 'g')) AS c
+              FROM norm WHERE t != ''
+            ), scored AS (
+              -- python expression shapes (functions/formulas.py:72-103):
+              -- 0.0588*L - 0.296*S - 15.8 with L=(c/w)*100, floored at 0
+              SELECT grp, w, s, c,
+                greatest(0.0588 * ((c::DOUBLE / w) * 100) - 0.296 * ((s::DOUBLE / w) * 100)
+                         - 15.8, 0.0) AS cl,
+                greatest(4.71 * (c::DOUBLE / w) + 0.5 * (w::DOUBLE / s) - 21.43, 0.0) AS ari
+              FROM st
+            )
+            SELECT grp, count(*) AS documents,
+                   round(avg(w), 4) AS avg_words,
+                   round(avg(s), 4) AS avg_sentences,
+                   round(avg(c), 4) AS avg_characters,
+                   round(avg(cl), 4) AS avg_coleman_liau,
+                   round(avg(ari), 4) AS avg_automated_readability
+            FROM scored GROUP BY grp
         """,
         "readability_by_source": f"""
             WITH per_doc AS (
