@@ -598,6 +598,14 @@ def q_session_stats(spark, sf_dir):
     return session_stats(_t(spark, sf_dir, "events"), "user_id", "ts", gap_minutes=30)
 
 
+def q_session_windows(spark, sf_dir):
+    """Native session_window sessionization (event-time form; >= gap
+    splits, the half-open-window semantics)."""
+    from readability_scanner_spark.operators.sessions import session_window_stats
+
+    return session_window_stats(_t(spark, sf_dir, "events"), "user_id", "ts", 30)
+
+
 def q_rolling_mean(spark, sf_dir):
     """Per-user trailing mean over the previous 5 events."""
     from readability_scanner_spark.operators.sessions import rolling_mean
@@ -777,6 +785,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stratified_sample": q_stratified_sample,
         "balanced_classes": q_balanced_classes,
         "session_stats": q_session_stats,
+        "session_windows": q_session_windows,
         "rolling_mean": q_rolling_mean,
         "text_search_scored": q_text_search_scored,
         "status_flow": q_status_flow,
@@ -1506,6 +1515,23 @@ def oracle_sql() -> dict[str, str]:
                    (epoch_us(max(ts)) - epoch_us(min(ts))) // 1000000 AS span_seconds,
                    min(event_id) AS first_event, max(event_id) AS last_event
             FROM sess GROUP BY user_id, session_idx
+        """,
+        "session_windows": """
+            WITH flagged AS (
+              SELECT user_id, event_id, ts,
+                CASE WHEN lag(ts) OVER w IS NULL
+                       OR epoch_us(ts) - epoch_us(lag(ts) OVER w) >= 1800000000
+                     THEN 1 ELSE 0 END AS new_s
+              FROM events
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+            ), sess AS (
+              SELECT user_id, ts,
+                sum(new_s) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+                                 ROWS UNBOUNDED PRECEDING)::BIGINT AS sid
+              FROM flagged
+            )
+            SELECT user_id, epoch_us(min(ts)) AS start_us, count(*) AS n_events
+            FROM sess GROUP BY user_id, sid
         """,
         "rolling_mean": """
             SELECT event_id,

@@ -70,6 +70,32 @@ def session_stats(
     )
 
 
+def session_window_stats(
+    df: DataFrame, user_col: str, ts_col: str, gap_minutes: int = 30
+) -> DataFrame:
+    """Sessionization via Spark's NATIVE session_window: the engine merges
+    events whose gap is < gap (window end extends to last_event + gap),
+    so there is no window-function shuffle-sort — one aggregation with
+    session-merging state. Boundary nuance vs `sessionize`: a gap of
+    EXACTLY the threshold splits here (half-open window) but merges
+    there (`> gap` test); with microsecond timestamps exact-equality
+    gaps are measure-zero. Same expression works under Structured
+    Streaming with a watermark (streaming/sessions.py)."""
+    return (
+        df.groupBy(
+            F.col(user_col),
+            F.session_window(F.col(ts_col).cast("timestamp"), f"{gap_minutes} minutes"),
+        )
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            user_col,
+            F.unix_micros(F.col("session_window.start")).alias("start_us"),
+            "n_events",
+        )
+        .orderBy(user_col, "start_us")
+    )
+
+
 def rolling_mean(
     df: DataFrame,
     part_col: str,

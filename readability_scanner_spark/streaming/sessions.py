@@ -129,3 +129,32 @@ def streaming_sessions(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
             timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
         )
     )
+
+
+def streaming_session_windows(
+    events: DataFrame, gap_minutes: int = 30, watermark: str = "1 hour"
+) -> DataFrame:
+    """EVENT-time sessionization via the native session_window + a
+    watermark: Spark merges events whose event-time gap is under the
+    threshold, holds the session open in state, and (in append mode)
+    emits a session only once the watermark passes its end — late events
+    inside the watermark still merge, later ones are dropped. This is
+    the bounded-state, out-of-order-correct counterpart to the
+    processing-time applyInPandasWithState operator above; prefer it
+    whenever the business time is the event time."""
+    from pyspark.sql import functions as F
+
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(
+            F.col("user_id"),
+            F.session_window(F.col("ts"), f"{gap_minutes} minutes"),
+        )
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            "user_id",
+            F.col("session_window.start").alias("session_start"),
+            F.col("session_window.end").alias("session_end"),
+            "n_events",
+        )
+    )

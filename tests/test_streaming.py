@@ -147,3 +147,42 @@ def test_session_timeout_flushes_and_clears_state():
     st_empty = FakeState(None)
     frames = list(fn((8,), iter(()), st_empty))
     assert pd.concat(frames).empty
+
+
+def test_event_time_session_windows_emit_on_watermark(spark, tmp_path):
+    """Append-mode session_window: a session is emitted once the
+    watermark passes its end; the still-open newest session is held in
+    state, not emitted."""
+    from readability_scanner_spark.streaming.sessions import streaming_session_windows
+
+    in_dir = tmp_path / "sw_in"
+    in_dir.mkdir()
+    pd.DataFrame(
+        {
+            "event_id": [1, 2, 3, 4],
+            "user_id": [7, 7, 7, 7],
+            # session A: 10:00, 10:10; session B: 16:00; session C: 23:00
+            # watermark 1h off max(23:00) = 22:00 → A and B closed, C open
+            "ts": pd.to_datetime(
+                ["2025-01-01 10:00:00", "2025-01-01 10:10:00",
+                 "2025-01-01 16:00:00", "2025-01-01 23:00:00"]
+            ),
+        }
+    ).to_parquet(in_dir / "b1.parquet", coerce_timestamps="us")
+
+    stream = (
+        spark.readStream.schema("event_id long, user_id long, ts timestamp")
+        .parquet(str(in_dir))
+    )
+    q = (
+        streaming_session_windows(stream, gap_minutes=30, watermark="1 hour")
+        .writeStream.format("memory")
+        .queryName("sw_out")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "sw_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    rows = spark.sql("SELECT * FROM sw_out ORDER BY session_start").collect()
+    assert [(r.n_events, r.session_start.hour) for r in rows] == [(2, 10), (1, 16)]
