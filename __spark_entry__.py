@@ -1122,6 +1122,36 @@ def _daily_topics_oracle() -> str:
     )
 
 
+def _lang_quality_oracle() -> str:
+    """lang_quality oracle prefix (the scored CTE): generated from the
+    SAME marker-word constants the operator compiles its combined regex
+    from, so the alternation literal and per-language membership lists
+    can never drift from the Spark side."""
+    from readability_scanner_spark.operators.textquality import _LANG_MARKERS
+
+    # DuckDB single-quoted strings keep backslashes literal — the \b in
+    # the patterns passes through verbatim (the \\b neighbors below are
+    # PYTHON escapes that land as \b too)
+    per_lang = ",\n                ".join(
+        f"len(regexp_extract_all(lower(text), '{_LANG_MARKERS[lang]}')) AS hit_{lang}"
+        for lang in ("en", "de", "fr", "es")
+    )
+    return f"""
+            WITH scored AS (
+              SELECT doc_id, text,
+                greatest(len(regexp_extract_all(text, '\\b\\w+\\b')), 1) AS words,
+                greatest(len(regexp_extract_all(text, '[.!?]')), 1) AS sentences,
+                length(text) AS n_chars,
+                greatest(length(text), 1) AS n_chars1,
+                {per_lang},
+                len(regexp_extract_all(text, '[ぁ-ゟ゠-ヿ]')) AS hit_kana,
+                len(regexp_extract_all(text, '[가-힣]')) AS hit_hangul,
+                len(regexp_extract_all(text, '[一-鿿]')) AS hit_han,
+                len(regexp_extract_all(text, '[.,;:!?]')) AS puncts,
+                len(regexp_extract_all(text, '\\w+|[^\\w\\s]')) AS n_tokens
+              FROM documents"""
+
+
 def _media_oracle(n: int = 100, seed: int = 42) -> str:
     """media_features oracle: the synthetic payload generator is a pure
     deterministic formula, so the expected (n_bytes, crc32) rows are
@@ -1572,27 +1602,7 @@ def oracle_sql() -> dict[str, str]:
             WHERE len(list_intersect(a.g, b.g))::DOUBLE
                   / len(list_distinct(list_concat(a.g, b.g))) >= 0.5
         """,
-        "lang_quality": """
-            WITH scored AS (
-              SELECT doc_id, text,
-                greatest(len(regexp_extract_all(text, '\\b\\w+\\b')), 1) AS words,
-                greatest(len(regexp_extract_all(text, '[.!?]')), 1) AS sentences,
-                length(text) AS n_chars,
-                greatest(length(text), 1) AS n_chars1,
-                len(regexp_extract_all(lower(text),
-                  '\\b(the|and|of|to|in|is|that|for|with|was)\\b')) AS hit_en,
-                len(regexp_extract_all(lower(text),
-                  '\\b(der|die|das|und|ist|nicht|mit|ein|eine|zu)\\b')) AS hit_de,
-                len(regexp_extract_all(lower(text),
-                  '\\b(le|la|les|et|est|une|des|dans|pour|que)\\b')) AS hit_fr,
-                len(regexp_extract_all(lower(text),
-                  '\\b(el|la|los|las|es|una|para|con|por|del)\\b')) AS hit_es,
-                len(regexp_extract_all(text, '[ぁ-ゟ゠-ヿ]')) AS hit_kana,
-                len(regexp_extract_all(text, '[가-힣]')) AS hit_hangul,
-                len(regexp_extract_all(text, '[一-鿿]')) AS hit_han,
-                len(regexp_extract_all(text, '[.,;:!?]')) AS puncts,
-                len(regexp_extract_all(text, '\\w+|[^\\w\\s]')) AS n_tokens
-              FROM documents
+        "lang_quality": _lang_quality_oracle() + """
             ), ratios AS (
               SELECT *,
                 hit_en::DOUBLE / words AS s_en, hit_de::DOUBLE / words AS s_de,
