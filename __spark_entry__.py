@@ -666,6 +666,28 @@ def q_embed_stub(spark, sf_dir):
     return out.select("doc_id", F.size("embedding").alias("dim"))
 
 
+def q_text_quality_filters(spark, sf_dir):
+    """Gopher-style repetition signals + PII scrubbing over documents:
+    duplicate-word fraction, top-bigram share, redacted length and PII
+    hit count (zero hits on this clean corpus IS the assertion — no
+    false positives; planted-PII semantics are pytest-covered)."""
+    from readability_scanner_spark.operators.textquality import (
+        pii_hits_col,
+        redact_pii_col,
+        repetition_signals,
+    )
+
+    docs = _t(spark, sf_dir, "documents", spread=True)
+    sig = repetition_signals(F.col("text"))
+    return docs.select(
+        "doc_id",
+        F.round(sig["dup_word_frac"], 4).alias("dup_word_frac"),
+        F.round(sig["top_bigram_frac"], 4).alias("top_bigram_frac"),
+        F.length(redact_pii_col(F.col("text"))).alias("n_chars_redacted"),
+        pii_hits_col(F.col("text")).alias("pii_hits"),
+    )
+
+
 def q_daily_topics(spark, sf_dir):
     """§3.3 daily-topics pipeline over the embeddings table (synthetic
     monotone ts per vec_id); nested article structs per topic."""
@@ -790,6 +812,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_search_scored": q_text_search_scored,
         "status_flow": q_status_flow,
         "embed_stub": q_embed_stub,
+        "text_quality_filters": q_text_quality_filters,
         # rows-only (non-SQL-expressible; pytest goldens cover semantics)
         "flagship_extract": q_flagship_extract,
         "minhash_candidates": q_minhash_candidates,
@@ -1152,6 +1175,43 @@ def _lang_quality_oracle() -> str:
               FROM documents"""
 
 
+def _text_quality_filters_oracle() -> str:
+    """Generated from the operator's PII_PATTERNS so the regex literals
+    cannot drift; repetition math mirrors repetition_signals shape."""
+    from readability_scanner_spark.operators.textquality import PII_PATTERNS
+
+    redacted = "text"
+    for pattern, repl in PII_PATTERNS:
+        redacted = f"regexp_replace({redacted}, '{pattern}', '{repl}', 'g')"
+    hits = " + ".join(
+        f"len(regexp_extract_all(text, '{pattern}'))" for pattern, _ in PII_PATTERNS
+    )
+    return f"""
+        WITH toks AS (
+          SELECT doc_id, text,
+            list_filter(string_split_regex(lower(text), '\\s+'), x -> x != '') AS t
+          FROM documents
+        ), bi_t AS (
+          SELECT doc_id, text, t,
+            CASE WHEN len(t) >= 2 THEN
+              list_transform(generate_series(1, len(t) - 1), i -> t[i] || ' ' || t[i+1])[1:500]
+            ELSE [] END AS bi
+          FROM toks
+        )
+        SELECT doc_id,
+          round(CASE WHEN len(t) > 0
+                     THEN 1.0 - len(list_distinct(t)) / len(t)::DOUBLE
+                     ELSE 0.0 END, 4) AS dup_word_frac,
+          round(CASE WHEN len(bi) > 0
+                     THEN list_max(list_transform(list_distinct(bi),
+                            d -> len(list_filter(bi, x -> x = d)))) / len(bi)::DOUBLE
+                     ELSE 0.0 END, 4) AS top_bigram_frac,
+          length({redacted}) AS n_chars_redacted,
+          ({hits})::BIGINT AS pii_hits
+        FROM bi_t
+    """
+
+
 def _media_oracle(n: int = 100, seed: int = 42) -> str:
     """media_features oracle: the synthetic payload generator is a pure
     deterministic formula, so the expected (n_bytes, crc32) rows are
@@ -1186,6 +1246,7 @@ def oracle_sql() -> dict[str, str]:
         "media_features": _media_oracle(n=100, seed=42),
         "greedy_topics": _greedy_topics_oracle(),
         "daily_topics": _daily_topics_oracle(),
+        "text_quality_filters": _text_quality_filters_oracle(),
         "text_search_scored": """
             WITH tf AS (
               SELECT doc_id,

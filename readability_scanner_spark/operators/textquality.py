@@ -100,6 +100,68 @@ def quality_score_col(text: Column, cjk_ratio: float = 0.2) -> Column:
     return (length_ok + punct_ok + stop_ok + wordlen_ok + asl_ok) / F.lit(5.0)
 
 
+# PII patterns (shared literals with the DuckDB oracle; plain character
+# classes so Java regex and RE2 agree)
+PII_PATTERNS = (
+    (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "[EMAIL]"),
+    (r"\b\d{3}[-.]\d{3,4}[-.]\d{4}\b", "[PHONE]"),
+    (r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "[IP]"),
+)
+
+
+def redact_pii_col(text: Column) -> Column:
+    """Training-data scrubbing: emails / phone-shaped numbers / IPv4
+    literals replaced with typed placeholders, in a fixed pattern order
+    (email first — its local part may contain digits a later pattern
+    would half-match). Pure regexp_replace chain, whole-stage codegen."""
+    out = text
+    for pattern, repl in PII_PATTERNS:
+        out = F.regexp_replace(out, pattern, repl)
+    return out
+
+
+def pii_hits_col(text: Column) -> Column:
+    """Count of PII matches (pre-redaction), same patterns."""
+    total = F.lit(0)
+    for pattern, _ in PII_PATTERNS:
+        total = total + F.regexp_count(text, F.lit(pattern))
+    return total.cast("long")
+
+
+def repetition_signals(text: Column, max_bigrams: int = 500) -> dict[str, Column]:
+    """Gopher-style repetition filters as JVM expressions:
+
+    - dup_word_frac: 1 - distinct/total words — boilerplate and keyword
+      stuffing push this up.
+    - top_bigram_frac: share of the most frequent word bigram among the
+      first ``max_bigrams`` bigrams. The mode computation is
+      distinct x occurrences inside one row (bounded by the cap), no
+      shuffle — per-document cost is capped regardless of corpus size.
+    """
+    toks = F.filter(F.split(F.lower(text), r"\s+"), lambda x: x != "")
+    n = F.size(toks)
+    dup_word = F.when(
+        n > 0, 1.0 - F.size(F.array_distinct(toks)) / n.cast("double")
+    ).otherwise(0.0)
+    bi_all = F.when(
+        n >= 2,
+        F.transform(
+            F.sequence(F.lit(0), n - 2),
+            lambda i: F.concat_ws(" ", F.slice(toks, i + 1, 2)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    bi = F.slice(bi_all, 1, max_bigrams)
+    nb = F.size(bi)
+    top = F.array_max(
+        F.transform(
+            F.array_distinct(bi),
+            lambda d: F.size(F.filter(bi, lambda x: x == d)),
+        )
+    )
+    top_frac = F.when(nb > 0, top / nb.cast("double")).otherwise(0.0)
+    return {"dup_word_frac": dup_word, "top_bigram_frac": top_frac}
+
+
 def token_count_col(text: Column) -> Column:
     """BPE-ish token estimate: word tokens + standalone punctuation +
     digit runs (whitespace tokenization refined by a regex, the usual

@@ -75,3 +75,48 @@ def test_weighted_search_field_weights_dominate(spark):
     out = [r.doc_id for r in text_search_weighted(df, {"source": 5.0, "text": 1.0}, "data", "doc_id").collect()]
     # one title hit (5 * 0.75 = 3.75) outranks many body hits (1 * <1.0)
     assert out == [1, 2]
+
+
+def test_pii_redaction_and_hits(spark):
+    from readability_scanner_spark.operators.textquality import pii_hits_col, redact_pii_col
+
+    df = spark.createDataFrame(
+        [
+            (1, "contact john.doe+spam@example.co.uk or call 555-123-4567 from 10.0.0.1"),
+            (2, "clean text with numbers 12345 and a date 2024-01-01 but no pii"),
+        ],
+        "id long, text string",
+    )
+    out = {
+        r.id: (r.red, r.hits)
+        for r in df.select(
+            "id",
+            redact_pii_col(F.col("text")).alias("red"),
+            pii_hits_col(F.col("text")).alias("hits"),
+        ).collect()
+    }
+    assert out[1][0] == "contact [EMAIL] or call [PHONE] from [IP]"
+    assert out[1][1] == 3
+    # no false positives: plain numbers and ISO dates survive
+    assert out[2] == ("clean text with numbers 12345 and a date 2024-01-01 but no pii", 0)
+
+
+def test_repetition_signals(spark):
+    from readability_scanner_spark.operators.textquality import repetition_signals
+
+    df = spark.createDataFrame(
+        [
+            (1, "buy now " * 50),                       # pathological repetition
+            (2, "each word here is completely unique today friend"),
+        ],
+        "id long, text string",
+    )
+    sig = repetition_signals(F.col("text"))
+    out = {
+        r.id: (r.dw, r.tb)
+        for r in df.select(
+            "id", sig["dup_word_frac"].alias("dw"), sig["top_bigram_frac"].alias("tb")
+        ).collect()
+    }
+    assert out[1][0] > 0.9 and out[1][1] > 0.4   # "now buy"/"buy now" dominate
+    assert out[2][0] == 0.0 and out[2][1] < 0.2
