@@ -95,3 +95,34 @@ def run_metrics_stream(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def streaming_dedup(events: DataFrame, key_cols: list[str], watermark_col: str, watermark: str = "1 hour") -> DataFrame:
+    """Streaming exact-dedup via dropDuplicatesWithinWatermark: the
+    first arrival of a key wins, duplicate arrivals within the watermark
+    horizon are dropped, and — unlike plain dropDuplicates on a stream —
+    per-key state is EVICTED once the watermark passes, so state stays
+    bounded at 10^12-key scale. The batch counterpart is
+    operators/dedup.exact_dedup."""
+    return events.withWatermark(watermark_col, watermark).dropDuplicatesWithinWatermark(key_cols)
+
+
+def streaming_rollup_minute(events: DataFrame, ts_col: str, value_col: str, watermark: str = "2 minutes") -> DataFrame:
+    """Streaming leg of the continuous-aggregate pattern: watermarked
+    minute-level PARTIALS (count/sum/min/max — never avg, which cannot
+    re-aggregate). A batch job rolls these up to hour/day with
+    operators/rollup.rollup_up; equality with a direct batch rollup is
+    the correctness contract (tested)."""
+    from pyspark.sql import functions as F
+
+    return (
+        events.withWatermark(ts_col, watermark)
+        .groupBy(F.window(F.col(ts_col), "1 minute"))
+        .agg(
+            F.count("*").alias("cnt"),
+            F.sum(value_col).alias("sum_v"),
+            F.min(value_col).alias("min_v"),
+            F.max(value_col).alias("max_v"),
+        )
+        .select(F.col("window.start").alias("bucket"), "cnt", "sum_v", "min_v", "max_v")
+    )

@@ -186,3 +186,82 @@ def test_event_time_session_windows_emit_on_watermark(spark, tmp_path):
     q.awaitTermination(180)
     rows = spark.sql("SELECT * FROM sw_out ORDER BY session_start").collect()
     assert [(r.n_events, r.session_start.hour) for r in rows] == [(2, 10), (1, 16)]
+
+
+def test_streaming_dedup_within_watermark(spark, tmp_path):
+    """dropDuplicatesWithinWatermark: duplicate keys arriving within the
+    watermark are dropped; state is evicted afterwards (bounded)."""
+    from readability_scanner_spark.streaming.jobs import streaming_dedup
+
+    in_dir = tmp_path / "dd_in"
+    in_dir.mkdir()
+    pd.DataFrame(
+        {
+            "k": [1, 2, 1, 3, 2],
+            "ts": pd.to_datetime(
+                ["2025-01-01 10:00:00", "2025-01-01 10:00:30", "2025-01-01 10:01:00",
+                 "2025-01-01 10:02:00", "2025-01-01 10:03:00"]
+            ),
+            "v": [10, 20, 11, 30, 21],
+        }
+    ).to_parquet(in_dir / "b1.parquet", coerce_timestamps="us")
+
+    stream = spark.readStream.schema("k long, ts timestamp, v long").parquet(str(in_dir))
+    q = (
+        streaming_dedup(stream, ["k"], "ts", watermark="1 hour")
+        .writeStream.format("memory")
+        .queryName("dd_out")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "dd_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    rows = spark.sql("SELECT k, v FROM dd_out ORDER BY k").collect()
+    assert [(r.k, r.v) for r in rows] == [(1, 10), (2, 20), (3, 30)]
+
+
+def test_streaming_rollup_partials_reaggregate_exactly(spark, stream_input, tmp_path):
+    """Continuous-aggregate roundtrip: streaming minute partials, rolled
+    up to day by the BATCH rollup_up, must equal the direct batch rollup
+    from raw rows — the incremental-refresh correctness contract."""
+    from readability_scanner_spark.operators.rollup import finalize, rollup_base, rollup_up
+    from readability_scanner_spark.streaming.jobs import streaming_rollup_minute
+
+    in_dir = tmp_path / "ru_in"
+    in_dir.mkdir()
+    rng_rows = pd.DataFrame(
+        {
+            "ts": pd.to_datetime("2025-03-01 00:00:00")
+            + pd.to_timedelta((pd.Series(range(500)) * 137) % 100000, unit="s"),
+            "value": [((i * 31) % 97) / 7.0 for i in range(500)],
+        }
+    )
+    # watermark-pusher sentinel: a far-future row advances the watermark
+    # past every real window so append mode emits them all; its own
+    # (held, unemitted) window is excluded from the comparison below
+    sentinel_day = "2025-03-10"
+    rng_rows = pd.concat(
+        [rng_rows, pd.DataFrame({"ts": [pd.Timestamp(f"{sentinel_day} 12:00:00")], "value": [0.0]})]
+    )
+    rng_rows.to_parquet(in_dir / "b1.parquet", coerce_timestamps="us")
+
+    stream = spark.readStream.schema("ts timestamp, value double").parquet(str(in_dir))
+    q = (
+        streaming_rollup_minute(stream, "ts", "value")
+        .writeStream.format("memory")
+        .queryName("ru_out")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ru_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+
+    streamed_minute = spark.sql("SELECT * FROM ru_out")
+    via_stream = finalize(rollup_up(rollup_up(streamed_minute, "hour"), "day"))
+    batch = spark.read.parquet(str(in_dir))
+    direct = finalize(rollup_up(rollup_up(rollup_base(batch, "ts", "value"), "hour"), "day"))
+    closed = F.col("bucket") < sentinel_day
+    assert sorted(via_stream.where(closed).collect()) == sorted(direct.where(closed).collect())
+    assert via_stream.where(closed).count() > 0
