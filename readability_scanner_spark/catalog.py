@@ -114,17 +114,31 @@ def _was_new_counts(existing: Optional[DataFrame], incoming: DataFrame, key: str
     return {"inserted": incoming.count() - hit, "updated": hit}
 
 
+def recover_swap(path: str) -> bool:
+    """Crash recovery for the staging-swap protocol: POSIX can't rename a
+    directory over a non-empty one, so the swap is rename(path→backup);
+    rename(staging→path). A crash between the two leaves the table path
+    MISSING with the backup intact — this restores it (old data wins; the
+    interrupted write is retried by the caller's resume logic). Returns
+    True when a recovery was performed. Called automatically at the start
+    of every swap."""
+    backup = path + ".__old__"
+    if not os.path.exists(path) and os.path.exists(backup):
+        os.rename(backup, path)
+        return True
+    return False
+
+
 def _swap_in(df: DataFrame, path: str) -> None:
-    """Materialize df into a staging dir, then atomically swap it in.
-    A crash before the final rename leaves the old table intact; a crash
-    between the two renames leaves ``path.__old__`` as the recovery copy.
-    """
+    """Materialize df into a staging dir, then swap it in. A crash before
+    the first rename leaves the old table intact; a crash between the two
+    renames is healed by recover_swap (runs first on the next write)."""
+    recover_swap(path)
     staging = path + ".__staging__"
     backup = path + ".__old__"
     df.write.mode("overwrite").parquet(staging)
-    for leftover in (backup,):
-        if os.path.exists(leftover):
-            shutil.rmtree(leftover)
+    if os.path.exists(backup):
+        shutil.rmtree(backup)
     if os.path.exists(path):
         os.rename(path, backup)
     os.rename(staging, path)
@@ -135,6 +149,7 @@ def _swap_in(df: DataFrame, path: str) -> None:
 def _parquet_upsert(
     spark: SparkSession, path: str, deduped: DataFrame, key: str, order_col: str, mode: str
 ) -> dict:
+    recover_swap(path)  # a mid-swap crash must not read as "empty table"
     if os.path.exists(path):
         existing = spark.read.parquet(path)
         stats = _was_new_counts(existing, deduped, key)
@@ -169,6 +184,7 @@ def delete_rows(spark: SparkSession, target: str, predicate_sql: str) -> None:
     """M4 delete-by-predicate. Iceberg: DELETE FROM (row-level, ACID).
     Parquet: rewrite the complement through the staging swap."""
     if _is_path(target):
+        recover_swap(target)
         kept = spark.read.parquet(target).where(f"NOT ({predicate_sql})")
         _swap_in(kept, target)
         return

@@ -101,3 +101,35 @@ def test_iceberg_merge_roundtrip(spark, tmp_path):
     assert stats == {"inserted": 1, "updated": 1}
     got = {r.k: r.v for r in spark.table("lake.db.t").collect()}
     assert got == {1: "a2", 2: "b"}
+
+
+def test_swap_crash_recovery(spark, tmp_path):
+    """Simulated crash between the two swap renames (table dir missing,
+    backup present): the next write OR read path must restore the old
+    table instead of treating it as empty."""
+    import shutil
+
+    path = str(tmp_path / "tbl3")
+    catalog.overwrite_all(spark, path, spark.range(5).withColumn("ver", F.lit(1)))
+    # simulate the crash window: path renamed away, staging never landed
+    os.rename(path, path + ".__old__")
+    assert not os.path.exists(path)
+
+    # upsert after the crash: old rows must survive and merge
+    stats = catalog.merge_upsert(
+        spark,
+        path,
+        spark.createDataFrame([(99, 2)], "id long, ver long"),
+        "id",
+        "ver",
+    )
+    assert stats == {"inserted": 1, "updated": 0}
+    got = sorted(r.id for r in spark.read.parquet(path).collect())
+    assert got == [0, 1, 2, 3, 4, 99]
+    assert not os.path.exists(path + ".__old__")
+
+    # and the standalone recovery helper
+    os.rename(path, path + ".__old__")
+    assert catalog.recover_swap(path) is True
+    assert sorted(r.id for r in spark.read.parquet(path).collect()) == got
+    assert catalog.recover_swap(path) is False  # idempotent no-op
