@@ -133,3 +133,19 @@ def test_swap_crash_recovery(spark, tmp_path):
     assert catalog.recover_swap(path) is True
     assert sorted(r.id for r in spark.read.parquet(path).collect()) == got
     assert catalog.recover_swap(path) is False  # idempotent no-op
+
+
+def test_upsert_replay_idempotent(spark, tmp_path):
+    """Resume safety: re-applying the same incoming batch (both modes)
+    must leave the table byte-identical — a killed writer can always be
+    re-run."""
+    path = str(tmp_path / "tbl4")
+    batch = spark.createDataFrame(
+        [(i, i % 3, f"v{i}") for i in range(50)], "k long, ver long, v string"
+    )
+    catalog.merge_upsert(spark, path, batch, "k", "ver")
+    once = sorted(map(tuple, spark.read.parquet(path).collect()))
+    catalog.merge_upsert(spark, path, batch, "k", "ver")
+    assert sorted(map(tuple, spark.read.parquet(path).collect())) == once
+    catalog.merge_upsert(spark, path, batch, "k", "ver", mode="newest")
+    assert sorted(map(tuple, spark.read.parquet(path).collect())) == once

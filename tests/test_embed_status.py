@@ -120,3 +120,16 @@ def test_repetition_signals(spark):
     }
     assert out[1][0] > 0.9 and out[1][1] > 0.4   # "now buy"/"buy now" dominate
     assert out[2][0] == 0.0 and out[2][1] < 0.2
+
+
+def test_claim_batch_deterministic_replay(spark):
+    """A killed enricher re-claims the SAME rows: claim is ordered by key,
+    so replaying claim_batch on the same table state is deterministic."""
+    from readability_scanner_spark.operators.statusflow import claim_batch
+
+    df = spark.createDataFrame(
+        [(i, "pending") for i in range(100)], "k long, status string"
+    ).repartition(7)
+    a = sorted(r.k for r in claim_batch(df, "k", "status", 10).where("status = 'processing'").collect())
+    b = sorted(r.k for r in claim_batch(df, "k", "status", 10).where("status = 'processing'").collect())
+    assert a == b == list(range(10))
