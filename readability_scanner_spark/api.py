@@ -46,6 +46,7 @@ def scan_document(html: str) -> dict:
         "cleaned_data": result.text_content,
         "image_url": result.image_url,
         "publication_date": result.published_ts,
+        "byline": result.byline,
         "spans": result.spans,
         "words": stats.words,
         "sentences": stats.sentences,

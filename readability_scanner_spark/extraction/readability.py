@@ -47,6 +47,7 @@ NEGATIVE = re.compile(
     re.I,
 )
 SENTENCE_END = re.compile(r"\.( |$)")
+BYLINE = re.compile(r"byline|author|dateline|writtenby|p-author", re.I)
 
 # retry flags (step 8)
 FLAG_STRIP_UNLIKELYS = 1
@@ -70,6 +71,7 @@ class ExtractionResult:
     content_ratio: float = 0.0  # len(text_content) / len(normalized source text)
     image_url: Optional[str] = None
     published_ts: Optional[object] = None  # datetime, tz-aware UTC
+    byline: Optional[str] = None  # first rel=author / byline-class node text
 
 
 # ---------------------------------------------------------------------------
@@ -200,14 +202,31 @@ def _preprocess(root: Node) -> None:
 # stage 2-6: grab article
 # ---------------------------------------------------------------------------
 
-def _grab_article(body: Node, flags: int) -> Optional[Node]:
-    # step 2: strip unlikely candidates (attrs-empty fast path: most
-    # nodes carry no class/id at all)
-    if flags & FLAG_STRIP_UNLIKELYS:
-        for node in list(body.iter_elements()):
-            if not node.attrs:
+def _is_valid_byline(text: str) -> bool:
+    return 0 < len(text.strip()) < 100
+
+
+def _grab_article(body: Node, flags: int, byline_sink: Optional[list] = None) -> Optional[Node]:
+    # step 2 sweep: byline capture+removal ALWAYS (public spec checks the
+    # byline before and independent of the unlikely-candidate flag);
+    # unlikely-candidate stripping only under the flag. attrs-empty fast
+    # path: most nodes carry no class/id/rel at all.
+    for node in list(body.iter_elements()):
+        if not node.attrs:
+            continue
+        ci = node.class_id
+        if (
+            node.get("rel") == "author"
+            or "author" in node.get("itemprop", "")
+            or (ci and BYLINE.search(ci))
+        ):
+            text = node.inner_text()
+            if _is_valid_byline(text):
+                if byline_sink is not None and not byline_sink:
+                    byline_sink.append(text.strip())
+                node.remove()
                 continue
-            ci = node.class_id
+        if flags & FLAG_STRIP_UNLIKELYS:
             if (
                 ci
                 and UNLIKELY_CANDIDATES.search(ci)
@@ -443,6 +462,7 @@ def extract_main_content(raw_html: str) -> ExtractionResult:
     title = ""
     image_url = None
     published = None
+    byline_sink: list = []  # first valid byline across attempts wins
     pristine: Optional[Node] = None  # lazily cloned source for retries
     for attempt, flags in enumerate(flag_ladder):
         if attempt == 0:
@@ -465,7 +485,7 @@ def extract_main_content(raw_html: str) -> ExtractionResult:
             published = extract_publication_date(root)
         _preprocess(root)
         body = body_of(root)
-        article = _grab_article(body, flags)
+        article = _grab_article(body, flags, byline_sink)
         if article is None:
             continue
         _prep_article(article, flags)
@@ -479,6 +499,7 @@ def extract_main_content(raw_html: str) -> ExtractionResult:
             content_ratio=min(1.0, len(text) / source_text_len),
             image_url=image_url,
             published_ts=published,
+            byline=byline_sink[0] if byline_sink else None,
         )
         if len(text) >= MIN_CONTENT_LENGTH:
             return result
@@ -488,4 +509,37 @@ def extract_main_content(raw_html: str) -> ExtractionResult:
     if best is not None and best.text_content:
         return best
     # total failure → the reference's 204/no-content path
-    return ExtractionResult("", "", title, [], parse_failed=True)
+    return ExtractionResult(
+        "", "", title, [], parse_failed=True, byline=byline_sink[0] if byline_sink else None
+    )
+
+
+def probably_readerable(
+    raw_html: str, min_content_length: int = 140, min_score: float = 20.0
+) -> bool:
+    """The public isProbablyReaderable pre-check: sum sqrt(len - min_len)
+    over candidate paragraph-ish nodes (skipping unlikely-classed ones);
+    readerable once the running score clears min_score. At corpus scale
+    this is the cheap pre-scan gate: run it first and skip the full
+    extraction ladder for obvious non-articles (nav shells, link farms,
+    empty templates) — a parse + one walk instead of up to four
+    grab/clean attempts."""
+    if raw_html is None or not raw_html.strip():
+        return False
+    from math import sqrt
+
+    root = parse_html(raw_html)
+    score = 0.0
+    for node in root.iter_elements("p", "pre", "article", "div"):
+        if node.tag == "div" and not any(c.tag == "br" for c in node.children):
+            continue  # divs count only in their <br>-paragraph form
+        ci = node.class_id
+        if ci and UNLIKELY_CANDIDATES.search(ci) and not OK_MAYBE_CANDIDATE.search(ci):
+            continue
+        n = len(node.inner_text())
+        if n < min_content_length:
+            continue
+        score += sqrt(n - min_content_length)
+        if score > min_score:
+            return True
+    return False

@@ -223,3 +223,39 @@ def test_extraction_idempotent_on_own_output():
         second = extract_main_content("<html><body>" + first.content + "</body></html>")
         assert not second.parse_failed
         assert len(second.text_content) >= 0.9 * len(first.text_content), cls
+
+
+def test_byline_captured_and_stripped():
+    html = (
+        "<html><body><div class='content'>"
+        "<div class='byline'>By Jane Q. Reporter</div>"
+        "<p>The committee deliberated for hours, considered several motions, "
+        "and produced a detailed report that surprised most observers in the room.</p>"
+        "<p>More reporting follows here, with additional details, quotes, and "
+        "context gathered over several weeks of careful interviews.</p>"
+        "</div></body></html>"
+    )
+    r = extract_main_content(html)
+    assert r.byline == "By Jane Q. Reporter"
+    assert "Jane Q. Reporter" not in r.text_content  # removed from the article
+    assert "committee deliberated" in r.text_content
+    # rel=author form
+    r2 = extract_main_content(html.replace("<div class='byline'>", "<div rel='author'>"))
+    assert r2.byline == "By Jane Q. Reporter"
+    # over-long "byline" is NOT a byline (spec: < 100 chars)
+    long_byline = "<div class='byline'>" + "x" * 150 + "</div>"
+    r3 = extract_main_content(html.replace("<div class='byline'>By Jane Q. Reporter</div>", long_byline))
+    assert r3.byline is None
+
+
+def test_probably_readerable():
+    from readability_scanner_spark.extraction.readability import probably_readerable
+
+    article = make_fixture("plain_article", 3)
+    assert probably_readerable(article)
+    assert not probably_readerable(make_fixture("no_content", 3))
+    assert not probably_readerable("")
+    assert not probably_readerable("<html><body><div class='menu'><a href='/'>x</a></div></body></html>")
+    # unlikely-classed long text does not count
+    junk = "<html><body><div class='sidebar'><p class='comment'>" + "w " * 200 + "</p></div></body></html>"
+    assert not probably_readerable(junk)
