@@ -467,6 +467,20 @@ def q_ngram_jaccard(spark, sf_dir):
     return ngram_jaccard_pairs(docs, "doc_id", "text", threshold=0.5)
 
 
+def q_dedup_pipeline(spark, sf_dir):
+    """The production near-dup PIPELINE shape: MinHash-LSH banding
+    produces candidates, exact n-gram Jaccard verifies ONLY those pairs
+    (two equi-joins — the all-pairs product never exists)."""
+    from readability_scanner_spark.operators.dedup import (
+        minhash_lsh_candidates,
+        ngram_jaccard_verify,
+    )
+
+    docs = _t(spark, sf_dir, "documents", spread=True)
+    cand = minhash_lsh_candidates(docs, "doc_id", "text")
+    return ngram_jaccard_verify(cand, docs, "doc_id", "text", threshold=0.5)
+
+
 def q_lsh_ann_pairs(spark, sf_dir):
     from readability_scanner_spark.operators.similarity import lsh_bucketed_pairs
 
@@ -816,6 +830,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # rows-only (non-SQL-expressible; pytest goldens cover semantics)
         "flagship_extract": q_flagship_extract,
         "minhash_candidates": q_minhash_candidates,
+        "dedup_pipeline": q_dedup_pipeline,
         "simhash_near_dups": q_simhash_near_dups,
         "ngram_jaccard": q_ngram_jaccard,
         "lsh_ann_pairs": q_lsh_ann_pairs,
@@ -1035,6 +1050,38 @@ def _ivf_oracle(k: int = 10, n_centroids: int = 8, n_probe: int = 4, seed: int =
     """
 
 
+def _dedup_pipeline_oracle(threshold: float = 0.5) -> str:
+    """Composition oracle: the full minhash-candidates SQL recompute
+    (as a CTE) joined to per-document gram sets for exact Jaccard over
+    ONLY the candidate pairs — verifying the end-to-end pipeline, not
+    just each stage."""
+    mh = _minhash_oracle(n_hashes=64, bands=16, seed=42)
+    return f"""
+        WITH mh AS ({mh}),
+        toksj AS (
+          SELECT doc_id,
+            list_filter(string_split_regex(lower(regexp_replace(text, '[^\\w\\s]', ' ', 'g')), '\\s+'),
+                        x -> x != '') AS t
+          FROM documents
+        ), gramsj AS (
+          SELECT doc_id,
+            CASE WHEN len(t) >= 3 THEN
+              list_distinct(list_transform(generate_series(1, len(t) - 2),
+                                           i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))
+            ELSE [array_to_string(t, ' ')] END AS g
+          FROM toksj
+        )
+        SELECT m.id_a, m.id_b,
+               round(len(list_intersect(a.g, b.g))::DOUBLE
+                     / len(list_distinct(list_concat(a.g, b.g))), 4) AS jaccard
+        FROM mh m
+        JOIN gramsj a ON a.doc_id = m.id_a
+        JOIN gramsj b ON b.doc_id = m.id_b
+        WHERE len(list_intersect(a.g, b.g))::DOUBLE
+              / len(list_distinct(list_concat(a.g, b.g))) >= {threshold}
+    """
+
+
 def _cdc_oracle(max_doc_id: int = 300, min_shared: int = 2) -> str:
     """Content-defined-chunking overlap oracle, recomputed entirely in
     SQL. The operator's rolling hash has a closed form: h(i) =
@@ -1243,6 +1290,7 @@ def oracle_sql() -> dict[str, str]:
         "lsh_ann_pairs": _lsh_ann_oracle(threshold=0.4, n_planes=4, seed=42),
         "ivf_knn": _ivf_oracle(k=10, n_centroids=8, n_probe=4, seed=42),
         "cdc_overlap": _cdc_oracle(max_doc_id=300, min_shared=2),
+        "dedup_pipeline": _dedup_pipeline_oracle(threshold=0.5),
         "media_features": _media_oracle(n=100, seed=42),
         "greedy_topics": _greedy_topics_oracle(),
         "daily_topics": _daily_topics_oracle(),

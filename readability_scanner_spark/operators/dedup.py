@@ -282,10 +282,25 @@ def ngram_jaccard_pairs(
     JVM-side (split + transform + array_distinct), intersection via
     array_intersect — no Python. Quadratic: use after LSH candidate cut
     at scale; standalone form here for small inputs/oracle checks."""
+    docs = df.select(F.col(id_col).alias("doc_id"), _grams_col(text_col, shingle_n).alias("grams"))
+    a = docs.select(F.col("doc_id").alias("id_a"), F.col("grams").alias("ga"))
+    b = docs.select(F.col("doc_id").alias("id_b"), F.col("grams").alias("gb"))
+    inter = F.size(F.array_intersect(F.col("ga"), F.col("gb")))
+    union = F.size(F.array_union(F.col("ga"), F.col("gb")))
+    return (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", (inter / union).alias("jaccard"))
+        .where(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", F.round("jaccard", 4).alias("jaccard"))
+        .orderBy("id_a", "id_b")
+    )
+
+
+def _grams_col(text_col: str, shingle_n: int):
     toks = F.split(F.lower(F.regexp_replace(F.col(text_col), r"[^\w\s]", " ")), r"\s+")
     toks = F.filter(toks, lambda x: x != "")
     n_tok = F.size(toks)
-    grams = F.when(
+    return F.when(
         n_tok >= shingle_n,
         F.array_distinct(
             F.transform(
@@ -294,14 +309,32 @@ def ngram_jaccard_pairs(
             )
         ),
     ).otherwise(F.array(F.concat_ws(" ", toks)))
-    docs = df.select(F.col(id_col).alias("doc_id"), grams.alias("grams"))
-    a = docs.select(F.col("doc_id").alias("id_a"), F.col("grams").alias("ga"))
-    b = docs.select(F.col("doc_id").alias("id_b"), F.col("grams").alias("gb"))
+
+
+def ngram_jaccard_verify(
+    candidates: DataFrame,
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    threshold: float,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """THE scale path for exact Jaccard: verify only the candidate pairs
+    an upstream blocker (MinHash LSH, SimHash, CDC) produced — two
+    equi-joins on the pair ids, exact n-gram Jaccard per surviving row,
+    never an all-pairs product. candidates must carry (id_a, id_b)."""
+    grams = docs.select(F.col(id_col).alias("_gid"), _grams_col(text_col, shingle_n).alias("_g"))
+    joined = (
+        candidates.select("id_a", "id_b")
+        .join(grams.withColumnRenamed("_g", "ga"), F.col("id_a") == F.col("_gid"))
+        .drop("_gid")
+        .join(grams.withColumnRenamed("_g", "gb"), F.col("id_b") == F.col("_gid"))
+        .drop("_gid")
+    )
     inter = F.size(F.array_intersect(F.col("ga"), F.col("gb")))
     union = F.size(F.array_union(F.col("ga"), F.col("gb")))
     return (
-        a.join(b, F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", (inter / union).alias("jaccard"))
+        joined.select("id_a", "id_b", (inter / union).alias("jaccard"))
         .where(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", F.round("jaccard", 4).alias("jaccard"))
         .orderBy("id_a", "id_b")

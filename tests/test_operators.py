@@ -556,3 +556,18 @@ def test_approx_describe_error_bounds(spark):
         "percentile_cont(0.5) WITHIN GROUP (ORDER BY value) AS m"
     ).first().m
     assert abs(row.approx_quartiles[1] - exact_q) / max(abs(exact_q), 1) < 0.05
+
+
+def test_jaccard_verify_equals_allpairs_on_candidates(spark, doc_df):
+    """Verification over a candidate set must equal the quadratic form
+    restricted to those pairs (same gram math, join-only plan)."""
+    allpairs = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in dedup.ngram_jaccard_pairs(doc_df, "doc_id", "text", threshold=0.0).collect()
+    }
+    cand = spark.createDataFrame([(1, 2), (1, 3), (4, 5)], "id_a long, id_b long")
+    got = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in dedup.ngram_jaccard_verify(cand, doc_df, "doc_id", "text", threshold=0.0).collect()
+    }
+    assert got == {k: allpairs[k] for k in [(1, 2), (1, 3), (4, 5)]}

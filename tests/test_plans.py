@@ -124,3 +124,19 @@ def test_embedding_near_dups_no_nested_loop(spark):
     emb = spark.read.parquet(f"{SF}/embeddings.parquet")
     plan = _plan(embedding_near_dups(emb, "vec_id", "embedding", threshold=0.95, n_planes=4))
     assert "CartesianProduct" not in plan
+
+
+def test_dedup_pipeline_never_goes_quadratic(spark):
+    """candidates → verify must be equi-joins end to end: the all-pairs
+    product may not appear anywhere in the physical plan."""
+    from readability_scanner_spark.operators.dedup import (
+        minhash_lsh_candidates,
+        ngram_jaccard_verify,
+    )
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    cand = minhash_lsh_candidates(docs, "doc_id", "text")
+    out = ngram_jaccard_verify(cand, docs, "doc_id", "text", 0.5)
+    plan = _plan(out)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
