@@ -722,7 +722,7 @@ def q_full_report(spark, sf_dir):
     from readability_scanner_spark.operators.reports import readability_report
     from readability_scanner_spark.plans.pipeline import extract_and_score
 
-    docs = _t(spark, sf_dir, "documents")
+    docs = _t(spark, sf_dir, "documents", spread=True)
     transcripts = docs.select(
         F.col("source").alias("conv_id"),
         F.col("doc_id").cast("int").alias("turn_idx"),
@@ -745,7 +745,9 @@ def q_full_report_sql(spark, sf_dir):
     from readability_scanner_spark.operators.reports import readability_report
     from readability_scanner_spark.plans.pipeline import extract_and_score
 
-    docs = _t(spark, sf_dir, "documents")
+    # spread=True: single-row-group parquet would otherwise put the whole
+    # per-row extraction ladder on ONE task (CLAUDE.md gotcha)
+    docs = _t(spark, sf_dir, "documents", spread=True)
     transcripts = docs.select(
         F.col("source").alias("conv_id"),
         F.col("doc_id").cast("int").alias("turn_idx"),
@@ -949,7 +951,12 @@ def _minhash_oracle(n_hashes: int = 64, bands: int = 16, seed: int = 42) -> str:
     """
 
 
-_ORACLE_SF_DIR = "/root/testdata/sf0.01"  # the driver's oracle scale
+def _oracle_sf_dir() -> str:
+    """The driver compares at sf0.01; data-derived oracles (LSH planes'
+    dim, IVF centroids/query vector) read the same parquet the oracle SQL
+    will see. selfcheck sets the env var when run against a different
+    sf dir (read at CALL time, not import time)."""
+    return os.environ.get("SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01")
 
 
 def _lsh_ann_oracle(threshold: float = 0.4, n_planes: int = 4, seed: int = 42) -> str:
@@ -963,7 +970,7 @@ def _lsh_ann_oracle(threshold: float = 0.4, n_planes: int = 4, seed: int = 42) -
     from readability_scanner_spark.operators.similarity import _hyperplanes
 
     dim = len(
-        pq.read_table(f"{_ORACLE_SF_DIR}/embeddings.parquet", columns=["embedding"])
+        pq.read_table(f"{_oracle_sf_dir()}/embeddings.parquet", columns=["embedding"])
         .column("embedding")[0]
         .as_py()
     )
@@ -999,7 +1006,7 @@ def _ivf_oracle(k: int = 10, n_centroids: int = 8, n_probe: int = 4, seed: int =
     import numpy as np
     import pyarrow.parquet as pq
 
-    tbl = pq.read_table(f"{_ORACLE_SF_DIR}/embeddings.parquet", columns=["vec_id", "embedding"])
+    tbl = pq.read_table(f"{_oracle_sf_dir()}/embeddings.parquet", columns=["vec_id", "embedding"])
     ids = np.asarray(tbl.column("vec_id"))
     vecs = np.vstack(tbl.column("embedding").to_pylist()).astype("float64")
     query = vecs[ids == 0][0]

@@ -85,7 +85,7 @@ def merge_upsert(
         )
     view = "_merge_src"
     deduped.createOrReplaceTempView(view)
-    stats = _was_new_counts(spark.table(target), deduped, key)
+    stats = _was_new_counts(spark.table(target), deduped, key, order_col, mode)
     matched = (
         "WHEN MATCHED THEN UPDATE SET *"
         if mode == "replace"
@@ -103,15 +103,30 @@ def merge_upsert(
     return stats
 
 
-def _was_new_counts(existing: Optional[DataFrame], incoming: DataFrame, key: str) -> dict:
+def _was_new_counts(
+    existing: Optional[DataFrame],
+    incoming: DataFrame,
+    key: str,
+    order_col: Optional[str] = None,
+    mode: str = "replace",
+) -> dict:
     if existing is None:
         return {"inserted": incoming.count(), "updated": 0}
+    total = incoming.count()
     hit = (
         incoming.select(key)
         .join(existing.select(key).distinct(), key, "left_semi")
         .count()
     )
-    return {"inserted": incoming.count() - hit, "updated": hit}
+    if mode == "newest" and order_col is not None:
+        # only matched rows that actually WIN (s.order >= t.order) count
+        # as updates — a replayed stale batch must report updated=0
+        inc = incoming.select(F.col(key).alias("_k"), F.col(order_col).alias("_o_in"))
+        ex = existing.select(F.col(key).alias("_k"), F.col(order_col).alias("_o_ex"))
+        updated = inc.join(ex, "_k").where(F.col("_o_in") >= F.col("_o_ex")).count()
+    else:
+        updated = hit
+    return {"inserted": total - hit, "updated": updated}
 
 
 def recover_swap(path: str) -> bool:
@@ -152,7 +167,7 @@ def _parquet_upsert(
     recover_swap(path)  # a mid-swap crash must not read as "empty table"
     if os.path.exists(path):
         existing = spark.read.parquet(path)
-        stats = _was_new_counts(existing, deduped, key)
+        stats = _was_new_counts(existing, deduped, key, order_col, mode)
         if mode == "replace":
             merged = upsert_by_key(existing, deduped, key, order_col)
         else:

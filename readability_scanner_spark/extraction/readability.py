@@ -215,17 +215,20 @@ def _grab_article(body: Node, flags: int, byline_sink: Optional[list] = None) ->
         if not node.attrs:
             continue
         ci = node.class_id
-        if (
-            node.get("rel") == "author"
-            or "author" in node.get("itemprop", "")
-            or (ci and BYLINE.search(ci))
-        ):
-            text = node.inner_text()
-            if _is_valid_byline(text):
-                if byline_sink is not None and not byline_sink:
+        # public-spec byline rule: only the FIRST valid byline is captured
+        # and removed; once set (including by an earlier retry attempt),
+        # later author/byline-matching nodes stay in the content
+        if byline_sink is not None and not byline_sink:
+            if (
+                node.get("rel") == "author"
+                or "author" in node.get("itemprop", "")
+                or (ci and BYLINE.search(ci))
+            ):
+                text = node.inner_text()
+                if _is_valid_byline(text):
                     byline_sink.append(text.strip())
-                node.remove()
-                continue
+                    node.remove()
+                    continue
         if flags & FLAG_STRIP_UNLIKELYS:
             if (
                 ci

@@ -37,9 +37,13 @@ def exact_dedup(df: DataFrame, text_col: str, keep_col: str) -> DataFrame:
     xxhash64 values (128 effective bits): at 10^12 keys a single 64-bit
     hash expects birthday collisions that would silently merge distinct
     documents; 128 bits pushes that to ~10^-14."""
+    # salt FIRST: spark folds multi-arg xxhash64 sequentially with the
+    # running hash as seed, so xxhash64(text, salt) would be a pure
+    # function of xxhash64(text) — identical on every h1 collision.
+    # xxhash64(salt, text) hashes the text under a different seed.
     return (
         df.withColumn("_h1", F.xxhash64(F.col(text_col)))
-        .withColumn("_h2", F.xxhash64(F.col(text_col), F.lit(0x9E3779B9)))
+        .withColumn("_h2", F.xxhash64(F.lit(0x9E3779B9), F.col(text_col)))
         .groupBy("_h1", "_h2")
         .agg(F.min(keep_col).alias("keep_id"), F.count("*").alias("n_copies"))
         .select("keep_id", "n_copies")
@@ -92,12 +96,19 @@ def minhash_signatures(
     p = MINHASH_P
 
     def sign(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        memo: dict[str, int] = {}  # shingle → md5%p; vocab repeats across docs
+        # shingle → md5%p memo. Near-dup corpora repeat shingles heavily
+        # (that is what the operator detects) but unique shingles dominate
+        # overall, so CAP the memo — a long-lived partition task must not
+        # accrete one entry per shingle ever seen.
+        memo: dict[str, int] = {}
+        memo_cap = 200_000
 
         def base_of(s: str) -> int:
             h = memo.get(s)
             if h is None:
-                h = memo[s] = _md5_64(s) % p
+                h = _md5_64(s) % p
+                if len(memo) < memo_cap:
+                    memo[s] = h
             return h
 
         for pdf in batches:
@@ -173,12 +184,15 @@ def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 64) -> DataFr
     def sim(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from collections import Counter
 
-        memo: dict[str, int] = {}  # token → md5 hash; vocab repeats across docs
+        memo: dict[str, int] = {}  # token → md5; Zipf vocab = high hit rate
+        memo_cap = 200_000  # but still capped for adversarial vocabularies
 
         def hash_of(t: str) -> int:
             h = memo.get(t)
             if h is None:
-                h = memo[t] = _md5_64(t)
+                h = _md5_64(t)
+                if len(memo) < memo_cap:
+                    memo[t] = h
             return h
 
         for pdf in batches:
@@ -446,5 +460,9 @@ def embedding_near_dups(
         return similarity_pairs(vectors, id_col, vec_col, threshold)
 
     if dim is None:
-        dim = len(vectors.select(vec_col).first()[0])  # one bounded driver row
+        row = vectors.select(vec_col).where(F.col(vec_col).isNotNull()).first()
+        if row is None:  # empty / all-null input: no pairs, don't crash
+            dim = 1
+        else:
+            dim = len(row[0])  # one bounded driver row
     return lsh_bucketed_pairs(vectors, id_col, vec_col, dim, threshold, n_planes, seed)

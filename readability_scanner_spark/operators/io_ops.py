@@ -126,7 +126,7 @@ def key_bloom(
     def build(batches):
         bm = np.zeros(n_bits // 8, dtype=np.uint8)
         for pdf in batches:
-            vals = pdf[key].to_numpy()
+            vals = pdf[key].dropna().to_numpy()  # null keys never match a join
             if len(vals):
                 for pos in _bloom_positions(vals, n_bits, n_hashes):
                     np.bitwise_or.at(bm, pos >> np.uint64(3), np.left_shift(
@@ -169,15 +169,25 @@ def backfill_remaining(
     @pandas_udf("boolean")
     def maybe_processed(col: pd.Series) -> pd.Series:
         bm = np.frombuffer(bc.value, dtype=np.uint8)
-        vals = col.to_numpy()
-        if not len(vals):
+        if not len(col):
             return pd.Series([], dtype=bool)
-        hit = np.ones(len(vals), dtype=bool)
-        for pos in _bloom_positions(vals, n_bits, k):
-            hit &= (bm[(pos >> np.uint64(3)).astype(np.int64)] &
-                    np.left_shift(np.uint8(1), (pos & np.uint64(7)).astype(np.uint8))) != 0
+        # NULL keys never equal anything in SQL join semantics → a plain
+        # anti-join keeps them; mark them definitely-new here too
+        null_mask = col.isna().to_numpy()
+        hit = np.zeros(len(col), dtype=bool)
+        if (~null_mask).any():
+            vals = col[~null_mask].to_numpy()
+            sub = np.ones(len(vals), dtype=bool)
+            for pos in _bloom_positions(vals, n_bits, k):
+                sub &= (bm[(pos >> np.uint64(3)).astype(np.int64)] &
+                        np.left_shift(np.uint8(1), (pos & np.uint64(7)).astype(np.uint8))) != 0
+            hit[~null_mask] = sub
         return pd.Series(hit)
 
+    # NOTE: the two union branches re-evaluate the base scan + bloom probe
+    # (no persist — caching a 100 TB table costs more than two columnar
+    # scans). The win being bought is the removal of the full-table
+    # SHUFFLE: only the small "maybe processed" slice exchanges.
     flagged = full.withColumn("_maybe", maybe_processed(F.col(key)))
     definitely_new = flagged.where(~F.col("_maybe")).drop("_maybe")
     needs_check = flagged.where(F.col("_maybe")).drop("_maybe")

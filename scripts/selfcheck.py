@@ -80,6 +80,9 @@ def main() -> None:
         args = args[1:]
     sf_dir = args[0] if args else "/root/testdata/sf0.01"
     only = set(args[1:])
+    # data-derived oracles (LSH planes, IVF centroids) must read the SAME
+    # sf dir the comparison runs against
+    os.environ["SPARK_GRAFT_ORACLE_SF_DIR"] = sf_dir
     spark = build_session("selfcheck", shuffle_partitions=16)
     con = duckdb.connect()
     for t in TABLES:

@@ -149,3 +149,18 @@ def test_upsert_replay_idempotent(spark, tmp_path):
     assert sorted(map(tuple, spark.read.parquet(path).collect())) == once
     catalog.merge_upsert(spark, path, batch, "k", "ver", mode="newest")
     assert sorted(map(tuple, spark.read.parquet(path).collect())) == once
+
+
+def test_was_new_accounting_newest_mode(spark, tmp_path):
+    """A replayed STALE batch in newest mode must report updated=0 (the
+    MERGE's >= clause rejects every row), not count key matches."""
+    path = str(tmp_path / "tbl5")
+    catalog.merge_upsert(
+        spark, path, spark.createDataFrame([(1, 10), (2, 10)], "k long, ver long"), "k", "ver"
+    )
+    stale = spark.createDataFrame([(1, 1), (2, 1), (3, 1)], "k long, ver long")
+    stats = catalog.merge_upsert(spark, path, stale, "k", "ver", mode="newest")
+    assert stats == {"inserted": 1, "updated": 0}
+    fresh = spark.createDataFrame([(1, 99)], "k long, ver long")
+    stats = catalog.merge_upsert(spark, path, fresh, "k", "ver", mode="newest")
+    assert stats == {"inserted": 0, "updated": 1}

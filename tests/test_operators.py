@@ -571,3 +571,11 @@ def test_jaccard_verify_equals_allpairs_on_candidates(spark, doc_df):
         for r in dedup.ngram_jaccard_verify(cand, doc_df, "doc_id", "text", threshold=0.0).collect()
     }
     assert got == {k: allpairs[k] for k in [(1, 2), (1, 3), (4, 5)]}
+
+
+def test_backfill_bloom_handles_null_keys(spark):
+    full = spark.createDataFrame([(1,), (2,), (None,)], "id long")
+    done = spark.createDataFrame([(1,)], "id long")
+    plain = sorted((r.id if r.id is not None else -1) for r in io_ops.backfill_remaining(full, done, "id").collect())
+    bloomed = sorted((r.id if r.id is not None else -1) for r in io_ops.backfill_remaining(full, done, "id", bloom_bits=1 << 12).collect())
+    assert bloomed == plain == [-1, 2]  # null key kept, like the anti-join

@@ -226,18 +226,24 @@ def test_extraction_idempotent_on_own_output():
 
 
 def test_byline_captured_and_stripped():
+    para = (
+        "<p>The committee deliberated for hours, considered several motions, "
+        "and produced a detailed report that surprised most observers in the "
+        "room, prompting a long round of follow-up questions from reporters.</p>"
+    )
     html = (
         "<html><body><div class='content'>"
         "<div class='byline'>By Jane Q. Reporter</div>"
-        "<p>The committee deliberated for hours, considered several motions, "
-        "and produced a detailed report that surprised most observers in the room.</p>"
-        "<p>More reporting follows here, with additional details, quotes, and "
-        "context gathered over several weeks of careful interviews.</p>"
+        + para * 4  # > MIN_CONTENT_LENGTH: first attempt wins, no retries
+        # long enough (> 25 chars) that conditional cleaning keeps the div
+        + "<div class='author-box'>Second Author Credit, senior correspondent, city desk bureau</div>"
         "</div></body></html>"
     )
     r = extract_main_content(html)
     assert r.byline == "By Jane Q. Reporter"
-    assert "Jane Q. Reporter" not in r.text_content  # removed from the article
+    assert "Jane Q. Reporter" not in r.text_content  # first byline removed
+    # spec: only the FIRST byline is consumed; later matches stay in content
+    assert "Second Author Credit" in r.text_content
     assert "committee deliberated" in r.text_content
     # rel=author form
     r2 = extract_main_content(html.replace("<div class='byline'>", "<div rel='author'>"))
@@ -245,7 +251,8 @@ def test_byline_captured_and_stripped():
     # over-long "byline" is NOT a byline (spec: < 100 chars)
     long_byline = "<div class='byline'>" + "x" * 150 + "</div>"
     r3 = extract_main_content(html.replace("<div class='byline'>By Jane Q. Reporter</div>", long_byline))
-    assert r3.byline is None
+    # the over-long node is skipped; the NEXT valid candidate becomes the byline
+    assert r3.byline == "Second Author Credit, senior correspondent, city desk bureau"
 
 
 def test_probably_readerable():
