@@ -100,7 +100,9 @@ def salted_repartition(df: DataFrame, num_partitions: int | None = None) -> Data
     return df.repartition(F.col("conv_id"), salt)
 
 
-def extract_and_score(df: DataFrame, repartition_to: int | None = None) -> DataFrame:
+def extract_and_score(
+    df: DataFrame, repartition_to: int | None = None, redact_pii: bool = False
+) -> DataFrame:
     """transcripts(conv_id, turn_idx, role, text, tool, ts) → scored docs.
 
     One wide row per turn: extraction fields, stats, 8 scores + grade,
@@ -108,6 +110,10 @@ def extract_and_score(df: DataFrame, repartition_to: int | None = None) -> DataF
     ONE fused mapInPandas pass (a single Arrow round trip per partition;
     a chained two-UDF plan pays the Python transfer twice); formulas are
     JVM Column expressions on top.
+
+    ``redact_pii=True`` scrubs emails/phones/IPs from the extracted text
+    as a JVM regexp stage AFTER stats (counts reflect the original text;
+    the stored text is clean) — zero extra Python passes.
     """
     out = salted_repartition(df, repartition_to) if repartition_to != 0 else df
     out = out.mapInPandas(
@@ -123,6 +129,10 @@ def extract_and_score(df: DataFrame, repartition_to: int | None = None) -> DataF
             "publication_date": F.col("published_ts"),
         }
     ).withColumnRenamed("text_content", "cleaned_data").drop("published_ts")
+    if redact_pii:
+        from readability_scanner_spark.operators.textquality import redact_pii_col
+
+        out = out.withColumn("cleaned_data", redact_pii_col(F.col("cleaned_data")))
     return with_readability_scores(out)
 
 

@@ -151,3 +151,23 @@ def test_salted_repartition_splits_mega_conversations(spark):
         .count()
     )
     assert parts >= 4  # 5000 turns / SALT_SPAN=1000 -> 5 salt shards
+
+
+def test_pipeline_optional_pii_redaction(spark):
+    rows = [
+        ("c1", 0, "user",
+         "<p>Reach me at jane.doe@example.com or 555-123-4567 for the full story, "
+         "which continues with several sentences of ordinary article text after "
+         "the contact details, as articles tend to do in practice.</p>",
+         None, None),
+    ]
+    df = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, text string, tool string, ts timestamp"
+    )
+    clean = extract_and_score(df, repartition_to=0, redact_pii=True).first()
+    assert "[EMAIL]" in clean.cleaned_data and "[PHONE]" in clean.cleaned_data
+    assert "jane.doe@example.com" not in clean.cleaned_data
+    raw = extract_and_score(df, repartition_to=0).first()
+    assert "jane.doe@example.com" in raw.cleaned_data  # default unchanged
+    # stats computed on the ORIGINAL text: identical either way
+    assert (clean.words, clean.sentences) == (raw.words, raw.sentences)
