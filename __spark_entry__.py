@@ -1656,11 +1656,21 @@ def oracle_sql() -> dict[str, str]:
                 sum(new_s) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
                                  ROWS UNBOUNDED PRECEDING)::BIGINT AS session_idx
               FROM flagged
+            ), ordered AS (
+              -- first/last by EVENT TIME with (ts, event_id) tie-break
+              -- (duckdb 1.0 arg_min has no composite-key overload)
+              SELECT user_id, session_idx, ts,
+                first_value(event_id) OVER w2 AS fe,
+                last_value(event_id) OVER
+                  (w2 ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS le
+              FROM sess
+              WINDOW w2 AS (PARTITION BY user_id, session_idx
+                            ORDER BY ts ASC, event_id ASC)
             )
             SELECT user_id, session_idx, count(*) AS n_events,
                    (epoch_us(max(ts)) - epoch_us(min(ts))) // 1000000 AS span_seconds,
-                   min(event_id) AS first_event, max(event_id) AS last_event
-            FROM sess GROUP BY user_id, session_idx
+                   min(fe) AS first_event, min(le) AS last_event
+            FROM ordered GROUP BY user_id, session_idx
         """,
         "session_windows": """
             WITH flagged AS (

@@ -149,9 +149,9 @@ def describe_metrics(df: DataFrame, col: str) -> DataFrame:
         F.round(F.avg(col), 4).alias("mean"),
         F.round(F.stddev_samp(col), 4).alias("std"),
         F.min(col).alias("min_v"),
-        F.round(F.expr(f"percentile_cont(0.25) WITHIN GROUP (ORDER BY {col})"), 4).alias("q25"),
-        F.round(F.expr(f"percentile_cont(0.5) WITHIN GROUP (ORDER BY {col})"), 4).alias("median"),
-        F.round(F.expr(f"percentile_cont(0.75) WITHIN GROUP (ORDER BY {col})"), 4).alias("q75"),
+        F.round(F.expr(f"percentile_cont(0.25) WITHIN GROUP (ORDER BY `{col}`)"), 4).alias("q25"),
+        F.round(F.expr(f"percentile_cont(0.5) WITHIN GROUP (ORDER BY `{col}`)"), 4).alias("median"),
+        F.round(F.expr(f"percentile_cont(0.75) WITHIN GROUP (ORDER BY `{col}`)"), 4).alias("q75"),
         F.max(col).alias("max_v"),
     )
 

@@ -17,7 +17,9 @@ def deterministic_sample(df: DataFrame, key: Column, fraction: float, salt: int 
     Content-addressed: stable across runs, partitionings, and engines
     that share the hash. Different salts give independent samples."""
     bucket = F.pmod(F.xxhash64(key, F.lit(salt)), F.lit(10_000))
-    return df.where(bucket < int(fraction * 10_000))
+    # round, not int(): float truncation (0.29*10000 = 2899.999...) would
+    # silently keep one bucket too few
+    return df.where(bucket < round(fraction * 10_000))
 
 
 def modulo_sample(df: DataFrame, id_col: str, keep_every: int, offset: int = 0) -> DataFrame:
@@ -27,11 +29,16 @@ def modulo_sample(df: DataFrame, id_col: str, keep_every: int, offset: int = 0) 
 
 
 def stratified_counts(df: DataFrame, strata_col: str, sampled: DataFrame) -> DataFrame:
-    """Audit table: per-stratum population vs sample counts + rate."""
+    """Audit table: per-stratum population vs sample counts + rate.
+    Null-safe join: a NULL stratum is a real group on both sides (groupBy
+    keeps it) and must match itself, not report sampled=0."""
     pop = df.groupBy(strata_col).agg(F.count("*").alias("population"))
-    smp = sampled.groupBy(strata_col).agg(F.count("*").alias("sampled"))
+    smp = sampled.groupBy(strata_col).agg(F.count("*").alias("sampled")).withColumnRenamed(
+        strata_col, "_strata_s"
+    )
     return (
-        pop.join(smp, strata_col, "left")
+        pop.join(smp, F.col(strata_col).eqNullSafe(F.col("_strata_s")), "left")
+        .drop("_strata_s")
         .select(
             strata_col,
             "population",

@@ -50,13 +50,16 @@ def session_stats(
     span_us = F.unix_micros(F.max(ts_col).cast("timestamp")) - F.unix_micros(
         F.min(ts_col).cast("timestamp")
     )
+    order_key = F.struct(F.col(ts_col), F.col(id_col))
     return (
         sess.groupBy(user_col, "session_idx")
         .agg(
             F.count("*").alias("n_events"),
             (span_us - span_us % 1000000).cast("long").alias("_span_us_floor"),
-            F.min(id_col).alias("first_event"),
-            F.max(id_col).alias("last_event"),
+            # first/last by EVENT TIME (ids need not be time-monotone),
+            # same (ts, id) ordering sessionize itself uses
+            F.min_by(id_col, order_key).alias("first_event"),
+            F.max_by(id_col, order_key).alias("last_event"),
         )
         .select(
             user_col,

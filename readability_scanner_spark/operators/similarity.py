@@ -33,10 +33,14 @@ def norm_col(a: Column) -> Column:
 
 def cosine_col(a: Column, b: Column) -> Column:
     """V2 cosine similarity (vector_service.py:194-215) as pure JVM
-    expressions; inputs cast to double element-wise for stable math."""
+    expressions; inputs cast to double element-wise for stable math.
+    Zero-norm vectors get similarity 0.0 — NOT NaN: Spark orders NaN
+    ABOVE all numerics, so an unguarded 0/0 would pass every
+    `sim >= threshold` filter and rank first in knn_topk."""
     ad = F.transform(a, lambda x: x.cast("double"))
     bd = F.transform(b, lambda x: x.cast("double"))
-    return dot_col(ad, bd) / (norm_col(ad) * norm_col(bd))
+    denom = norm_col(ad) * norm_col(bd)
+    return F.when(denom != 0.0, dot_col(ad, bd) / denom).otherwise(F.lit(0.0))
 
 
 def similarity_pairs(
@@ -87,16 +91,24 @@ def lsh_signature_df(
     """Random-hyperplane signature per vector (sign pattern → bucket id).
     Vectorized: one matmul per Arrow batch."""
     planes = _hyperplanes(dim, n_planes, seed)
+    id_type = vectors.schema[id_col].dataType.simpleString()
 
     def sign_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
+            # drop null / wrong-dimension vectors instead of crashing the
+            # worker on a ragged vstack — mirrors the V5 size guard of the
+            # brute-force path (excluded rows simply form no pairs)
+            ok = pdf[vec_col].map(lambda v: v is not None and len(v) == dim)
+            pdf = pdf[ok.to_numpy()] if not ok.all() else pdf
+            if pdf.empty:
+                continue
             mat = np.vstack(pdf[vec_col].to_numpy())
             bits = (mat @ planes.T) >= 0  # (n, planes)
             bucket = bits.dot(1 << np.arange(n_planes)).astype("int64")
             yield pd.DataFrame({id_col: pdf[id_col], "bucket": bucket})
 
     return vectors.select(id_col, vec_col).mapInPandas(
-        sign_batches, schema=f"{id_col} long, bucket long"
+        sign_batches, schema=f"{id_col} {id_type}, bucket long"
     )
 
 
@@ -169,14 +181,22 @@ def ivf_assign(
     """Assign every vector to its nearest centroid (one matmul per Arrow
     batch; centroids ride the closure — the broadcast-variable analog)."""
     cents = centroids.copy()
+    dim = cents.shape[1]
+    id_type = vectors.schema[id_col].dataType.simpleString()
 
     def assign(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
+            ok = pdf[vec_col].map(lambda v: v is not None and len(v) == dim)
+            pdf = pdf[ok.to_numpy()] if not ok.all() else pdf
+            if pdf.empty:
+                continue
             mat = np.vstack(pdf[vec_col].to_numpy()).astype("float64")
             d = (mat**2).sum(1)[:, None] - 2 * mat @ cents.T + (cents**2).sum(1)[None, :]
             yield pd.DataFrame({id_col: pdf[id_col], "cell": d.argmin(axis=1).astype("int64")})
 
-    return vectors.select(id_col, vec_col).mapInPandas(assign, schema=f"{id_col} long, cell long")
+    return vectors.select(id_col, vec_col).mapInPandas(
+        assign, schema=f"{id_col} {id_type}, cell long"
+    )
 
 
 def ivf_knn(

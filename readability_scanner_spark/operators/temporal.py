@@ -78,12 +78,24 @@ def range_join(
     """Pairs (l, r) with same key and right_ts in
     [left_ts + lower, left_ts + upper]. Band-bucketed: each side
     explodes into the O(1) buckets its window can touch, the join runs
-    on (key, bucket), then the exact predicate filters."""
+    on (key, bucket), then the exact predicate filters.
+
+    Right-side columns whose names collide with left ones (other than
+    the key) come out suffixed ``_r`` — a self-range-join over the same
+    table would otherwise produce ambiguous duplicate columns."""
+    from readability_scanner_spark.operators.sessions import _epoch  # shared ANSI-safe cast
+
+    overlap = (set(left.columns) & set(right.columns)) - {key}
+    for c in overlap:
+        right = right.withColumnRenamed(c, f"{c}_r")
+    if right_ts in overlap:
+        right_ts = f"{right_ts}_r"
+
     width = upper_seconds - lower_seconds
     bucket_seconds = bucket_seconds or max(width, 1.0)
 
-    l_epoch = F.col(left_ts).cast("timestamp").cast("double")
-    r_epoch = F.col(right_ts).cast("timestamp").cast("double")
+    l_epoch = _epoch(F.col(left_ts))
+    r_epoch = _epoch(F.col(right_ts))
 
     lo_bucket = F.floor((l_epoch + lower_seconds) / bucket_seconds)
     hi_bucket = F.floor((l_epoch + upper_seconds) / bucket_seconds)

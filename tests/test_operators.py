@@ -579,3 +579,59 @@ def test_backfill_bloom_handles_null_keys(spark):
     plain = sorted((r.id if r.id is not None else -1) for r in io_ops.backfill_remaining(full, done, "id").collect())
     bloomed = sorted((r.id if r.id is not None else -1) for r in io_ops.backfill_remaining(full, done, "id", bloom_bits=1 << 12).collect())
     assert bloomed == plain == [-1, 2]  # null key kept, like the anti-join
+
+
+def test_cosine_zero_vector_is_zero_not_nan(spark):
+    df = spark.createDataFrame(
+        [(0, [0.0, 0.0]), (1, [1.0, 0.0]), (2, [1.0, 0.0])],
+        "vec_id long, embedding array<double>",
+    )
+    pairs = {(r.id_a, r.id_b) for r in similarity.similarity_pairs(df, "vec_id", "embedding", 0.5).collect()}
+    assert pairs == {(1, 2)}  # NaN would have matched the zero vector too
+    top = [r.vec_id for r in similarity.knn_topk(df, "vec_id", "embedding", [1.0, 0.0], k=3).collect()]
+    assert top[0] in (1, 2) and top[-1] == 0  # zero vector ranks LAST
+
+
+def test_lsh_and_ivf_tolerate_bad_vectors(spark):
+    df = spark.createDataFrame(
+        [(1, [1.0] * 8), (2, [1.0] * 8), (3, None), (4, [1.0, 2.0])],
+        "vec_id long, embedding array<double>",
+    )
+    pairs = {(r.id_a, r.id_b) for r in similarity.lsh_bucketed_pairs(df, "vec_id", "embedding", 8, 0.9, n_planes=2).collect()}
+    assert pairs == {(1, 2)}  # bad rows dropped, no worker crash
+
+
+def test_session_first_last_by_event_time(spark):
+    from readability_scanner_spark.operators.sessions import session_stats
+
+    df = spark.createDataFrame(
+        [(7, "2025-01-01 09:10:00", 3), (7, "2025-01-01 09:00:00", 9)],
+        "user_id long, ts_s string, event_id long",
+    ).select("user_id", F.to_timestamp("ts_s").alias("ts"), "event_id")
+    row = session_stats(df, "user_id", "ts").first()
+    assert (row.first_event, row.last_event) == (9, 3)  # by time, not id
+
+
+def test_stratified_counts_null_stratum(spark):
+    from readability_scanner_spark.operators.sampling import modulo_sample, stratified_counts
+
+    docs = spark.createDataFrame(
+        [(i, None if i % 2 == 0 else "en") for i in range(10)], "doc_id long, lang string"
+    )
+    out = {r.lang: (r.population, r.sampled) for r in
+           stratified_counts(docs, "lang", modulo_sample(docs, "doc_id", 2)).collect()}
+    assert out[None] == (5, 5)  # null stratum matches itself
+    assert out["en"] == (5, 0)
+
+
+def test_range_join_self_join_column_collision(spark):
+    from readability_scanner_spark.operators.temporal import range_join
+
+    ev = spark.createDataFrame(
+        [(1, 100, "2025-01-01 10:00:00"), (1, 200, "2025-01-01 10:05:00")],
+        "user_id long, event_id long, ts_s string",
+    ).select("user_id", "event_id", F.to_timestamp("ts_s").alias("ts"))
+    out = range_join(ev, ev, "user_id", "ts", "ts", 1.0, 600.0)
+    assert "event_id_r" in out.columns and "ts_r" in out.columns
+    row = out.select("event_id", "event_id_r").first()
+    assert (row.event_id, row.event_id_r) == (100, 200)
