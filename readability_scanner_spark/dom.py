@@ -35,7 +35,6 @@ BLOCK_ELEMENTS = frozenset(
 # simplified): any block element.
 _P_CLOSERS = BLOCK_ELEMENTS
 
-_WS_RE = re.compile(r"\s+")
 
 
 class Node:
@@ -87,14 +86,6 @@ class Node:
                 if child.children:
                     stack.append((child, c))
         return new_root
-
-    def replace_with(self, other: "Node") -> None:
-        if self.parent is None:
-            return
-        idx = self.parent.children.index(self)
-        other.parent = self.parent
-        self.parent.children[idx] = other
-        self.parent = None
 
     # -- accessors ---------------------------------------------------------
     @property
@@ -316,11 +307,18 @@ class _TreeBuilder(HTMLParser):
         if data:
             self._append_text(data, len(data))
 
+    def _ref_len(self, base_len: int) -> int:
+        # html.parser also fires for UNterminated refs ('&amp' without
+        # ';'); only count the semicolon when the source actually has one,
+        # else spans overshoot into the following text node
+        end = self._offset() + base_len
+        return base_len + (1 if end < len(self._raw) and self._raw[end] == ";" else 0)
+
     def handle_entityref(self, name: str) -> None:
-        self._append_text(unescape(f"&{name};"), len(name) + 2)
+        self._append_text(unescape(f"&{name};"), self._ref_len(len(name) + 1))
 
     def handle_charref(self, name: str) -> None:
-        self._append_text(unescape(f"&#{name};"), len(name) + 3)
+        self._append_text(unescape(f"&#{name};"), self._ref_len(len(name) + 2))
 
     def handle_comment(self, data: str) -> None:  # drop comments
         pass

@@ -189,13 +189,32 @@ def _preprocess(root: Node) -> None:
         for group in groups:
             if not group:
                 continue
-            if len(group) == 1 and group[0].tag in BLOCK_ELEMENTS:
-                parent.append(group[0])
-                continue
-            p = Node("p")
+            # wrap only PHRASING runs in <p>; block elements break the
+            # paragraph and stay direct children (the public algorithm's
+            # br-to-p conversion stops at block content — wrapping a div
+            # in <p> would double-count its text in candidate scoring)
+            run: list[Node] = []
+
+            def flush(run_nodes: list[Node]) -> None:
+                if not run_nodes:
+                    return
+                if all(n.is_text and not n.text.strip() for n in run_nodes):
+                    for n in run_nodes:  # whitespace-only: keep unwrapped
+                        parent.append(n)
+                    return
+                p = Node("p")
+                for n in run_nodes:
+                    p.append(n)
+                parent.append(p)
+
             for item in group:
-                p.append(item)
-            parent.append(p)
+                if item.tag in BLOCK_ELEMENTS:
+                    flush(run)
+                    run = []
+                    parent.append(item)
+                else:
+                    run.append(item)
+            flush(run)
 
 
 # ---------------------------------------------------------------------------
@@ -217,13 +236,21 @@ def _grab_article(body: Node, flags: int, byline_sink: Optional[list] = None) ->
         ci = node.class_id
         # public-spec byline rule: only the FIRST valid byline is captured
         # and removed; once set (including by an earlier retry attempt),
-        # later author/byline-matching nodes stay in the content
+        # later author/byline-matching nodes stay in the content. The
+        # sweep iterates a pre-removal snapshot, so a candidate inside an
+        # already-stripped subtree must be ignored (spec walks the live
+        # DOM): verify the node is still attached under body.
         if byline_sink is not None and not byline_sink:
             if (
                 node.get("rel") == "author"
                 or "author" in node.get("itemprop", "")
                 or (ci and BYLINE.search(ci))
             ):
+                anc = node
+                while anc.parent is not None:
+                    anc = anc.parent
+                if anc is not body and anc.tag != "#root":
+                    continue  # detached by an earlier removal
                 text = node.inner_text()
                 if _is_valid_byline(text):
                     byline_sink.append(text.strip())

@@ -31,21 +31,28 @@ def sentences_col(text: Column) -> Column:
 
     The Python version first collapses whitespace; splitting is
     whitespace-insensitive so the collapse does not change the count.
+    Null text counts as 0, matching the python path's all-zero sentinel
+    (words_col already did; leaving these null made aggregates over the
+    same rows internally inconsistent).
     """
     normalized = F.trim(F.regexp_replace(text, r"\s+", " "))
     parts = F.split(normalized, r"[.!?]+(?:\s+|$)")
-    return F.size(F.filter(parts, lambda x: F.trim(x) != "")).cast("long")
+    return F.coalesce(
+        F.size(F.filter(parts, lambda x: F.trim(x) != "")), F.lit(0)
+    ).cast("long")
 
 
 def paragraphs_col(text: Column) -> Column:
     """T2: split on blank lines (text_stats.py:45-57)."""
     parts = F.split(text, r"\n\s*\n|\r\n\s*\r\n")
-    return F.size(F.filter(parts, lambda x: F.trim(x) != "")).cast("long")
+    return F.coalesce(
+        F.size(F.filter(parts, lambda x: F.trim(x) != "")), F.lit(0)
+    ).cast("long")
 
 
 def characters_col(text: Column) -> Column:
     """T4: length excluding all whitespace (text_stats.py:71-74)."""
-    return F.length(F.regexp_replace(text, r"\s", "")).cast("long")
+    return F.coalesce(F.length(F.regexp_replace(text, r"\s", "")), F.lit(0)).cast("long")
 
 
 def clean_html_col(html: Column) -> Column:

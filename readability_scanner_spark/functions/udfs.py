@@ -8,11 +8,12 @@ document, parser state reused, no per-row Spark↔Python round trip.
 
 Fuses the reference's per-article stages into two UDF stages
 (SURVEY.md §2.1 UDF surface):
-  extract_udf: E1 readability extraction + E2 cleaning + E4 dates +
+  extract_stats_partition: E1 readability extraction + E2 cleaning + E4 dates +
                S3 image, one shared DOM parse
                (reference round-trips HTTP per article instead,
                news-scanner/scanner/content_extractor.py:54-110)
-  stats_udf:   T1–T7 text statistics
+  (fused with) T1–T7 text statistics — ONE Arrow pass; the spark.sql
+  UDF registrations for ad-hoc SQL live in sql.py
                (news-scanner/readability/text_stats.py:136-201)
 
 Failure policy: a row never throws — parse failures become
@@ -131,11 +132,6 @@ def stats_one(text: str) -> tuple:
         return (1, 1, 1, 0, 1, 1.0, 0)  # reference's error sentinel
 
 
-@pandas_udf(EXTRACT_SCHEMA)
-def extract_udf(texts: pd.Series) -> pd.DataFrame:
-    return pd.DataFrame([extract_one(raw) for raw in texts], columns=_EXTRACT_COLS)
-
-
 def extract_stats_partition(batches, passthrough: list[str]):
     """mapInPandas body: ONE python pass per partition doing extraction +
     stats — avoids a second Arrow round trip for the stats stage."""
@@ -151,16 +147,3 @@ def extract_stats_partition(batches, passthrough: list[str]):
             out[col] = [s[i] for s in st]
         yield out
 
-
-@pandas_udf(STATS_SCHEMA)
-def stats_udf(cleaned: pd.Series) -> pd.DataFrame:
-    return pd.DataFrame([stats_one(text) for text in cleaned], columns=_STATS_COLS)
-
-
-@pandas_udf(StringType())
-def clean_html_udf(html: pd.Series) -> pd.Series:
-    """E2 cleaning alone (analyzer.py:34-74) for callers that skip
-    extraction (e.g. scoring pre-extracted content)."""
-    from readability_scanner_spark.extraction.cleaning import clean_html_content
-
-    return html.map(lambda h: clean_html_content(h) if h is not None else "")

@@ -2,8 +2,10 @@
 
     read transcripts
       → explicit repartition on salted conv_id hash (skew-safe)
-      → extract_udf (Arrow batch: readability + cleaning + dates + image)
-      → stats_udf  (Arrow batch: T1–T7)
+      → ONE fused mapInPandas pass (extraction + cleaning + dates +
+        image + T1–T7 stats in a single Arrow round trip — a chained
+        two-UDF plan would pay the Python transfer twice;
+        tests/test_plans.py asserts the single MapInPandas node)
       → F1–F9 as native Column expressions (JVM, whole-stage codegen)
       → future-date clamp (reference rss_parser.py:166-172)
       → idempotent partition-bucket commit + _meta lineage/metrics row
@@ -120,13 +122,16 @@ def extract_and_score(
         lambda batches: extract_stats_partition(batches, _PASSTHROUGH),
         schema=_SCORED_SCHEMA,
     )
+    now = F.current_timestamp()
     out = out.withColumns(
         {
-            # future-date clamp (reference rss_parser.py:166-172)
-            "ts": F.when(F.col("ts") > F.current_timestamp(), F.current_timestamp()).otherwise(
-                F.col("ts")
-            ),
-            "publication_date": F.col("published_ts"),
+            # future-date clamps (reference rss_parser.py:166-172) — both
+            # the transcript ts AND the extracted publication date
+            # (dates.py defers this clamp to pipeline level)
+            "ts": F.when(F.col("ts") > now, now).otherwise(F.col("ts")),
+            "publication_date": F.when(
+                F.col("published_ts") > now, now
+            ).otherwise(F.col("published_ts")),
         }
     ).withColumnRenamed("text_content", "cleaned_data").drop("published_ts")
     if redact_pii:
@@ -174,6 +179,21 @@ def committed_buckets(output_path: str) -> set[int]:
     return done
 
 
+def committed_n_buckets(output_path: str):
+    """n_buckets recorded by a prior run's meta rows (None if fresh or
+    written before the field existed)."""
+    meta = _meta_path(output_path)
+    if not os.path.isdir(meta):
+        return None
+    for name in sorted(os.listdir(meta)):
+        if name.endswith(".json"):
+            with open(os.path.join(meta, name)) as fh:
+                n = json.load(fh).get("n_buckets")
+            if n is not None:
+                return n
+    return None
+
+
 def run_pipeline(
     spark: SparkSession,
     transcripts: DataFrame,
@@ -197,6 +217,16 @@ def run_pipeline(
     """
     os.makedirs(_meta_path(output_path), exist_ok=True)
     done = committed_buckets(output_path)
+    # resume-safety: bucket membership is pmod(hash, n_buckets) — resuming
+    # with a DIFFERENT n_buckets would silently duplicate and drop
+    # conversations across bucket dirs. Every meta row records n_buckets;
+    # a mismatch is an error, not a guess.
+    prior_n = committed_n_buckets(output_path)
+    if prior_n is not None and prior_n != n_buckets:
+        raise ValueError(
+            f"resume with n_buckets={n_buckets} over a run committed with "
+            f"n_buckets={prior_n}; re-run with {prior_n} or a fresh output dir"
+        )
     bucketed = transcripts.withColumn(
         "_bucket", F.pmod(F.xxhash64(F.col("conv_id")), F.lit(n_buckets)).cast("int")
     )
@@ -222,6 +252,7 @@ def run_pipeline(
         )
         meta_row = {
             "bucket": bucket,
+            "n_buckets": n_buckets,
             "turns_processed": metrics["turns"],
             "parse_failures": metrics["failures"] or 0,
             "mean_content_ratio": float(metrics["mean_content_ratio"] or 0.0),
@@ -241,6 +272,17 @@ def run_pipeline(
 
 
 def read_output(spark: SparkSession, output_path: str) -> DataFrame:
-    return spark.read.option("basePath", output_path).parquet(
-        os.path.join(output_path, "bucket=*")
-    )
+    """Read ONLY committed buckets: a run killed between the parquet
+    write and the _meta commit leaves an uncommitted bucket=N/ dir that
+    the resume protocol will overwrite — readers must not see it."""
+    done = committed_buckets(output_path)
+    dirs = [
+        os.path.join(output_path, f"bucket={b}")
+        for b in sorted(done)
+        if os.path.isdir(os.path.join(output_path, f"bucket={b}"))
+    ]
+    if not dirs:
+        return spark.read.option("basePath", output_path).parquet(
+            os.path.join(output_path, "bucket=*")
+        )
+    return spark.read.option("basePath", output_path).parquet(*dirs)

@@ -171,3 +171,36 @@ def test_pipeline_optional_pii_redaction(spark):
     assert "jane.doe@example.com" in raw.cleaned_data  # default unchanged
     # stats computed on the ORIGINAL text: identical either way
     assert (clean.words, clean.sentences) == (raw.words, raw.sentences)
+
+
+def test_resume_rejects_mismatched_bucket_count(spark, tmp_path):
+    from readability_scanner_spark.plans.pipeline import run_pipeline
+    from readability_scanner_spark.sources.transcripts import transcripts_df
+
+    out = str(tmp_path / "nb")
+    df = transcripts_df(spark, n_conversations=4, seed=1)
+    run_pipeline(spark, df, out, n_buckets=2)
+    with pytest.raises(ValueError, match="n_buckets=4 .* n_buckets=2"):
+        run_pipeline(spark, df, out, n_buckets=4)
+    # same count resumes cleanly (no-op)
+    assert run_pipeline(spark, df, out, n_buckets=2)["buckets_run"] == 0
+
+
+def test_read_output_skips_uncommitted_buckets(spark, tmp_path):
+    import os
+    import shutil
+
+    from readability_scanner_spark.plans.pipeline import read_output, run_pipeline
+    from readability_scanner_spark.sources.transcripts import transcripts_df
+
+    out = str(tmp_path / "ro")
+    df = transcripts_df(spark, n_conversations=6, seed=2)
+    run_pipeline(spark, df, out, n_buckets=3)
+    total = read_output(spark, out).count()
+    # simulate a crash AFTER the parquet write but BEFORE the meta commit
+    os.remove(os.path.join(out, "_meta", "bucket-1.json"))
+    visible = read_output(spark, out).count()
+    assert 0 < visible < total  # uncommitted bucket hidden from readers
+    # resume re-commits it; reads are whole again
+    run_pipeline(spark, df, out, n_buckets=3)
+    assert read_output(spark, out).count() == total

@@ -266,3 +266,47 @@ def test_probably_readerable():
     # unlikely-classed long text does not count
     junk = "<html><body><div class='sidebar'><p class='comment'>" + "w " * 200 + "</p></div></body></html>"
     assert not probably_readerable(junk)
+
+
+def test_byline_not_taken_from_stripped_boilerplate():
+    """A byline-ish node inside an unlikely-candidate subtree is removed
+    WITH the subtree; the live-DOM spec never sees it, so no byline."""
+    html = (
+        "<html><body>"
+        "<div class='sidebar comment'><span class='author'>John Doe</span></div>"
+        "<div class='content'>"
+        + "<p>Long article paragraph with plenty of text, commas, and the usual "
+        "structure that scores well in readability candidate selection today.</p>" * 4
+        + "</div></body></html>"
+    )
+    r = extract_main_content(html)
+    assert r.byline is None
+    assert "John Doe" not in r.text_content
+
+
+def test_double_br_does_not_wrap_block_elements():
+    """br-to-p conversion wraps phrasing runs only; a block element breaks
+    the paragraph (wrapping a div in <p> would double-count its text in
+    candidate scoring)."""
+    from readability_scanner_spark.dom import parse_html
+    from readability_scanner_spark.extraction.readability import _preprocess
+
+    root = parse_html(
+        "<html><body><div>intro<br><br><div id='inner'><p>block</p></div> tail</div></body></html>"
+    )
+    _preprocess(root)
+    out = root.serialize()
+    assert "<p>intro</p>" in out
+    assert "<p><div" not in out  # block never nested inside the wrapper p
+    assert "<p> tail</p>" in out
+
+
+def test_stdlib_fallback_unterminated_entity_spans():
+    from readability_scanner_spark.dom import parse_html_stdlib
+
+    root = parse_html_stdlib("<p>a&amp b</p>")
+    (span,) = [(n.src_start, n.src_end) for n in root.iter() if n.is_text]
+    assert span == (3, 10)  # '&amp' without ';' is 4 chars, no overshoot
+    root2 = parse_html_stdlib("<p>a&amp; b</p>")
+    (span2,) = [(n.src_start, n.src_end) for n in root2.iter() if n.is_text]
+    assert span2 == (3, 11)
