@@ -1749,6 +1749,7 @@ def oracle_sql() -> dict[str, str]:
                    WHEN s_es >= greatest(s_en, s_de) THEN 'es'
                    WHEN s_en >= s_de THEN 'en'
                    ELSE 'de' END AS lang_guess,
+              CASE WHEN length(trim(coalesce(text, ''))) = 0 THEN 0.0 ELSE
               ((CASE WHEN n_chars BETWEEN 100 AND 50000 THEN 1.0 ELSE 0.3 END)
                    + (CASE WHEN punct_ratio BETWEEN 0.02 AND 0.4 THEN 1.0 ELSE 0.4 END)
                    + (CASE WHEN d_kana >= 0.05 OR d_hangul >= 0.2 OR d_han >= 0.2
@@ -1756,7 +1757,7 @@ def oracle_sql() -> dict[str, str]:
                            THEN 1.0 ELSE 0.5 END)
                    + (CASE WHEN mean_word_len BETWEEN 3 AND 12 THEN 1.0 ELSE 0.4 END)
                    + (CASE WHEN words::DOUBLE / sentences <= 60 THEN 1.0 ELSE 0.5 END)
-                    ) / 5.0 AS quality_score,
+                    ) / 5.0 END AS quality_score,
               n_tokens
             FROM ratios
         """,

@@ -19,7 +19,8 @@ _REDDIT_LINK_RE = re.compile(r'href="([^"]+)"\s*>\s*\[link\]\s*</a>', re.I)
 _ANY_URL_RE = re.compile(r'https?://[^\s"\'<>]+')
 
 # same patterns as the pure functions, for the JVM-side fast path
-REDDIT_LINK_PATTERN = r'href="([^"]+)"\s*>\s*\[link\]\s*</a>'
+# ((?i) mirrors the python re.I flag — Java regex inline flag)
+REDDIT_LINK_PATTERN = r'(?i)href="([^"]+)"\s*>\s*\[link\]\s*</a>'
 ANY_URL_PATTERN = r'(https?://[^\s"\'<>]+)'
 
 
@@ -36,11 +37,22 @@ def extract_article_url(content_html: str, exclude_host: str = "reddit.com") -> 
     return None
 
 
-def reddit_link_col(content: Column) -> Column:
-    extracted = F.regexp_extract(content, REDDIT_LINK_PATTERN, 1)
-    fallback = F.regexp_extract(content, ANY_URL_PATTERN, 1)
+def _unescape_legacy(col: Column) -> Column:
+    # the legacy 5-entity subset (full html.unescape is python-only; the
+    # UDF path is authoritative for exotic entities)
+    for ent, rep in (("&amp;", "&"), ("&lt;", "<"), ("&gt;", ">"), ("&quot;", '"'), ("&#39;", "'")):
+        col = F.replace(col, F.lit(ent), F.lit(rep))
+    return col
+
+
+def reddit_link_col(content: Column, exclude_host: str = "reddit.com") -> Column:
+    """JVM fast path of extract_article_url with the SAME semantics:
+    case-insensitive [link] anchor first; otherwise the first URL in the
+    (entity-unescaped) content whose host is not the excluded one."""
+    extracted = _unescape_legacy(F.regexp_extract(content, REDDIT_LINK_PATTERN, 1))
+    urls = F.regexp_extract_all(_unescape_legacy(content), F.lit(ANY_URL_PATTERN), 1)
+    fallback = F.try_element_at(  # empty array → null (ANSI-safe)
+        F.filter(urls, lambda u: ~u.contains(F.lit(exclude_host))), F.lit(1)
+    )
     picked = F.when(extracted != "", extracted).otherwise(fallback)
-    unescaped = picked
-    for ent, rep in (("&amp;", "&"), ("&lt;", "<"), ("&gt;", ">"), ("&quot;", '"')):
-        unescaped = F.replace(unescaped, F.lit(ent), F.lit(rep))
-    return F.when(unescaped != "", unescaped)
+    return F.when(picked != "", picked)

@@ -23,6 +23,14 @@ def _terms(query: str) -> list[str]:
     return [t.lower() for t in _TOKEN.sub(" ", query or "").split() if t]
 
 
+def _term_pattern(t: str) -> str:
+    """Word-boundary pattern that works for non-ASCII terms: Java regex
+    \\b is ASCII-only, so \\bcafé\\b can never match — use unicode
+    letter/digit lookarounds instead (equivalent to \\b for ASCII
+    terms, which keeps the DuckDB oracles' \\b forms exact)."""
+    return rf"(?<![\p{{L}}\p{{N}}_]){re.escape(t)}(?![\p{{L}}\p{{N}}_])"
+
+
 def relevance_col(text: Column, query: str) -> Column:
     """Sum of per-term occurrence counts (case-insensitive, word-bounded)
     — the textScore analog; 0 when any... no: $text ORs terms, so score
@@ -32,7 +40,7 @@ def relevance_col(text: Column, query: str) -> Column:
         return F.lit(0).cast("long")
     score = F.lit(0).cast("long")
     for t in terms:
-        score = score + F.regexp_count(F.lower(text), F.lit(rf"\b{re.escape(t)}\b")).cast("long")
+        score = score + F.regexp_count(F.lower(text), F.lit(_term_pattern(t))).cast("long")
     return score
 
 
@@ -49,7 +57,7 @@ def weighted_text_score(fields: dict[str, float], query: str) -> Column:
     for col_name, weight in fields.items():
         low = F.lower(F.col(col_name))
         for t in _terms(query):
-            tf = F.regexp_count(low, F.lit(rf"\b{re.escape(t)}\b")).cast("double")
+            tf = F.regexp_count(low, F.lit(_term_pattern(t))).cast("double")
             score = score + F.when(
                 tf > 0, F.lit(float(weight)) * (0.5 + 0.5 * tf / (tf + 1))
             ).otherwise(0.0)
@@ -79,7 +87,7 @@ def text_search(
     out = df.withColumn("relevance", relevance_col(F.col(text_col), query))
     if require_all and terms:
         for t in terms:
-            out = out.where(F.lower(F.col(text_col)).rlike(rf"\b{re.escape(t)}\b"))
+            out = out.where(F.lower(F.col(text_col)).rlike(_term_pattern(t)))
     return (
         out.where(F.col("relevance") > 0)
         .select(id_col, "relevance")

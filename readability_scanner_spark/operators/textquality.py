@@ -97,7 +97,11 @@ def quality_score_col(text: Column, cjk_ratio: float = 0.2) -> Column:
     stop_ok = F.when(is_cjk | (best_marker >= 0.05), 1.0).otherwise(0.5)
     wordlen_ok = F.when((mean_word_len >= 3) & (mean_word_len <= 12), 1.0).otherwise(0.4)
     asl_ok = F.when(words / sentences <= 60, 1.0).otherwise(0.5)
-    return (length_ok + punct_ok + stop_ok + wordlen_ok + asl_ok) / F.lit(5.0)
+    score = (length_ok + punct_ok + stop_ok + wordlen_ok + asl_ok) / F.lit(5.0)
+    # content-free rows score hard zero: the word/sentence floors would
+    # otherwise give empty/null text 0.52 — ABOVE a 0.5 quality cut
+    empty = F.coalesce(F.length(F.trim(text)), F.lit(0)) == 0
+    return F.when(empty, F.lit(0.0)).otherwise(score)
 
 
 # PII patterns (shared literals with the DuckDB oracle; plain character

@@ -31,11 +31,16 @@ def read_transcript_stream(spark: SparkSession, input_path: str) -> DataFrame:
 
 def extract_stream(transcripts: DataFrame) -> DataFrame:
     """Same fused extract+stats mapInPandas as the batch plan — the
-    logical plan is trigger-agnostic; only source/sink differ."""
-    return transcripts.mapInPandas(
+    logical plan is trigger-agnostic; only source/sink differ. The batch
+    path's future-date clamp applies here too: without it a single
+    far-future ts row would poison every downstream WATERMARK and make
+    append-mode sinks drop all later normal rows as 'late'."""
+    out = transcripts.mapInPandas(
         lambda batches: extract_stats_partition(batches, _PASSTHROUGH),
         schema=_SCORED_SCHEMA,
     )
+    now = F.current_timestamp()
+    return out.withColumn("ts", F.when(F.col("ts") > now, now).otherwise(F.col("ts")))
 
 
 def run_extract_stream(
@@ -85,7 +90,11 @@ def parse_metrics_stream(transcripts: DataFrame, window: str = "1 day") -> DataF
 def run_metrics_stream(
     spark: SparkSession, input_path: str, checkpoint_path: str, query_name: str = "metrics"
 ):
-    """Metrics stream into an in-memory sink (tests/diagnostics)."""
+    """Metrics stream into an in-memory sink (tests/diagnostics ONLY).
+    complete mode re-emits all windows and never evicts state — fine for
+    a bounded diagnostic run; a production sink takes parse_metrics_stream
+    in APPEND mode, where the watermark actually drops late rows and
+    bounds state."""
     metrics = parse_metrics_stream(read_transcript_stream(spark, input_path))
     return (
         metrics.writeStream.format("memory")
@@ -113,8 +122,6 @@ def streaming_rollup_minute(events: DataFrame, ts_col: str, value_col: str, wate
     re-aggregate). A batch job rolls these up to hour/day with
     operators/rollup.rollup_up; equality with a direct batch rollup is
     the correctness contract (tested)."""
-    from pyspark.sql import functions as F
-
     return (
         events.withWatermark(ts_col, watermark)
         .groupBy(F.window(F.col(ts_col), "1 minute"))

@@ -79,3 +79,22 @@ def test_reddit_link_col_matches_python(spark):
     out = df.select("id", reddit_link_col(F.col("c")).alias("u")).collect()
     for row in out:
         assert row.u == extract_article_url(htmls[row.id]), row.id
+
+
+def test_reddit_link_col_parity_edge_cases(spark):
+    """Column fast path must agree with extract_article_url on the cases
+    the generator never produces: uppercase [LINK], reddit-host fallback
+    exclusion, entity-escaped hrefs."""
+    from readability_scanner_spark.extraction.links import extract_article_url, reddit_link_col
+
+    cases = [
+        '<a href="/rel">[LINK]</a> https://reddit.com/r/y',
+        "<p>see https://reddit.com/r/x/1 and https://example.com/story</p>",
+        '<a href="https://e.com/a?x=1&amp;y=2">[link]</a>',
+        "<p>no urls at all</p>",
+        None,
+    ]
+    df = spark.createDataFrame([(i, c) for i, c in enumerate(cases)], "i long, content string")
+    got = {r.i: r.url for r in df.select("i", reddit_link_col(F.col("content")).alias("url")).collect()}
+    for i, c in enumerate(cases):
+        assert got[i] == extract_article_url(c), (i, c)

@@ -635,3 +635,22 @@ def test_range_join_self_join_column_collision(spark):
     assert "event_id_r" in out.columns and "ts_r" in out.columns
     row = out.select("event_id", "event_id_r").first()
     assert (row.event_id, row.event_id_r) == (100, 200)
+
+
+def test_quality_score_empty_text_is_zero(spark):
+    df = spark.createDataFrame([(1, ""), (2, None), (3, "   ")], "id long, text string")
+    out = {r.id: r.q for r in df.select(
+        "id", textquality.quality_score_col(F.col("text")).alias("q")
+    ).collect()}
+    assert out == {1: 0.0, 2: 0.0, 3: 0.0}
+
+
+def test_search_matches_non_ascii_terms(spark):
+    from readability_scanner_spark.operators.search import text_search
+
+    df = spark.createDataFrame(
+        [(1, "le café est ouvert aujourd'hui"), (2, "the cafe is open")],
+        "doc_id long, text string",
+    )
+    out = [r.doc_id for r in text_search(df, "text", "café", "doc_id").collect()]
+    assert out == [1]  # java \b would have matched nothing
