@@ -25,7 +25,7 @@ SENT_PAT = r"[.!?]+(?:\s+|$)"
 TOKEN_PAT = r"\w+|[^\w\s]"
 
 
-_PKG_SHIPPED: set[int] = set()
+_PKG_SHIPPED: set[str] = set()
 
 
 def _ensure_package_on_workers(spark: SparkSession) -> None:
@@ -33,9 +33,14 @@ def _ensure_package_on_workers(spark: SparkSession) -> None:
     PYTHONPATH; python workers then can't unpickle our UDF closures.
     Ship the package as a zip via addPyFile (idempotent per session) —
     the same mechanism spark-submit --py-files uses."""
-    key = id(spark)
+    try:
+        key = spark.sparkContext.applicationId  # stable per app; id(spark)
+        # could be recycled by the allocator after a stopped session
+    except Exception:
+        key = str(id(spark))
     if key in _PKG_SHIPPED:
         return
+    import tempfile
     import zipfile
 
     repo = os.path.dirname(os.path.abspath(__file__))
@@ -49,9 +54,15 @@ def _ensure_package_on_workers(spark: SparkSession) -> None:
     newest = max(os.path.getmtime(p) for p in sources)
     zip_path = os.path.join("/tmp", "readability_scanner_spark_pkg.zip")
     if not os.path.exists(zip_path) or os.path.getmtime(zip_path) < newest:
-        with zipfile.ZipFile(zip_path, "w") as zf:
+        # build in a private temp file, then atomic-rename: concurrent
+        # processes (bench + selfcheck) must never addPyFile a half-
+        # written zip
+        fd, tmp_zip = tempfile.mkstemp(suffix=".zip", dir="/tmp")
+        os.close(fd)
+        with zipfile.ZipFile(tmp_zip, "w") as zf:
             for full in sources:
                 zf.write(full, os.path.relpath(full, repo))
+        os.replace(tmp_zip, zip_path)
     try:
         spark.sparkContext.addPyFile(zip_path)
     except Exception:
@@ -76,20 +87,30 @@ def _t(spark: SparkSession, sf_dir: str, name: str, spread: bool = False) -> Dat
 # entry: flagship pipeline on sf0.001
 # ---------------------------------------------------------------------------
 
+
+def _docs_as_transcripts(docs, conv_col, ts_col):
+    """The pipeline input contract (conv_id, turn_idx, role, text, tool,
+    ts) applied to the documents table — ONE definition for every
+    extraction-path query."""
+    return docs.select(
+        conv_col.alias("conv_id"),
+        F.col("doc_id").cast("int").alias("turn_idx"),
+        F.lit("user").alias("role"),
+        F.col("text"),
+        F.lit(None).cast("string").alias("tool"),
+        ts_col.alias("ts"),
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Extract + score every document of sf0.001 through the full
     Arrow-UDF pipeline (documents.text as the raw input column)."""
     from readability_scanner_spark.plans.pipeline import extract_and_score
 
     docs = _t(spark, "/root/testdata/sf0.001", "documents")
-    transcripts = docs.select(
-        F.concat(F.lit("doc-"), F.col("doc_id")).alias("conv_id"),
-        F.lit(0).alias("turn_idx"),
-        F.lit("user").alias("role"),
-        F.col("text"),
-        F.lit(None).cast("string").alias("tool"),
-        F.current_timestamp().alias("ts"),
-    )
+    transcripts = _docs_as_transcripts(
+        docs, F.concat(F.lit("doc-"), F.col("doc_id")), F.current_timestamp()
+    ).withColumn("turn_idx", F.lit(0))
     return extract_and_score(transcripts).select(
         "conv_id",
         "cleaned_data",
@@ -327,7 +348,7 @@ def q_lang_quality(spark, sf_dir):
         token_count_col,
     )
 
-    docs = _t(spark, sf_dir, "documents")
+    docs = _t(spark, sf_dir, "documents", spread=True)  # ~46 regexes/row: spread the one-task scan
     return docs.select(
         "doc_id",
         lang_id_col(F.col("text")).alias("lang_guess"),
@@ -434,14 +455,9 @@ def _flagship_on(spark, sf_dir):
     from readability_scanner_spark.plans.pipeline import extract_and_score
 
     docs = _t(spark, sf_dir, "documents")
-    transcripts = docs.select(
-        F.concat(F.lit("doc-"), F.col("doc_id")).alias("conv_id"),
-        F.lit(0).alias("turn_idx"),
-        F.lit("user").alias("role"),
-        F.col("text"),
-        F.lit(None).cast("string").alias("tool"),
-        F.current_timestamp().alias("ts"),
-    )
+    transcripts = _docs_as_transcripts(
+        docs, F.concat(F.lit("doc-"), F.col("doc_id")), F.current_timestamp()
+    ).withColumn("turn_idx", F.lit(0))
     return extract_and_score(transcripts).select(
         "conv_id", "words", "sentences", "syllables", "flesch", "dale_chall_grade"
     )
@@ -723,13 +739,8 @@ def q_full_report(spark, sf_dir):
     from readability_scanner_spark.plans.pipeline import extract_and_score
 
     docs = _t(spark, sf_dir, "documents", spread=True)
-    transcripts = docs.select(
-        F.col("source").alias("conv_id"),
-        F.col("doc_id").cast("int").alias("turn_idx"),
-        F.lit("user").alias("role"),
-        F.col("text"),
-        F.lit(None).cast("string").alias("tool"),
-        F.to_timestamp(F.lit("2025-06-01 00:00:00")).alias("ts"),
+    transcripts = _docs_as_transcripts(
+        docs, F.col("source"), F.to_timestamp(F.lit("2025-06-01 00:00:00"))
     )
     return readability_report(extract_and_score(transcripts, repartition_to=0), "conv_id")
 
@@ -748,13 +759,8 @@ def q_full_report_sql(spark, sf_dir):
     # spread=True: single-row-group parquet would otherwise put the whole
     # per-row extraction ladder on ONE task (CLAUDE.md gotcha)
     docs = _t(spark, sf_dir, "documents", spread=True)
-    transcripts = docs.select(
-        F.col("source").alias("conv_id"),
-        F.col("doc_id").cast("int").alias("turn_idx"),
-        F.lit("user").alias("role"),
-        F.col("text"),
-        F.lit(None).cast("string").alias("tool"),
-        F.to_timestamp(F.lit("2025-06-01 00:00:00")).alias("ts"),
+    transcripts = _docs_as_transcripts(
+        docs, F.col("source"), F.to_timestamp(F.lit("2025-06-01 00:00:00"))
     )
     rep = readability_report(extract_and_score(transcripts, repartition_to=0), "conv_id")
     return rep.select(
@@ -1501,8 +1507,13 @@ def oracle_sql() -> dict[str, str]:
             ) WHERE rn BETWEEN 11 AND 20
         """,
         "multi_key_sort_top": """
-            SELECT event_id, round(value, 4) AS value FROM events
-            ORDER BY value DESC, event_id ASC LIMIT 20
+            -- order on the RAW value in a subquery: DuckDB binds ORDER BY
+            -- to the rounded select alias, which could pick a different
+            -- top-20 set than Spark's raw-value sort at 4-decimal ties
+            SELECT event_id, round(value, 4) AS value FROM (
+              SELECT event_id, value FROM events
+              ORDER BY value DESC, event_id ASC LIMIT 20
+            )
         """,
         "rolling_7d_by_type": """
             SELECT event_type, count(*) AS cnt FROM events
@@ -1546,7 +1557,10 @@ def oracle_sql() -> dict[str, str]:
             FROM documents GROUP BY text
         """,
         "json_props_agg": """
-            SELECT (json_extract(props, '$.k')::INT % 10) AS k_mod,
+            -- json_valid guard: duckdb json_extract HARD-ERRORS on
+            -- empty/malformed props where spark get_json_object is NULL
+            SELECT (CASE WHEN props IS NOT NULL AND json_valid(props)
+                         THEN json_extract(props, '$.k') END::INT % 10) AS k_mod,
                    count(*) AS cnt, round(avg(value), 4) AS avg_value
             FROM events GROUP BY 1
         """,

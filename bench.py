@@ -60,16 +60,16 @@ def main() -> None:
     table = spark.read.parquet(tmp_tbl)
 
     def run_extract(df, parts):
-        # aggregate over UDF outputs forces full evaluation — a bare
-        # count() would let Catalyst prune the (deterministic) UDF
-        # projections and benchmark nothing
+        # force EVERY output column: hash the whole row and bit_xor the
+        # hashes. Aggregating a column subset lets Catalyst prune the
+        # rest — the previous form silently excluded the F1-F9 score
+        # projections from the flagship measurement (the CLAUDE.md
+        # bare-count gotcha, half-applied).
         row = (
             extract_and_score(df, repartition_to=parts)
             .agg(
                 F.count("*").alias("n"),
-                F.sum("words").alias("w"),
-                F.sum(F.length("cleaned_data")).alias("c"),
-                F.sum(F.col("parse_failed").cast("long")).alias("f"),
+                F.bit_xor(F.xxhash64(F.struct("*"))).alias("h"),
             )
             .first()
         )
@@ -78,7 +78,7 @@ def main() -> None:
     run_extract(table.limit(1024), cpus)  # warmup (JVM + python workers)
 
     best, n_turns = float("inf"), 0
-    for _ in range(int(os.environ.get("BENCH_REPEATS", "2"))):
+    for _ in range(max(1, int(os.environ.get("BENCH_REPEATS", "2")))):
         t0 = time.time()
         n_turns = run_extract(table, 4 * cpus)
         best = min(best, time.time() - t0)

@@ -43,6 +43,9 @@ def main() -> None:
     from readability_scanner_spark.plans.pipeline import run_pipeline
     from readability_scanner_spark.sources.transcripts import transcripts_df
 
+    if args.synthetic and args.input:
+        ap.error("--input and --synthetic are mutually exclusive (the old "
+                 "behavior silently ignored --input)")
     if args.synthetic:
         transcripts = transcripts_df(spark, n_conversations=args.synthetic)
     elif args.input:

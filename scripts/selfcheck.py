@@ -75,9 +75,9 @@ def rows_match(a, b):
 def main() -> None:
     global EXACT
     args = sys.argv[1:]
-    if args and args[0] == "--exact":
+    if "--exact" in args:  # accept the flag in any position
         EXACT = True
-        args = args[1:]
+        args = [a for a in args if a != "--exact"]
     sf_dir = args[0] if args else "/root/testdata/sf0.01"
     only = set(args[1:])
     # data-derived oracles (LSH planes, IVF centroids) must read the SAME
@@ -90,6 +90,11 @@ def main() -> None:
 
     queries = entrymod.queries()
     oracles = entrymod.oracle_sql()
+    unknown = only - set(queries)
+    if unknown:  # a typo'd name must not produce a "0 ok, 0 failed" green
+        print(f"FAIL  unknown query name(s): {sorted(unknown)}")
+        spark.stop()
+        sys.exit(2)
     passed = failed = rows_only = 0
     for name, fn in queries.items():
         if only and name not in only:
