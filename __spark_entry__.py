@@ -787,7 +787,23 @@ def q_media_features(spark, sf_dir):
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    # ORDER MATTERS: the driver evaluates the FIRST 50 entries only.
+    # Round-2 insertion order pushed the 10 queries below past the window
+    # (including every round-1 failure, all since fixed and selfcheck-exact
+    # green) — rotate them FIRST so CORRECTNESS_r03 carries driver rows for
+    # them; the tail that rotates out is green in CORRECTNESS_r02.
     return {
+        "simhash_near_dups": q_simhash_near_dups,
+        "ngram_jaccard": q_ngram_jaccard,
+        "lsh_ann_pairs": q_lsh_ann_pairs,
+        "ivf_knn": q_ivf_knn,
+        "cdc_overlap": q_cdc_overlap,
+        "greedy_topics": q_greedy_topics,
+        "daily_topics": q_daily_topics,
+        "full_report": q_full_report,
+        "full_report_sql": q_full_report_sql,
+        "media_features": q_media_features,
+        # --- round-2 driver-evaluated set (green in CORRECTNESS_r02) ---
         "readability_by_source": q_readability_by_source,
         "word_topk": q_word_topk,
         "event_type_breakdown": q_event_type_breakdown,
@@ -839,16 +855,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "flagship_extract": q_flagship_extract,
         "minhash_candidates": q_minhash_candidates,
         "dedup_pipeline": q_dedup_pipeline,
-        "simhash_near_dups": q_simhash_near_dups,
-        "ngram_jaccard": q_ngram_jaccard,
-        "lsh_ann_pairs": q_lsh_ann_pairs,
-        "ivf_knn": q_ivf_knn,
-        "cdc_overlap": q_cdc_overlap,
-        "greedy_topics": q_greedy_topics,
-        "daily_topics": q_daily_topics,
-        "full_report": q_full_report,
-        "full_report_sql": q_full_report_sql,
-        "media_features": q_media_features,
     }
 
 
@@ -1309,14 +1315,18 @@ def oracle_sql() -> dict[str, str]:
         "daily_topics": _daily_topics_oracle(),
         "text_quality_filters": _text_quality_filters_oracle(),
         "text_search_scored": """
+            -- token-run equality == the Spark side's unicode lookaround
+            -- counts for all-word-char terms (RE2 has no lookarounds and
+            -- its \\b is ASCII-only, which diverges when an ASCII term
+            -- abuts a non-ASCII letter, e.g. 'data表')
             WITH tf AS (
               SELECT doc_id,
-                len(regexp_extract_all(lower(source), '\\bdata\\b'))::DOUBLE AS s1,
-                len(regexp_extract_all(lower(source), '\\btable\\b'))::DOUBLE AS s2,
-                len(regexp_extract_all(lower(source), '\\bquery\\b'))::DOUBLE AS s3,
-                len(regexp_extract_all(lower(text), '\\bdata\\b'))::DOUBLE AS t1,
-                len(regexp_extract_all(lower(text), '\\btable\\b'))::DOUBLE AS t2,
-                len(regexp_extract_all(lower(text), '\\bquery\\b'))::DOUBLE AS t3
+                len(list_filter(regexp_extract_all(lower(source), '[\\p{L}\\p{N}_]+'), x -> x = 'data'))::DOUBLE AS s1,
+                len(list_filter(regexp_extract_all(lower(source), '[\\p{L}\\p{N}_]+'), x -> x = 'table'))::DOUBLE AS s2,
+                len(list_filter(regexp_extract_all(lower(source), '[\\p{L}\\p{N}_]+'), x -> x = 'query'))::DOUBLE AS s3,
+                len(list_filter(regexp_extract_all(lower(text), '[\\p{L}\\p{N}_]+'), x -> x = 'data'))::DOUBLE AS t1,
+                len(list_filter(regexp_extract_all(lower(text), '[\\p{L}\\p{N}_]+'), x -> x = 'table'))::DOUBLE AS t2,
+                len(list_filter(regexp_extract_all(lower(text), '[\\p{L}\\p{N}_]+'), x -> x = 'query'))::DOUBLE AS t3
               FROM documents
             )
             SELECT doc_id, score FROM (
@@ -1712,11 +1722,13 @@ def oracle_sql() -> dict[str, str]:
             FROM events
         """,
         "text_search": """
+            -- token-run equality mirrors the Spark lookaround counts (RE2
+            -- \\b is ASCII-only — see text_search_scored note)
             SELECT doc_id, relevance FROM (
               SELECT doc_id,
-                     len(regexp_extract_all(lower(text), '\\bdata\\b'))
-                   + len(regexp_extract_all(lower(text), '\\btable\\b'))
-                   + len(regexp_extract_all(lower(text), '\\bquery\\b')) AS relevance
+                     len(list_filter(regexp_extract_all(lower(text), '[\\p{L}\\p{N}_]+'), x -> x = 'data'))
+                   + len(list_filter(regexp_extract_all(lower(text), '[\\p{L}\\p{N}_]+'), x -> x = 'table'))
+                   + len(list_filter(regexp_extract_all(lower(text), '[\\p{L}\\p{N}_]+'), x -> x = 'query')) AS relevance
               FROM documents
             ) WHERE relevance > 0
             ORDER BY relevance DESC, doc_id ASC LIMIT 20

@@ -19,6 +19,7 @@ from __future__ import annotations
 
 import os
 import shutil
+import uuid
 from typing import Optional
 
 from pyspark.sql import DataFrame, SparkSession
@@ -69,6 +70,13 @@ def merge_upsert(
     Returns the reference's was-new accounting: {"inserted": n,
     "updated": n}. Iceberg: one MERGE INTO (source pre-deduped per key,
     as MERGE requires). Parquet: read-merge-staging-swap.
+
+    Concurrency contract: SINGLE WRITER per target. The was-new counts
+    are computed with separate actions before the MERGE, so they are
+    accurate only when no other writer commits between count and MERGE
+    (Iceberg serializes the commits themselves either way; the parquet
+    path additionally assumes no concurrent reader mid-swap — see
+    _swap_in).
     """
     if mode not in ("replace", "newest"):
         raise ValueError(f"mode must be 'replace' or 'newest', got {mode!r}")
@@ -83,7 +91,9 @@ def merge_upsert(
             "is on the classpath; pass a filesystem path for the parquet "
             "fallback protocol"
         )
-    view = "_merge_src"
+    # unique per-call view name: a fixed "_merge_src" would let two
+    # upserts in one session clobber each other's source view
+    view = f"_merge_src_{uuid.uuid4().hex}"
     deduped.createOrReplaceTempView(view)
     stats = _was_new_counts(spark.table(target), deduped, key, order_col, mode)
     matched = (
@@ -91,15 +101,17 @@ def merge_upsert(
         if mode == "replace"
         else f"WHEN MATCHED AND s.{order_col} >= t.{order_col} THEN UPDATE SET *"
     )
-    spark.sql(
-        f"""
-        MERGE INTO {target} t USING {view} s
-        ON t.{key} = s.{key}
-        {matched}
-        WHEN NOT MATCHED THEN INSERT *
-        """
-    )
-    spark.catalog.dropTempView(view)
+    try:
+        spark.sql(
+            f"""
+            MERGE INTO {target} t USING {view} s
+            ON t.{key} = s.{key}
+            {matched}
+            WHEN NOT MATCHED THEN INSERT *
+            """
+        )
+    finally:
+        spark.catalog.dropTempView(view)
     return stats
 
 
@@ -147,7 +159,15 @@ def recover_swap(path: str) -> bool:
 def _swap_in(df: DataFrame, path: str) -> None:
     """Materialize df into a staging dir, then swap it in. A crash before
     the first rename leaves the old table intact; a crash between the two
-    renames is healed by recover_swap (runs first on the next write)."""
+    renames is healed by recover_swap (runs first on the next write).
+
+    Concurrency contract: SINGLE writer, and readers must go through
+    read_table — between rename(path→backup) and rename(staging→path)
+    the table path briefly does not exist, so a raw spark.read.parquet
+    racing the swap can see path-not-found instead of the old snapshot.
+    read_table heals/falls back through the backup; true multi-writer/
+    multi-reader needs the Iceberg path (that asymmetry is the point of
+    the capability gate)."""
     recover_swap(path)
     staging = path + ".__staging__"
     backup = path + ".__old__"
@@ -159,6 +179,23 @@ def _swap_in(df: DataFrame, path: str) -> None:
     os.rename(staging, path)
     if os.path.exists(backup):
         shutil.rmtree(backup)
+
+
+def read_table(spark: SparkSession, target: str) -> DataFrame:
+    """Read a sink written by this module. Parquet targets: when the
+    table dir is missing but a swap backup exists — either a writer is
+    inside the swap window right now, or one died there — serve the
+    backup (the old snapshot) instead of path-not-found. Readers only
+    FALL BACK, they never heal: calling recover_swap here would rename
+    the backup out from under a live writer and break its final
+    staging→path rename. Healing stays a writer-side action
+    (recover_swap runs at the start of every write)."""
+    if not _is_path(target):
+        return spark.table(target)
+    backup = target + ".__old__"
+    if not os.path.exists(target) and os.path.exists(backup):
+        return spark.read.parquet(backup)
+    return spark.read.parquet(target)
 
 
 def _parquet_upsert(
@@ -217,7 +254,9 @@ def overwrite_all(spark: SparkSession, target: str, df: DataFrame) -> None:
         return
     if not iceberg_available(spark):
         raise RuntimeError(f"no Iceberg runtime for table target {target!r}")
-    view = "_overwrite_src"
+    view = f"_overwrite_src_{uuid.uuid4().hex}"
     df.createOrReplaceTempView(view)
-    spark.sql(f"INSERT OVERWRITE {target} SELECT * FROM {view}")
-    spark.catalog.dropTempView(view)
+    try:
+        spark.sql(f"INSERT OVERWRITE {target} SELECT * FROM {view}")
+    finally:
+        spark.catalog.dropTempView(view)

@@ -126,7 +126,16 @@ def key_bloom(
     def build(batches):
         bm = np.zeros(n_bits // 8, dtype=np.uint8)
         for pdf in batches:
-            vals = pdf[key].dropna().to_numpy()  # null keys never match a join
+            vals = pdf[key].to_numpy()
+            # nulls are filtered Spark-side below, so Arrow→pandas keeps
+            # int64 exactly; a float dtype here would mean keys above 2^53
+            # were silently rounded (build/probe divergence → bloom false
+            # NEGATIVES, breaking the identical-to-anti-join contract)
+            if not np.issubdtype(vals.dtype, np.integer):
+                raise TypeError(
+                    f"bloom key column {key!r} must reach the worker as an "
+                    f"integer dtype, got {vals.dtype} (nulls not filtered?)"
+                )
             if len(vals):
                 for pos in _bloom_positions(vals, n_bits, n_hashes):
                     np.bitwise_or.at(bm, pos >> np.uint64(3), np.left_shift(
@@ -134,7 +143,15 @@ def key_bloom(
                     ))
         yield pd.DataFrame({"bm": [bm.tobytes()]})
 
-    parts = keys_df.select(key).mapInPandas(build, schema="bm binary").collect()
+    # drop nulls BEFORE the Arrow transfer: an int64 batch containing any
+    # null surfaces in pandas as float64 (null keys never match a join
+    # anyway)
+    parts = (
+        keys_df.select(key)
+        .where(F.col(key).isNotNull())
+        .mapInPandas(build, schema="bm binary")
+        .collect()
+    )
     out = np.zeros(n_bits // 8, dtype=np.uint8)
     for row in parts:
         out |= np.frombuffer(row.bm, dtype=np.uint8)
@@ -167,28 +184,39 @@ def backfill_remaining(
     n_bits, k = bloom_bits, n_hashes
 
     @pandas_udf("boolean")
-    def maybe_processed(col: pd.Series) -> pd.Series:
+    def maybe_processed(filled: pd.Series, is_null: pd.Series) -> pd.Series:
+        # the key arrives null-COALESCED (plus a null flag) so the Arrow
+        # batch is always pure int64 — a batch with any null would surface
+        # as float64 and round keys above 2^53, producing bloom false
+        # negatives against the exact int64 build side
         bm = np.frombuffer(bc.value, dtype=np.uint8)
-        if not len(col):
+        if not len(filled):
             return pd.Series([], dtype=bool)
+        vals = filled.to_numpy()
+        if not np.issubdtype(vals.dtype, np.integer):
+            raise TypeError(
+                f"bloom probe expected integer dtype, got {vals.dtype}"
+            )
+        hit = np.ones(len(vals), dtype=bool)
+        for pos in _bloom_positions(vals, n_bits, k):
+            hit &= (bm[(pos >> np.uint64(3)).astype(np.int64)] &
+                    np.left_shift(np.uint8(1), (pos & np.uint64(7)).astype(np.uint8))) != 0
         # NULL keys never equal anything in SQL join semantics → a plain
         # anti-join keeps them; mark them definitely-new here too
-        null_mask = col.isna().to_numpy()
-        hit = np.zeros(len(col), dtype=bool)
-        if (~null_mask).any():
-            vals = col[~null_mask].to_numpy()
-            sub = np.ones(len(vals), dtype=bool)
-            for pos in _bloom_positions(vals, n_bits, k):
-                sub &= (bm[(pos >> np.uint64(3)).astype(np.int64)] &
-                        np.left_shift(np.uint8(1), (pos & np.uint64(7)).astype(np.uint8))) != 0
-            hit[~null_mask] = sub
+        hit[is_null.to_numpy(dtype=bool)] = False
         return pd.Series(hit)
 
     # NOTE: the two union branches re-evaluate the base scan + bloom probe
     # (no persist — caching a 100 TB table costs more than two columnar
     # scans). The win being bought is the removal of the full-table
     # SHUFFLE: only the small "maybe processed" slice exchanges.
-    flagged = full.withColumn("_maybe", maybe_processed(F.col(key)))
+    flagged = full.withColumn(
+        "_maybe",
+        maybe_processed(
+            F.coalesce(F.col(key), F.lit(0).cast("bigint")),
+            F.col(key).isNull(),
+        ),
+    )
     definitely_new = flagged.where(~F.col("_maybe")).drop("_maybe")
     needs_check = flagged.where(F.col("_maybe")).drop("_maybe")
     return definitely_new.unionByName(needs_check.join(work, key, "left_anti"))

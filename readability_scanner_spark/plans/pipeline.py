@@ -282,7 +282,14 @@ def read_output(spark: SparkSession, output_path: str) -> DataFrame:
         if os.path.isdir(os.path.join(output_path, f"bucket={b}"))
     ]
     if not dirs:
-        return spark.read.option("basePath", output_path).parquet(
-            os.path.join(output_path, "bucket=*")
+        # No committed buckets: a bucket=* glob here would expose the one
+        # state this reader exists to hide — a run killed after writing
+        # bucket parquet but before the _meta commit (and it throws
+        # path-not-found on an empty-but-initialized output dir). Refuse
+        # loudly instead of returning uncommitted rows.
+        raise FileNotFoundError(
+            f"no committed buckets under {output_path!r} — either the "
+            "pipeline has not completed any bucket yet, or a killed run "
+            "left only uncommitted output (resume will rewrite it)"
         )
     return spark.read.option("basePath", output_path).parquet(*dirs)

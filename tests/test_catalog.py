@@ -135,6 +135,32 @@ def test_swap_crash_recovery(spark, tmp_path):
     assert catalog.recover_swap(path) is False  # idempotent no-op
 
 
+def test_read_table_serves_backup_mid_swap(spark, tmp_path):
+    """A reader racing the swap window (path renamed away, staging not
+    yet landed) must see the OLD snapshot via read_table, not a
+    path-not-found."""
+    path = str(tmp_path / "tbl_rt")
+    catalog.overwrite_all(spark, path, spark.range(7).withColumn("ver", F.lit(1)))
+    assert catalog.read_table(spark, path).count() == 7
+    # freeze the mid-swap instant: backup exists, table path does not,
+    # and a staging dir is still being written
+    os.rename(path, path + ".__old__")
+    os.makedirs(path + ".__staging__")
+    try:
+        assert sorted(r.id for r in catalog.read_table(spark, path).collect()) == list(range(7))
+        # the reader must NOT have healed (that would break the live
+        # writer's staging→path rename) — backup still in place
+        assert os.path.exists(path + ".__old__") and not os.path.exists(path)
+    finally:
+        os.rmdir(path + ".__staging__")
+    # writer died in the window: reads still serve the old snapshot, and
+    # the next WRITE heals (recover_swap runs at the start of every write)
+    assert catalog.read_table(spark, path).count() == 7
+    catalog.overwrite_all(spark, path, spark.range(3))
+    assert catalog.read_table(spark, path).count() == 3
+    assert not os.path.exists(path + ".__old__")
+
+
 def test_upsert_replay_idempotent(spark, tmp_path):
     """Resume safety: re-applying the same incoming batch (both modes)
     must leave the table byte-identical — a killed writer can always be

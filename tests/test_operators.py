@@ -353,6 +353,29 @@ def test_backfill_bloom_prefilter_identical_and_pruning(spark):
     assert fp.mean() < 0.05
 
 
+def test_backfill_bloom_nulls_and_huge_keys(spark):
+    """The bloom path must stay bit-identical to the plain anti-join when
+    (a) the key column contains NULLs (Arrow would surface int64-with-null
+    batches as float64 — nulls are now filtered/coalesced before the
+    transfer) and (b) keys exceed 2^53 (where a float64 round-trip would
+    silently round and produce bloom false negatives)."""
+    big = 1 << 60  # not representable exactly as float64 once perturbed
+    full_rows = [(big + i,) for i in range(200)] + [(None,), (None,)]
+    done_rows = [(big + i,) for i in range(0, 200, 5)] + [(None,)]
+    full = spark.createDataFrame(full_rows, "id long").repartition(4)
+    done = spark.createDataFrame(done_rows, "id long")
+    plain = sorted(
+        (r.id if r.id is not None else -1)
+        for r in io_ops.backfill_remaining(full, done, "id").collect()
+    )
+    bloomed = sorted(
+        (r.id if r.id is not None else -1)
+        for r in io_ops.backfill_remaining(full, done, "id", bloom_bits=1 << 16).collect()
+    )
+    assert bloomed == plain
+    assert plain.count(-1) == 2  # NULL keys never match → both kept
+
+
 def test_delete_and_set(spark):
     df = spark.createDataFrame([(1, "pending"), (2, "failed"), (3, "done")], "id long, status string")
     kept = sorted(r.id for r in io_ops.delete_where(df, F.col("status") == "failed").collect())
@@ -654,3 +677,35 @@ def test_search_matches_non_ascii_terms(spark):
     )
     out = [r.doc_id for r in text_search(df, "text", "café", "doc_id").collect()]
     assert out == [1]  # java \b would have matched nothing
+
+
+def test_search_lookaround_equals_duckdb_token_oracle(spark):
+    """The driver oracles count term hits as unicode token-run equality
+    (RE2 has no lookarounds, and its \\b is ASCII-only). Prove the Spark
+    lookaround count agrees on the adversarial adjacency cases — CJK/
+    accented letters touching an ASCII term — where plain \\b diverges."""
+    import duckdb
+
+    from readability_scanner_spark.operators import search
+
+    texts = [
+        "data表 data data,data café x_data",  # CJK adjacency: \b says 4, truth is 3
+        "données data数 DATA  9data data_",
+        "plain data here and data",
+        "no match at all",
+        "",
+    ]
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)], "id long, text string")
+    got = {
+        r.id: r.n
+        for r in df.select(
+            "id", search.relevance_col(F.col("text"), "data").alias("n")
+        ).collect()
+    }
+    con = duckdb.connect()
+    for i, t in enumerate(texts):
+        (want,) = con.execute(
+            "SELECT len(list_filter(regexp_extract_all(lower(?), '[\\p{L}\\p{N}_]+'), x -> x = 'data'))",
+            [t],
+        ).fetchone()
+        assert got[i] == want, (i, t, got[i], want)

@@ -204,3 +204,24 @@ def test_read_output_skips_uncommitted_buckets(spark, tmp_path):
     # resume re-commits it; reads are whole again
     run_pipeline(spark, df, out, n_buckets=3)
     assert read_output(spark, out).count() == total
+
+
+def test_read_output_refuses_when_nothing_committed(spark, tmp_path):
+    """A run killed during the FIRST bucket (parquet written, _meta not
+    yet committed) must not be readable — and an empty-but-initialized
+    output dir must fail with the clear no-committed-buckets error, not
+    a parquet path-not-found."""
+    import os
+
+    from readability_scanner_spark.plans.pipeline import read_output, run_pipeline
+    from readability_scanner_spark.sources.transcripts import transcripts_df
+
+    out = str(tmp_path / "ro0")
+    df = transcripts_df(spark, n_conversations=4, seed=3)
+    run_pipeline(spark, df, out, n_buckets=2)
+    # wipe ALL commit markers: simulates death inside the very first bucket
+    for f in os.listdir(os.path.join(out, "_meta")):
+        if f.startswith("bucket-"):
+            os.remove(os.path.join(out, "_meta", f))
+    with pytest.raises(FileNotFoundError, match="no committed buckets"):
+        read_output(spark, out)
