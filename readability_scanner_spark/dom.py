@@ -162,15 +162,43 @@ class Node:
             text = " ".join(text.split())
         return text
 
+    def has_text(self) -> bool:
+        """True iff inner_text() would be non-empty — early-exits at the
+        first non-whitespace character instead of building (and
+        normalizing) the whole subtree string."""
+        stack = [self]
+        pop, push = stack.pop, stack.extend
+        while stack:
+            node = pop()
+            if node.tag is None:
+                if node.text and not node.text.isspace():
+                    return True
+            elif node.children:
+                push(node.children)  # order-insensitive: existence only
+        return False
+
     def text_spans(self) -> list[tuple[int, int]]:
         """Source-offset spans of all non-blank text nodes under self,
         merged when adjacent/overlapping. Offsets index the original
         HTML string handed to :func:`parse_html`."""
-        spans = [
-            (n.src_start, n.src_end)
-            for n in self.iter()
-            if n.is_text and n.src_start >= 0 and n.text.strip()
-        ]
+        return self.text_and_spans()[1]
+
+    def text_and_spans(self) -> tuple[str, list[tuple[int, int]]]:
+        """(inner_text(), text_spans()) from ONE subtree walk — the
+        extraction entry point needs both for every successful attempt,
+        and the two separate calls each re-traverse the article."""
+        parts: list[str] = []
+        spans: list[tuple[int, int]] = []
+        stack = [self]
+        pop, push = stack.pop, stack.extend
+        while stack:
+            node = pop()
+            if node.tag is None:
+                parts.append(node.text)
+                if node.src_start >= 0 and node.text.strip():
+                    spans.append((node.src_start, node.src_end))
+            elif node.children:
+                push(reversed(node.children))
         spans.sort()
         merged: list[tuple[int, int]] = []
         for start, end in spans:
@@ -178,7 +206,7 @@ class Node:
                 merged[-1] = (merged[-1][0], max(merged[-1][1], end))
             else:
                 merged.append((start, end))
-        return merged
+        return " ".join("".join(parts).split()), merged
 
     def link_density(self) -> float:
         """Length of text inside <a> descendants / total text length.

@@ -141,13 +141,45 @@ def _extract_title(root: Node) -> str:
 # stage 1: preprocess (SURVEY.md §2.2 step 1)
 # ---------------------------------------------------------------------------
 
+_PRE_STRIP = frozenset(("script", "style", "noscript", "template", "link", "iframe"))
+
+
 def _preprocess(root: Node) -> None:
-    _strip(root, "script", "style", "noscript", "template", "link", "iframe")
+    # ONE walk collecting both the strip-tag nodes and the parents that
+    # own a <br> (the former two full traversals — _strip + a br scan —
+    # were the preprocess cost). Not descending into strip-tag subtrees
+    # reproduces the old strip-THEN-scan ordering: their interiors were
+    # never br-scanned. A parent's br RUNS are still computed from its
+    # live children at processing time (below), so strip removals that
+    # merge a run behave identically.
+    to_strip: list[Node] = []
+    br_parents: list[Node] = []
+    seen_parent: set[int] = set()
+    stack = [root]
+    pop, push = stack.pop, stack.extend
+    while stack:
+        node = pop()
+        tag = node.tag
+        if tag is None:
+            continue
+        if tag in _PRE_STRIP:
+            to_strip.append(node)
+            continue
+        if tag == "br":  # void: no children to descend into
+            p = node.parent
+            if p is not None and id(p) not in seen_parent:
+                seen_parent.add(id(p))
+                br_parents.append(p)
+            continue
+        if node.children:
+            push(reversed(node.children))
+    for node in to_strip:
+        node.remove()
     # <br><br>(+) runs act as paragraph separators: wrap the run-separated
     # inline content in <p>. Simplified: convert each <br> following another
     # <br> (ignoring blank text) into a paragraph break by splitting the
     # parent's children.
-    for parent in list(root.iter_elements()):
+    for parent in br_parents:
         children = parent.children
         if not any(c.tag == "br" for c in children):
             continue
@@ -230,7 +262,19 @@ def _grab_article(body: Node, flags: int, byline_sink: Optional[list] = None) ->
     # byline before and independent of the unlikely-candidate flag);
     # unlikely-candidate stripping only under the flag. attrs-empty fast
     # path: most nodes carry no class/id/rel at all.
-    for node in list(body.iter_elements()):
+    # inline element walk (twice per doc here — generator frames cost):
+    # snapshot list first, as removals mutate the tree mid-sweep
+    snapshot: list[Node] = []
+    stack = [body]
+    pop, push = stack.pop, stack.extend
+    while stack:
+        n = pop()
+        if n.tag is None:
+            continue
+        snapshot.append(n)
+        if n.children:
+            push(reversed(n.children))
+    for node in snapshot:
         if not node.attrs:
             continue
         ci = node.class_id
@@ -267,11 +311,18 @@ def _grab_article(body: Node, flags: int, byline_sink: Optional[list] = None) ->
 
     # divs with no block children behave as paragraphs
     to_score: list[Node] = []
-    for node in body.iter_elements():
-        if node.tag in SCORE_TAGS:
+    stack.append(body)  # same list (empty after the sweep) — pop/push stay bound
+    while stack:
+        node = pop()
+        tag = node.tag
+        if tag is None:
+            continue
+        if tag in SCORE_TAGS:
             to_score.append(node)
-        elif node.tag == "div" and not _has_block_child(node):
+        elif tag == "div" and not _has_block_child(node):
             to_score.append(node)
+        if node.children:
+            push(reversed(node.children))
 
     # step 3-4: score candidates (text/link-density demand-cached: the
     # same ancestor nodes are re-examined once per scored child)
@@ -319,7 +370,7 @@ def _grab_article(body: Node, flags: int, byline_sink: Optional[list] = None) ->
         # no scorable candidates (e.g. plain text, no block structure):
         # last-resort fallback — use the whole body as the article
         # (the public algorithm's "use body" path)
-        if body.inner_text():
+        if body.has_text():
             article = Node("div", {"id": "readability-content"})
             for child in list(body.children):
                 child.remove()
@@ -404,18 +455,36 @@ def _grab_article(body: Node, flags: int, byline_sink: Optional[list] = None) ->
 # stage 7: conditional cleanup (boilerplate strip)
 # ---------------------------------------------------------------------------
 
-def _clean_conditionally(article: Node, tag: str, flags: int) -> None:
+def _attached_under(node: Node, root: Node) -> bool:
+    while node is not None:
+        if node is root:
+            return True
+        node = node.parent
+    return False
+
+
+def _clean_conditionally(article: Node, candidates: list[Node], tag: str, flags: int) -> None:
+    """``candidates`` is the pre-collected list of ``tag`` elements; the
+    attached-under-article filter makes it equivalent to a fresh
+    iter_elements snapshot (earlier cleanup passes may have detached
+    some)."""
     if not (flags & FLAG_CLEAN_CONDITIONALLY):
         return
-    for node in list(article.iter_elements(tag)):
+    for node in candidates:
         if node is article:
             continue
+        if not _attached_under(node, article):
+            continue  # removed by an earlier pass (e.g. inside a table)
         weight = _class_weight(node, flags)
         if weight < 0:
             node.remove()
             continue
-        text = node.inner_text()
-        if text.count(",") < 10:
+        # comma count is whitespace-normalization-invariant: gate on the
+        # raw subtree text and only pay the normalization (join/split)
+        # inside the <10-commas branch, where len(text) matters
+        raw = node.raw_text()
+        if raw.count(",") < 10:
+            text = " ".join(raw.split())
             # one inline stack walk for all descendant-tag counts
             p_count = img_count = li_count = input_count = 0
             stack = [node]
@@ -449,18 +518,52 @@ def _clean_conditionally(article: Node, tag: str, flags: int) -> None:
                 node.remove()
 
 
+_PREP_STRIP = frozenset(
+    ("form", "button", "textarea", "select", "footer", "aside", "nav", *EMBED_TAGS)
+)
+
+
 def _prep_article(article: Node, flags: int) -> None:
-    _strip(
-        article,
-        "form", "button", "textarea", "select", "footer", "aside", "nav",
-        *EMBED_TAGS,
-    )
-    for tag in ("table", "ul", "div"):
-        _clean_conditionally(article, tag, flags)
-    # drop empty paragraphs (no text, no images/embeds)
-    for p in list(article.iter_elements("p")):
-        if not p.inner_text() and not any(
-            c.tag in ("img", "object", "embed") for c in p.iter_elements()
+    # ONE collection walk instead of five (strip tags + table + ul + div
+    # + p each re-traversed the article); every consumer below re-checks
+    # attachment (or text emptiness) against the live tree, so the
+    # behavior matches per-pass fresh snapshots exactly.
+    strip_nodes: list[Node] = []
+    tables: list[Node] = []
+    uls: list[Node] = []
+    divs: list[Node] = []
+    ps: list[Node] = []
+    stack = [article]
+    pop, push = stack.pop, stack.extend
+    while stack:
+        node = pop()
+        tag = node.tag
+        if tag is None:
+            continue
+        if tag in _PREP_STRIP:
+            strip_nodes.append(node)
+        elif tag == "table":
+            tables.append(node)
+        elif tag == "ul":
+            uls.append(node)
+        elif tag == "div":
+            divs.append(node)
+        elif tag == "p":
+            ps.append(node)
+        if node.children:
+            push(reversed(node.children))
+    for node in strip_nodes:
+        node.remove()
+    _clean_conditionally(article, tables, "table", flags)
+    _clean_conditionally(article, uls, "ul", flags)
+    _clean_conditionally(article, divs, "div", flags)
+    # drop empty paragraphs (no text, no images/embeds); has_text
+    # early-exits instead of building the full normalized string
+    for p in ps:
+        if (
+            _attached_under(p, article)
+            and not p.has_text()
+            and not any(c.tag in ("img", "object", "embed") for c in p.iter_elements())
         ):
             p.remove()
 
@@ -519,12 +622,13 @@ def extract_main_content(raw_html: str) -> ExtractionResult:
         if article is None:
             continue
         _prep_article(article, flags)
-        text = article.inner_text()
+        # one walk for both (text_spans alone would re-traverse)
+        text, spans = article.text_and_spans()
         result = ExtractionResult(
             content=article.serialize(),
             text_content=text,
             title=title,
-            spans=article.text_spans(),
+            spans=spans,
             parse_failed=not text,
             content_ratio=min(1.0, len(text) / source_text_len),
             image_url=image_url,

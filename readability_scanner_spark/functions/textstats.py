@@ -60,7 +60,17 @@ def count_characters(text: str) -> int:
 
 
 def count_syllables_per_word(text: str) -> list[int]:
-    return [estimate_syllables(w) for w in _WORD.findall(text)]
+    # inline the memo fast path: one dict get per word instead of a
+    # function call (hot loop — every word of every document goes
+    # through here; Zipf vocabulary makes the hit rate ~99%)
+    from readability_scanner_spark.functions.syllables import _CACHE, estimate_syllables
+
+    lows = list(map(str.lower, _WORD.findall(text)))
+    out = list(map(_CACHE.get, lows))  # C-speed lookups; misses are None
+    for i, n in enumerate(out):
+        if n is None:
+            out[i] = estimate_syllables(lows[i])
+    return out
 
 
 def calculate_text_statistics(text: str) -> TextStatistics:

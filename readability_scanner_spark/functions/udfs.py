@@ -135,15 +135,19 @@ def stats_one(text: str) -> tuple:
 def extract_stats_partition(batches, passthrough: list[str]):
     """mapInPandas body: ONE python pass per partition doing extraction +
     stats — avoids a second Arrow round trip for the stats stage."""
+    n_ex, n_st = len(_EXTRACT_COLS), len(_STATS_COLS)
     for pdf in batches:
         ex = [extract_one(raw) for raw in pdf["text"]]
         st = [stats_one(e[1]) for e in ex]
         out = pd.DataFrame(
             {c: pdf[c].values for c in passthrough}
         )
+        # one transpose pass instead of a listcomp per output column
+        ex_t = list(zip(*ex)) if ex else [()] * n_ex
+        st_t = list(zip(*st)) if st else [()] * n_st
         for i, col in enumerate(_EXTRACT_COLS):
-            out[col] = [e[i] for e in ex]
+            out[col] = ex_t[i]
         for i, col in enumerate(_STATS_COLS):
-            out[col] = [s[i] for s in st]
+            out[col] = st_t[i]
         yield out
 
