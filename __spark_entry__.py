@@ -850,7 +850,7 @@ def q_media_features(spark, sf_dir):
 
     _ensure_package_on_workers(spark)
     return extract_media_features(synthetic_media_df(spark, 100)).select(
-        "media_id", "n_bytes", "checksum"
+        "media_id", "n_bytes", "checksum", "width", "height"
     ).orderBy("media_id")
 
 
@@ -1353,18 +1353,28 @@ def _media_oracle(n: int = 100, seed: int = 42) -> str:
     recomputed here in plain Python — no Spark involved — and embedded
     as literals. What the driver then verifies is the distributed side:
     the Arrow binary transfer and the mapInPandas feature kernel
-    reproducing the same values through Spark workers."""
+    reproducing the same values through Spark workers. Width/height
+    literals are the dimensions the PNG builder was ASKED for, while the
+    Spark side re-parses them out of the binary header — a genuine
+    encode→Arrow→decode round trip (non-image payloads must come back
+    NULL/NULL)."""
     import zlib
+
+    from readability_scanner_spark.operators.multimodal import synthetic_media_row
 
     rows = []
     for i in range(n):
-        payload = bytes((seed * 7 + i * 13 + j) % 256 for j in range((i % 50) + 10))
-        rows.append(f"({i}, {len(payload)}, {zlib.crc32(payload)})")
+        _kind, payload, w, h = synthetic_media_row(i, seed)
+        rows.append(
+            f"({i}, {len(payload)}, {zlib.crc32(payload)}, "
+            f"{'NULL' if w is None else w}, {'NULL' if h is None else h})"
+        )
     return (
         "SELECT media_id::BIGINT AS media_id, n_bytes::BIGINT AS n_bytes, "
-        "checksum::BIGINT AS checksum FROM (VALUES "
+        "checksum::BIGINT AS checksum, width::INTEGER AS width, "
+        "height::INTEGER AS height FROM (VALUES "
         + ", ".join(rows)
-        + ") t(media_id, n_bytes, checksum)"
+        + ") t(media_id, n_bytes, checksum, width, height)"
     )
 
 

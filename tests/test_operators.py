@@ -402,6 +402,44 @@ def test_export_ml_dataset(spark, tmp_path):
 
 # --- multimodal --------------------------------------------------------------------
 
+def test_parse_image_dimensions_formats():
+    """Real stdlib header parsing: PNG (big-endian IHDR), GIF (little-
+    endian screen descriptor), JPEG (SOFn segment scan past APP/DQT
+    segments), and refusal on garbage/truncation/non-image bytes."""
+    png = multimodal.make_png(37, 21, seed=3)
+    assert multimodal.parse_image_dimensions(png) == (37, 21)
+    gif = b"GIF89a" + (300).to_bytes(2, "little") + (200).to_bytes(2, "little") + b"\x00" * 6
+    assert multimodal.parse_image_dimensions(gif) == (300, 200)
+    # minimal JPEG: SOI, APP0 stub, DQT stub, then SOF0 with h=480 w=640
+    jpeg = (
+        b"\xff\xd8"
+        + b"\xff\xe0" + (16).to_bytes(2, "big") + b"JFIF\x00" + b"\x00" * 8
+        + b"\xff\xdb" + (4).to_bytes(2, "big") + b"\x00\x00"
+        + b"\xff\xc0" + (17).to_bytes(2, "big") + b"\x08"
+        + (480).to_bytes(2, "big") + (640).to_bytes(2, "big") + b"\x03" + b"\x00" * 9
+        + b"\xff\xda" + (8).to_bytes(2, "big") + b"\x00" * 6
+    )
+    assert multimodal.parse_image_dimensions(jpeg) == (640, 480)
+    assert multimodal.parse_image_dimensions(None) is None
+    assert multimodal.parse_image_dimensions(b"") is None
+    assert multimodal.parse_image_dimensions(b"not an image at all") is None
+    assert multimodal.parse_image_dimensions(png[:20]) is None  # truncated IHDR
+    assert multimodal.parse_image_dimensions(b"\xff\xd8\xff\xda\x00\x04\x00\x00") is None
+
+
+def test_media_dimensions_round_trip(spark):
+    """make_png(w,h) → binary column → Arrow → worker-side parse must
+    reproduce the requested dimensions; non-image payloads → NULLs."""
+    media = multimodal.synthetic_media_df(spark, 30)
+    out = {
+        r.media_id: (r.width, r.height)
+        for r in multimodal.extract_media_features(media).collect()
+    }
+    for i in range(30):
+        kind, _payload, w, h = multimodal.synthetic_media_row(i)
+        assert out[i] == ((w, h) if kind == "image" else (None, None))
+
+
 def test_media_features_deterministic(spark):
     media = multimodal.synthetic_media_df(spark, 30)
     a = multimodal.extract_media_features(media).orderBy("media_id").collect()
