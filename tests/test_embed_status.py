@@ -38,6 +38,71 @@ def test_embed_seam_accepts_custom_model(spark):
     assert row.embedding == [5.0, 1.0]  # "ab cd" → len 5
 
 
+def test_embed_seam_real_model_file_from_disk(spark, tmp_path):
+    """The production shape of V1 (vector_service.py:24-103 analog): the
+    model lives in a FILE, the factory loads it worker-side (once per
+    python worker, not per row/batch), and encoding is a real numpy
+    computation over the loaded weights. Checks batch-size invariance —
+    batch_size=3 and 64 must produce identical vectors — and partition
+    invariance."""
+    rng = np.random.RandomState(0)
+    model_path = str(tmp_path / "tiny_encoder.npz")
+    np.savez(model_path, W=rng.standard_normal((256, 8)).astype(np.float32))
+
+    def factory():  # runs on the worker: load weights from disk ONCE
+        W = np.load(model_path)["W"]
+
+        def predict(texts: np.ndarray) -> np.ndarray:
+            out = np.zeros((len(texts), W.shape[1]), dtype=np.float32)
+            for i, t in enumerate(texts):
+                hist = np.bincount(
+                    np.frombuffer(str(t).encode("utf-8"), dtype=np.uint8), minlength=256
+                ).astype(np.float32)
+                v = hist @ W
+                out[i] = v / (np.linalg.norm(v) or 1.0)
+            return out
+
+        return predict
+
+    df = spark.createDataFrame(
+        [(i, f"title {i}", f"content body number {i} " * (i + 1)) for i in range(17)],
+        "doc_id long, source string, text string",
+    )
+    small = {
+        r.doc_id: r.embedding
+        for r in embed_documents(
+            df, "doc_id", "source", "text", make_predict_fn=factory, dim=8, batch_size=3
+        ).collect()
+    }
+    big = {
+        r.doc_id: r.embedding
+        for r in embed_documents(
+            df.repartition(4), "doc_id", "source", "text",
+            make_predict_fn=factory, dim=8, batch_size=64,
+        ).collect()
+    }
+    assert small == big  # batch size + partitioning are invisible to values
+    assert all(len(v) == 8 for v in small.values())
+    assert abs(float(np.linalg.norm(small[0])) - 1.0) < 1e-5
+
+
+def test_embed_seam_sentence_transformers_if_available(spark):
+    """Plugs an ACTUAL sentence-transformers encoder through the same
+    seam when the library exists; self-skips cleanly otherwise (no model
+    libraries ship in this container)."""
+    import pytest
+
+    st = pytest.importorskip("sentence_transformers")
+
+    def factory():
+        model = st.SentenceTransformer("all-MiniLM-L6-v2")
+        return lambda texts: model.encode([str(t) for t in texts])
+
+    df = spark.createDataFrame([(1, "hello", "world")], "doc_id long, source string, text string")
+    row = embed_documents(df, "doc_id", "source", "text", make_predict_fn=factory, dim=384).first()
+    assert len(row.embedding) == 384
+
+
 def test_stub_predict_batch_shape():
     fn = stub_predict_fn(dim=8)
     out = fn(np.array(["a", "b", "a"]))
