@@ -107,16 +107,17 @@ def entry(spark: SparkSession) -> DataFrame:
     Arrow-UDF pipeline (documents.text as the raw input column)."""
     from readability_scanner_spark.plans.pipeline import extract_and_score
 
-    # refresh the full_report_agg stats sidecar for the driver's
+    # ensure the full_report_agg stats sidecar exists for the driver's
     # correctness SF while we have a session: the DuckDB oracle reads the
     # same file, and entry() runs before the correctness loop, so both
-    # engines see one freshly-built table regardless of the loop's
-    # spark-vs-oracle execution order
+    # engines see one table regardless of the loop's spark-vs-oracle
+    # execution order. mtime-gated (no force): parity needs a SHARED
+    # sidecar, not a fresh one — both engines aggregate whatever is there
     if os.path.isdir("/root/testdata/sf0.01"):
         try:
-            _fullreport_sidecar(spark, "/root/testdata/sf0.01", force=True)
-        except Exception:
-            pass  # q_full_report_agg rebuilds on demand
+            _fullreport_sidecar(spark, "/root/testdata/sf0.01")
+        except Exception as exc:  # q_full_report_agg rebuilds on demand
+            print(f"warning: sidecar prebuild failed: {exc!r}", file=sys.stderr)
 
     docs = _t(spark, "/root/testdata/sf0.001", "documents")
     transcripts = _docs_as_transcripts(
@@ -1443,10 +1444,12 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, 32 AS dim FROM documents
         """,
         # aggregation layer over the per-doc stats sidecar that the Spark
-        # side materializes (entry() refreshes it for sf0.01; the query
+        # side materializes (entry() builds it for sf0.01; the query
         # rebuilds on demand) — both engines aggregate the SAME parquet
-        # rows, so this verifies avg×15 + HAVING + sort exactly
-        "full_report_agg": """
+        # rows, so this verifies avg×15 + HAVING + sort exactly. The
+        # sidecar path derives from _oracle_sf_dir() so selfcheck's
+        # [sf_dir] parameter keeps working.
+        "full_report_agg": f"""
             SELECT conv_id AS grp, count(*) AS documents,
                    round(avg(words), 4) AS avg_words,
                    round(avg(sentences), 4) AS avg_sentences,
@@ -1463,7 +1466,7 @@ def oracle_sql() -> dict[str, str]:
                    round(avg(gunning_fog), 4) AS avg_gunning_fog,
                    round(avg(spache), 4) AS avg_spache,
                    round(avg(automated_readability), 4) AS avg_automated_readability
-            FROM read_parquet('/tmp/rss_fullreport_stats_sf0.01.parquet/*.parquet')
+            FROM read_parquet('/tmp/rss_fullreport_stats_{os.path.basename(os.path.normpath(_oracle_sf_dir()))}.parquet/*.parquet')
             WHERE NOT parse_failed
             GROUP BY conv_id
         """,

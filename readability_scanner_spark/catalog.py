@@ -19,6 +19,7 @@ from __future__ import annotations
 
 import os
 import shutil
+import time
 import uuid
 from typing import Optional
 
@@ -181,21 +182,43 @@ def _swap_in(df: DataFrame, path: str) -> None:
         shutil.rmtree(backup)
 
 
-def read_table(spark: SparkSession, target: str) -> DataFrame:
+def read_table(spark: SparkSession, target: str, attempts: int = 5) -> DataFrame:
     """Read a sink written by this module. Parquet targets: when the
     table dir is missing but a swap backup exists — either a writer is
     inside the swap window right now, or one died there — serve the
-    backup (the old snapshot) instead of path-not-found. Readers only
+    backup (the old snapshot) instead of path-not-found, retrying across
+    {target, backup} because a concurrent writer can finish the swap
+    between our existence probe and Spark's file listing. Readers only
     FALL BACK, they never heal: calling recover_swap here would rename
     the backup out from under a live writer and break its final
-    staging→path rename. Healing stays a writer-side action
-    (recover_swap runs at the start of every write)."""
+    staging→path rename. Healing stays a writer-side action (recover_swap
+    runs at the start of every write).
+
+    Residual caveat (by design of the parquet fallback): the returned
+    DataFrame is lazy — if a LATER swap completes before an action runs,
+    that action can still lose files to the writer's backup cleanup.
+    Plan actions promptly after read_table; true concurrent
+    readers/writers are what the Iceberg path (snapshot isolation) is
+    for — that asymmetry is the point of the capability gate."""
     if not _is_path(target):
         return spark.table(target)
     backup = target + ".__old__"
-    if not os.path.exists(target) and os.path.exists(backup):
-        return spark.read.parquet(backup)
-    return spark.read.parquet(target)
+    last_err: Exception | None = None
+    for _ in range(attempts):
+        for path in (target, backup):
+            if not os.path.exists(path):
+                continue
+            try:
+                df = spark.read.parquet(path)
+                df.schema  # force the file listing NOW, inside the retry
+                return df
+            except Exception as exc:  # swap raced us; try the other side
+                last_err = exc
+        time.sleep(0.05)
+    raise FileNotFoundError(
+        f"table {target!r} not readable (no table dir or swap backup after "
+        f"{attempts} attempts)"
+    ) from last_err
 
 
 def _parquet_upsert(

@@ -122,9 +122,14 @@ def _has_block_child(node: Node) -> bool:
     return any(c.tag in BLOCK_ELEMENTS for c in node.children if c.tag is not None)
 
 
-def _strip(root: Node, *tags: str) -> None:
-    for node in list(root.iter_elements(*tags)):
-        node.remove()
+def _attached_under(node: Node, root: Node) -> bool:
+    """Is ``node`` still in ``root``'s subtree? (remove() clears parent,
+    so a detached node's chain never reaches root.)"""
+    while node is not None:
+        if node is root:
+            return True
+        node = node.parent
+    return False
 
 
 def _extract_title(root: Node) -> str:
@@ -403,16 +408,9 @@ def _grab_article(body: Node, flags: int, byline_sink: Optional[list] = None) ->
     ]
     if len(alts) >= 3:
 
-        def _under(node: Node, ancestor: Node) -> bool:
-            while node is not None:
-                if node is ancestor:
-                    return True
-                node = node.parent
-            return False
-
         ancestor = top.parent
         while ancestor is not None and ancestor.tag not in (None, "#root", "html", "body"):
-            if sum(1 for a in alts if _under(a, ancestor)) >= 3:
+            if sum(1 for a in alts if _attached_under(a, ancestor)) >= 3:
                 top = ancestor
                 top_score = scores.get(id(ancestor), top_score)
                 break
@@ -454,14 +452,6 @@ def _grab_article(body: Node, flags: int, byline_sink: Optional[list] = None) ->
 # ---------------------------------------------------------------------------
 # stage 7: conditional cleanup (boilerplate strip)
 # ---------------------------------------------------------------------------
-
-def _attached_under(node: Node, root: Node) -> bool:
-    while node is not None:
-        if node is root:
-            return True
-        node = node.parent
-    return False
-
 
 def _clean_conditionally(article: Node, candidates: list[Node], tag: str, flags: int) -> None:
     """``candidates`` is the pre-collected list of ``tag`` elements; the
