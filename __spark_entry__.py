@@ -495,6 +495,23 @@ def q_ngram_jaccard(spark, sf_dir):
     return ngram_jaccard_pairs(docs, "doc_id", "text", threshold=0.5)
 
 
+def q_dedup_clusters(spark, sf_dir):
+    """Pairs → connected components → canonical winner: the cluster-
+    resolution step between "near-dup pairs above threshold" and "which
+    rows survive". Components via iterative min-label propagation
+    (O(diameter) shuffles); canonical = longest text, then smallest id."""
+    from readability_scanner_spark.operators.dedup import (
+        minhash_lsh_candidates,
+        ngram_jaccard_verify,
+        resolve_duplicate_clusters,
+    )
+
+    docs = _t(spark, sf_dir, "documents", spread=True)
+    cand = minhash_lsh_candidates(docs, "doc_id", "text")
+    pairs = ngram_jaccard_verify(cand, docs, "doc_id", "text", threshold=0.5)
+    return resolve_duplicate_clusters(pairs, docs, "doc_id", "text")
+
+
 def q_dedup_pipeline(spark, sf_dir):
     """The production near-dup PIPELINE shape: MinHash-LSH banding
     produces candidates, exact n-gram Jaccard verifies ONLY those pairs
@@ -873,6 +890,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "full_report_sql": q_full_report_sql,
         "full_report_agg": q_full_report_agg,
         "media_features": q_media_features,
+        "dedup_clusters": q_dedup_clusters,
         # --- round-2 driver-evaluated set (green in CORRECTNESS_r02) ---
         "readability_by_source": q_readability_by_source,
         "word_topk": q_word_topk,
@@ -1171,6 +1189,47 @@ def _dedup_pipeline_oracle(threshold: float = 0.5) -> str:
     """
 
 
+def _dedup_clusters_oracle(threshold: float = 0.5) -> str:
+    """Cluster-resolution oracle: the dedup-pipeline pair recompute as a
+    CTE, then TRANSITIVE CLOSURE via a recursive CTE (component = min
+    reachable id — exactly what min-label propagation converges to),
+    then the canonical pick (longest text, then smallest id) as a window.
+    Fully independent of the Spark iteration: closure by set-recursion,
+    not by label rounds."""
+    pairs = _dedup_pipeline_oracle(threshold)
+    return f"""
+        WITH RECURSIVE pairs AS ({pairs}),
+        edges AS (
+          SELECT id_a AS a, id_b AS b FROM pairs
+          UNION
+          SELECT id_b AS a, id_a AS b FROM pairs
+        ),
+        nodes AS (SELECT DISTINCT a AS node FROM edges),
+        reach(node, lab) AS (
+          SELECT node, node FROM nodes
+          UNION
+          SELECT e.b, r.lab FROM reach r JOIN edges e ON e.a = r.node
+        ),
+        comp AS (SELECT node, min(lab) AS component FROM reach GROUP BY node),
+        scored AS (
+          SELECT c.node, c.component, length(d.text) AS tl
+          FROM comp c JOIN documents d ON d.doc_id = c.node
+        ),
+        canon AS (
+          SELECT component, node AS canonical_id
+          FROM (
+            SELECT component, node,
+                   row_number() OVER (PARTITION BY component
+                                      ORDER BY tl DESC, node ASC) AS rn
+            FROM scored
+          ) WHERE rn = 1
+        )
+        SELECT s.node AS doc_id, s.component, c.canonical_id,
+               s.node = c.canonical_id AS is_canonical
+        FROM scored s JOIN canon c USING (component)
+    """
+
+
 def _cdc_oracle(max_doc_id: int = 300, min_shared: int = 2) -> str:
     """Content-defined-chunking overlap oracle, recomputed entirely in
     SQL. The operator's rolling hash has a closed form: h(i) =
@@ -1390,6 +1449,7 @@ def oracle_sql() -> dict[str, str]:
         "ivf_knn": _ivf_oracle(k=10, n_centroids=8, n_probe=4, seed=42),
         "cdc_overlap": _cdc_oracle(max_doc_id=300, min_shared=2),
         "dedup_pipeline": _dedup_pipeline_oracle(threshold=0.5),
+        "dedup_clusters": _dedup_clusters_oracle(threshold=0.5),
         "media_features": _media_oracle(n=100, seed=42),
         "greedy_topics": _greedy_topics_oracle(),
         "daily_topics": _daily_topics_oracle(),

@@ -466,3 +466,98 @@ def embedding_near_dups(
         else:
             dim = len(row[0])  # one bounded driver row
     return lsh_bucketed_pairs(vectors, id_col, vec_col, dim, threshold, n_planes, seed)
+
+
+# --- cluster resolution ---------------------------------------------------------------------
+
+def connected_components(
+    pairs: DataFrame,
+    src: str,
+    dst: str,
+    max_iterations: int = 50,
+    checkpoint_every: int = 5,
+) -> DataFrame:
+    """Connected components over near-dup pairs → (node, component) with
+    component = the minimum node id reachable from each node. The step
+    every production dedup pipeline needs between "pairs above
+    threshold" and "which rows to keep": near-dups are transitive in
+    effect (A~B, B~C → one cluster) even when the metric is not.
+
+    Algorithm: iterative min-label propagation — each round every node
+    takes min(own label, neighbors' labels); converges in O(graph
+    diameter) rounds. Near-dup graphs have tiny diameters (clusters are
+    quasi-cliques), so this is 2-4 shuffles in practice; each round is
+    one equi-join + one groupBy on the node key, never a pair product.
+    localCheckpoint truncates the growing lineage every few rounds
+    (plan-size blowup, not data volume, is the iteration risk). For
+    adversarial long-chain graphs swap in large-star/small-star; for
+    dedup workloads min-propagation is the right cost shape.
+    """
+    sym = pairs.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+    sym = sym.union(sym.select(F.col("b").alias("a"), F.col("a").alias("b"))).distinct()
+    sym = sym.persist()
+    labels = (
+        sym.select(F.col("a").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+    )
+    for it in range(max_iterations):
+        nbr = sym.join(labels, sym["a"] == labels["node"]).select(
+            F.col("b").alias("node"), F.col("label")
+        )
+        new_labels = (
+            labels.unionByName(nbr).groupBy("node").agg(F.min("label").alias("label"))
+        )
+        if checkpoint_every and (it + 1) % checkpoint_every == 0:
+            new_labels = new_labels.localCheckpoint()
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .where(F.col("n.label") < F.col("o.label"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    sym.unpersist()
+    return labels.select("node", F.col("label").alias("component"))
+
+
+def resolve_duplicate_clusters(
+    pairs: DataFrame,
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    src: str = "id_a",
+    dst: str = "id_b",
+) -> DataFrame:
+    """Pairs → clusters → canonical winner per cluster: the longest text
+    wins, ties broken by smallest id (deterministic across partitionings
+    and retries — a requirement for idempotent re-runs at scale). Output:
+    (doc_id, component, canonical_id, is_canonical) for every CLUSTERED
+    doc; singletons are not duplicates and are left out. Downstream
+    "keep one per cluster" is `where(is_canonical)` + anti-join.
+    """
+    comps = connected_components(pairs, src, dst)
+    scored = comps.join(
+        docs.select(
+            F.col(id_col).alias("node"), F.length(F.col(text_col)).alias("_tl")
+        ),
+        "node",
+    )
+    w = Window.partitionBy("component").orderBy(F.desc("_tl"), F.asc("node"))
+    canon = (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .select("component", F.col("node").alias("canonical_id"))
+    )
+    return (
+        scored.join(canon, "component")
+        .select(
+            F.col("node").alias("doc_id"),
+            "component",
+            "canonical_id",
+            (F.col("node") == F.col("canonical_id")).alias("is_canonical"),
+        )
+    )

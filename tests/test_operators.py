@@ -402,6 +402,41 @@ def test_export_ml_dataset(spark, tmp_path):
 
 # --- multimodal --------------------------------------------------------------------
 
+def test_connected_components_shapes(spark):
+    """Chain (forces multiple propagation rounds), cycle, and two
+    separate components — component id must be the min reachable node."""
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5),      # chain 1-5
+         (10, 11), (11, 12), (12, 10),        # cycle
+         (20, 21)],                            # pair
+        "id_a long, id_b long",
+    )
+    got = {r.node: r.component for r in dedup.connected_components(edges, "id_a", "id_b").collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 5: 1, 10: 10, 11: 10, 12: 10, 20: 20, 21: 20}
+    # repartitioning must not change the labeling
+    got2 = {
+        r.node: r.component
+        for r in dedup.connected_components(edges.repartition(7), "id_a", "id_b").collect()
+    }
+    assert got2 == got
+
+
+def test_resolve_duplicate_clusters_canonical(spark):
+    docs = spark.createDataFrame(
+        [(1, "short"), (2, "the longest text wins here"), (3, "mid text"),
+         (20, "same len"), (21, "same len"), (99, "singleton never appears")],
+        "doc_id long, text string",
+    )
+    pairs = spark.createDataFrame([(1, 2), (2, 3), (20, 21)], "id_a long, id_b long")
+    out = {r.doc_id: (r.component, r.canonical_id, r.is_canonical)
+           for r in dedup.resolve_duplicate_clusters(pairs, docs, "doc_id", "text").collect()}
+    assert out[2] == (1, 2, True)  # longest text wins
+    assert out[1] == (1, 2, False) and out[3] == (1, 2, False)
+    assert out[20] == (20, 20, True)  # length tie → smallest id
+    assert out[21] == (20, 20, False)
+    assert 99 not in out  # singletons are not duplicates
+
+
 def test_parse_image_dimensions_formats():
     """Real stdlib header parsing: PNG (big-endian IHDR), GIF (little-
     endian screen descriptor), JPEG (SOFn segment scan past APP/DQT
