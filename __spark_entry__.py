@@ -872,6 +872,47 @@ def q_media_features(spark, sf_dir):
     ).orderBy("media_id")
 
 
+def q_pdf_roundtrip(spark, sf_dir):
+    """PDF leg of the extraction format dispatch (north_rule: "PDF/layout
+    parse"; the reference has no PDF path — content_extractor.py rejects
+    non-HTML — so this surface is new), driver-verified end to end:
+    project each document's text to printable ASCII, WRITE it as a real
+    PDF (extraction/pdf.py make_pdf: xref + page tree + FlateDecoded
+    content streams), parse it back through the layout interpreter, and
+    hash the whitespace-normalized result. The DuckDB oracle recomputes
+    the same normalization from the source column without ever seeing a
+    PDF byte, so hash equality proves the whole write→parse loop is
+    lossless per turn — the north_rule's text-equality bar applied to
+    the PDF leg."""
+    import pandas as pd
+
+    from readability_scanner_spark.extraction.pdf import extract_pdf_text, make_pdf
+
+    docs = _t(spark, sf_dir, "documents", spread=True).select(
+        "doc_id",
+        F.regexp_replace(
+            F.coalesce(F.col("text"), F.lit("")), "[^ -~]", " "
+        ).alias("ascii_text"),
+    )
+
+    def _roundtrip(batches):
+        for pdf in batches:
+            extracted = [
+                extract_pdf_text(make_pdf(t)) for t in pdf["ascii_text"]
+            ]
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "extracted": extracted})
+
+    out = docs.mapInPandas(_roundtrip, "doc_id long, extracted string")
+    norm = F.trim(F.regexp_replace("extracted", r"\s+", " "))
+    return out.select(
+        "doc_id",
+        F.md5(norm).alias("text_md5"),
+        F.size(F.regexp_extract_all(norm, F.lit(r"[0-9A-Za-z_]+"), 0))
+        .cast("long")
+        .alias("n_words"),
+    ).orderBy("doc_id")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDER MATTERS: the driver evaluates the FIRST 50 entries only.
     # Round-2 insertion order pushed the 10 queries below past the window
@@ -891,6 +932,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "full_report_agg": q_full_report_agg,
         "media_features": q_media_features,
         "dedup_clusters": q_dedup_clusters,
+        "pdf_roundtrip": q_pdf_roundtrip,
         # --- round-2 driver-evaluated set (green in CORRECTNESS_r02) ---
         "readability_by_source": q_readability_by_source,
         "word_topk": q_word_topk,
@@ -1451,6 +1493,25 @@ def oracle_sql() -> dict[str, str]:
         "dedup_pipeline": _dedup_pipeline_oracle(threshold=0.5),
         "dedup_clusters": _dedup_clusters_oracle(threshold=0.5),
         "media_features": _media_oracle(n=100, seed=42),
+        "pdf_roundtrip": """
+            -- recompute the ascii-projection + whitespace normalization
+            -- the Spark side applies BEFORE writing each doc as a PDF;
+            -- the Spark values come from text extracted back OUT of the
+            -- generated PDF bytes, so hash equality proves the
+            -- write->parse roundtrip lossless (the oracle never sees a
+            -- PDF byte)
+            WITH n AS (
+              SELECT doc_id,
+                trim(regexp_replace(regexp_replace(coalesce(text, ''),
+                     '[^ -~]', ' ', 'g'), '\\s+', ' ', 'g')) AS norm
+              FROM documents
+            )
+            SELECT doc_id,
+                   md5(norm) AS text_md5,
+                   CAST(len(regexp_extract_all(norm, '[0-9A-Za-z_]+')) AS BIGINT) AS n_words
+            FROM n
+            ORDER BY doc_id
+        """,
         "greedy_topics": _greedy_topics_oracle(),
         "daily_topics": _daily_topics_oracle(),
         "text_quality_filters": _text_quality_filters_oracle(),

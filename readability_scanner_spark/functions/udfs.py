@@ -90,12 +90,20 @@ _STATS_COLS = [
 def extract_one(raw: str) -> tuple:
     """Extraction for a single document: E1+E2+E4+S3 fused — head
     metadata (dates/images) comes off the same first DOM parse the
-    article extraction uses. Never raises."""
+    article extraction uses. Never raises.
+
+    Format dispatch (north_rule: "HTML boilerplate strip, PDF/layout
+    parse, DOM heuristics" are ONE extraction surface): payloads that
+    sniff as PDF (%PDF- header) take the pure-stdlib layout parser in
+    extraction/pdf.py; everything else is treated as HTML."""
+    from readability_scanner_spark.extraction.pdf import is_pdf
     from readability_scanner_spark.extraction.readability import extract_main_content
 
     try:
         if raw is None or not raw.strip():
             return ("", "", "", None, None, [], True, 0.0)
+        if is_pdf(raw):
+            return _extract_pdf_one(raw)
         result = extract_main_content(raw)
         published = result.published_ts
         if published is not None:
@@ -112,6 +120,45 @@ def extract_one(raw: str) -> tuple:
         )
     except Exception:
         return ("", "", "", None, None, [], True, 0.0)
+
+
+def _extract_pdf_one(raw: str) -> tuple:
+    """PDF leg of the extract_one dispatch (same output tuple).
+
+    text_content keeps the layout newlines (single \\n per line, blank
+    line between pages) — a PDF's geometry IS its paragraph structure,
+    and the stats stage counts paragraphs by blank lines. content is a
+    minimal <p>-per-block HTML rendering so downstream HTML consumers
+    (previews, cleaning) see the same shape the HTML leg produces.
+    spans stay empty: source offsets are meaningless through a
+    FlateDecoded content stream (documented divergence from the HTML
+    leg's raw-offset spans). Parse failures surface as
+    parse_failed=True via the caller's except arm."""
+    import html as _html
+
+    from readability_scanner_spark.extraction.pdf import extract_pdf
+
+    result = extract_pdf(raw)
+    text = result.text
+    content = ""
+    if text:
+        blocks = [b for b in text.split("\n\n") if b.strip()]
+        content = "<div>" + "".join(
+            "<p>" + _html.escape(b).replace("\n", "<br/>") + "</p>" for b in blocks
+        ) + "</div>"
+    published = result.created_ts
+    if published is not None:
+        published = published.replace(tzinfo=None)  # spark naive-UTC
+    return (
+        content,
+        text,
+        result.title,
+        None,  # a text-operator parse has no primary image
+        published,
+        [],
+        False,
+        len(text) / max(len(raw), 1),
+    )
 
 
 def stats_one(text: str) -> tuple:
