@@ -169,7 +169,10 @@ class _Tokenizer:
         if word == b"false":
             return False
         if word == b"null":
-            return None  # caller must use sentinel-aware iteration
+            # _NULL, not None: None means end-of-input, and a `null`
+            # inside an array (legal, e.g. /Kids [3 0 R null 5 0 R])
+            # must not truncate the array parse
+            return _NULL
         return word  # operator / keyword (obj, R, stream, Tj, ...)
 
     def _read_literal_string(self) -> bytes:
@@ -309,6 +312,18 @@ _OBJ_HEAD_RE = re.compile(rb"(?:^|[\r\n>\x00\t ])(\d{1,9})\s+(\d{1,5})\s+obj\b")
 _STREAM_START_RE = re.compile(rb"stream\r?\n")
 
 
+def _trim_stream_eol(chunk: bytes) -> bytes:
+    """Strip the single EOL the spec allows before `endstream` — an
+    unbounded rstrip could eat real trailing 0x0A/0x0D bytes of Flate
+    data (≈1/8 of adler32 checksums end in one) and truncate the
+    decode."""
+    if chunk.endswith(b"\r\n"):
+        return chunk[:-2]
+    if chunk.endswith((b"\n", b"\r")):
+        return chunk[:-1]
+    return chunk
+
+
 @dataclass
 class _PdfObject:
     value: object  # parsed first value (usually the dict)
@@ -367,10 +382,10 @@ class _Document:
                 if b"endstream" not in tail.lstrip(b"\r\n")[:9] and (
                     b"endstream" in raw
                 ):
-                    stream = raw[: raw.rfind(b"endstream")].rstrip(b"\r\n")
+                    stream = _trim_stream_eol(raw[: raw.rfind(b"endstream")])
             else:
                 es = raw.rfind(b"endstream")
-                stream = (raw[:es] if es != -1 else raw).rstrip(b"\r\n")
+                stream = _trim_stream_eol(raw[:es] if es != -1 else raw)
         return _PdfObject(value=value, stream=stream, body=body)
 
     def resolve(self, v, depth: int = 0):
@@ -620,6 +635,18 @@ def _interpret_text(content: bytes) -> list[_Run]:
             _translate_line(0.0, -leading)
             if in_text:
                 _show(stack[-1])
+        elif op == b"BI":
+            # inline image: BI <dict entries> ID <binary> EI — the binary
+            # bytes must NOT reach the tokenizer (a 0x28 '(' inside them
+            # would open a string that swallows the rest of the page).
+            # Skip to the first whitespace-delimited EI; image data that
+            # itself contains " EI " ends the skip early (documented
+            # limitation — resynchronizing costs a full decode).
+            m = re.search(
+                rb"[\x00\t\n\x0c\r ]EI(?=[\x00\t\n\x0c\r ]|$)",
+                tok.data[tok.pos :],
+            )
+            tok.pos = len(tok.data) if m is None else tok.pos + m.end()
         elif op == b"TJ" and stack:
             arr = stack[-1]
             if in_text and isinstance(arr, list):

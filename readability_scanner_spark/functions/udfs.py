@@ -157,7 +157,10 @@ def _extract_pdf_one(raw: str) -> tuple:
         published,
         [],
         False,
-        len(text) / max(len(raw), 1),
+        # clamp like the HTML leg (readability.py): FlateDecoded text can
+        # be longer than its raw container, and downstream
+        # mean_content_ratio consumers assume a 0..1 fraction
+        min(1.0, len(text) / max(len(raw), 1)),
     )
 
 

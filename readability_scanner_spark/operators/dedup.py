@@ -501,6 +501,8 @@ def connected_components(
         .distinct()
         .withColumn("label", F.col("node"))
     )
+    converged = False
+    prev_persisted = None
     for it in range(max_iterations):
         nbr = sym.join(labels, sym["a"] == labels["node"]).select(
             F.col("b").alias("node"), F.col("label")
@@ -510,6 +512,16 @@ def connected_components(
         )
         if checkpoint_every and (it + 1) % checkpoint_every == 0:
             new_labels = new_labels.localCheckpoint()
+        else:
+            # persist each round: the convergence probe below is an
+            # action, and without this both it AND the next iteration
+            # re-execute every join since the last checkpoint (O(k^2)
+            # join work per checkpoint window instead of O(k)).
+            # count() materializes EVERY partition — the limit(1) probe
+            # alone could leave some uncached, and those would recompute
+            # through the just-unpersisted previous round
+            new_labels = new_labels.persist()
+            new_labels.count()
         changed = (
             new_labels.alias("n")
             .join(labels.alias("o"), "node")
@@ -517,10 +529,23 @@ def connected_components(
             .limit(1)
             .count()
         )
+        if prev_persisted is not None:
+            prev_persisted.unpersist()
+        prev_persisted = new_labels
         labels = new_labels
         if changed == 0:
+            converged = True
             break
     sym.unpersist()
+    if not converged:
+        # silently returning intermediate labels would break the
+        # min-reachable-id contract (and any exact-oracle comparison)
+        # on graphs with diameter > max_iterations — fail loudly
+        raise RuntimeError(
+            f"connected_components did not converge within {max_iterations} "
+            "iterations (graph diameter exceeds the bound); raise "
+            "max_iterations or pre-partition the pair set"
+        )
     return labels.select("node", F.col("label").alias("component"))
 
 

@@ -219,6 +219,52 @@ def test_dedup_by_key_keeps_newest(spark):
     assert out == {"a": (2, 20), "b": (1, 30)}
 
 
+def test_connected_components_shapes(spark):
+    """Chain (forces multiple propagation rounds), cycle, and two
+    separate components — component id must be the min reachable node."""
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5),      # chain 1-5
+         (10, 11), (11, 12), (12, 10),        # cycle
+         (20, 21)],                            # pair
+        "id_a long, id_b long",
+    )
+    got = {r.node: r.component for r in dedup.connected_components(edges, "id_a", "id_b").collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 5: 1, 10: 10, 11: 10, 12: 10, 20: 20, 21: 20}
+    # repartitioning must not change the labeling
+    got2 = {
+        r.node: r.component
+        for r in dedup.connected_components(edges.repartition(7), "id_a", "id_b").collect()
+    }
+    assert got2 == got
+
+
+def test_connected_components_nonconvergence_raises(spark):
+    """A graph whose diameter exceeds max_iterations must fail loudly —
+    silently returning intermediate labels breaks the min-reachable-id
+    contract (and exact-oracle parity)."""
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(1, 8)], "id_a long, id_b long"
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        dedup.connected_components(chain, "id_a", "id_b", max_iterations=2)
+
+
+def test_resolve_duplicate_clusters_canonical(spark):
+    docs = spark.createDataFrame(
+        [(1, "short"), (2, "the longest text wins here"), (3, "mid text"),
+         (20, "same len"), (21, "same len"), (99, "singleton never appears")],
+        "doc_id long, text string",
+    )
+    pairs = spark.createDataFrame([(1, 2), (2, 3), (20, 21)], "id_a long, id_b long")
+    out = {r.doc_id: (r.component, r.canonical_id, r.is_canonical)
+           for r in dedup.resolve_duplicate_clusters(pairs, docs, "doc_id", "text").collect()}
+    assert out[2] == (1, 2, True)  # longest text wins
+    assert out[1] == (1, 2, False) and out[3] == (1, 2, False)
+    assert out[20] == (20, 20, True)  # length tie → smallest id
+    assert out[21] == (20, 20, False)
+    assert 99 not in out  # singletons are not duplicates
+
+
 # --- textquality -----------------------------------------------------------------
 
 def test_lang_id(spark):
@@ -401,41 +447,6 @@ def test_export_ml_dataset(spark, tmp_path):
 
 
 # --- multimodal --------------------------------------------------------------------
-
-def test_connected_components_shapes(spark):
-    """Chain (forces multiple propagation rounds), cycle, and two
-    separate components — component id must be the min reachable node."""
-    edges = spark.createDataFrame(
-        [(1, 2), (2, 3), (3, 4), (4, 5),      # chain 1-5
-         (10, 11), (11, 12), (12, 10),        # cycle
-         (20, 21)],                            # pair
-        "id_a long, id_b long",
-    )
-    got = {r.node: r.component for r in dedup.connected_components(edges, "id_a", "id_b").collect()}
-    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 5: 1, 10: 10, 11: 10, 12: 10, 20: 20, 21: 20}
-    # repartitioning must not change the labeling
-    got2 = {
-        r.node: r.component
-        for r in dedup.connected_components(edges.repartition(7), "id_a", "id_b").collect()
-    }
-    assert got2 == got
-
-
-def test_resolve_duplicate_clusters_canonical(spark):
-    docs = spark.createDataFrame(
-        [(1, "short"), (2, "the longest text wins here"), (3, "mid text"),
-         (20, "same len"), (21, "same len"), (99, "singleton never appears")],
-        "doc_id long, text string",
-    )
-    pairs = spark.createDataFrame([(1, 2), (2, 3), (20, 21)], "id_a long, id_b long")
-    out = {r.doc_id: (r.component, r.canonical_id, r.is_canonical)
-           for r in dedup.resolve_duplicate_clusters(pairs, docs, "doc_id", "text").collect()}
-    assert out[2] == (1, 2, True)  # longest text wins
-    assert out[1] == (1, 2, False) and out[3] == (1, 2, False)
-    assert out[20] == (20, 20, True)  # length tie → smallest id
-    assert out[21] == (20, 20, False)
-    assert 99 not in out  # singletons are not duplicates
-
 
 def test_parse_image_dimensions_formats():
     """Real stdlib header parsing: PNG (big-endian IHDR), GIF (little-

@@ -176,6 +176,52 @@ def test_asciihex_filtered_stream():
     assert extract_pdf_text(raw) == "hex filtered"
 
 
+def test_null_inside_arrays_does_not_truncate():
+    """`null` is a legal array member (/Kids [.. null ..], TJ arrays);
+    it must parse as a value, not read as end-of-input."""
+    content = b"BT /F1 12 Tf 1 0 0 1 72 720 Tm [ (Hello) -250 null (World) ] TJ ET"
+    assert extract_pdf_text(_hand_pdf(content)) == "Hello World"
+
+
+def test_inline_image_binary_is_skipped():
+    """BI..ID <binary> EI: a 0x28 '(' byte inside the image data must
+    not open a string that swallows the rest of the page."""
+    content = (
+        b"BT /F1 12 Tf 14 TL 1 0 0 1 72 720 Tm (before) Tj T* ET\n"
+        b"BI /W 2 /H 2 /BPC 8 /CS /RGB ID \x28\x00\xff\x29\x01\x02\x03\x04\x05\x06\x07\x08 EI\n"
+        b"BT /F1 12 Tf 1 0 0 1 72 700 Tm (after) Tj ET"
+    )
+    assert extract_pdf_text(_hand_pdf(content)) == "before\nafter"
+
+
+def test_stale_length_trailing_eol_byte_preserved():
+    """Recovery from a wrong /Length must strip only the single EOL
+    before `endstream` — Flate data legitimately ends in 0x0A/0x0D
+    about 1/8 of the time (last adler32 byte)."""
+    import zlib
+
+    inner = b"BT /F1 12 Tf 1 0 0 1 72 720 Tm (tail byte safe) Tj ET"
+    # brute-force a payload whose compressed form ends in \n
+    for pad in range(256):
+        padded = inner + b" % " + bytes([32 + pad % 90]) * (pad // 90 + 1)
+        flate = zlib.compress(padded, 9)
+        if flate.endswith((b"\n", b"\r")):
+            break
+    else:
+        pytest.skip("no padding produced a trailing-EOL deflate byte")
+    raw = (
+        b"%PDF-1.4\n"
+        b"1 0 obj << /Type /Catalog /Pages 2 0 R >> endobj\n"
+        b"2 0 obj << /Type /Pages /Kids [3 0 R] /Count 1 >> endobj\n"
+        b"3 0 obj << /Type /Page /Parent 2 0 R /Contents 4 0 R >> endobj\n"
+        b"4 0 obj << /Length 7 /Filter /FlateDecode >>\nstream\n"  # stale length
+        + flate
+        + b"\nendstream endobj\n"
+        b"trailer << /Size 5 /Root 1 0 R >>\n"
+    )
+    assert extract_pdf_text(raw) == "tail byte safe"
+
+
 def test_winansi_high_punctuation_decodes():
     content = b"BT /F1 12 Tf 1 0 0 1 72 720 Tm (dash \x97 quote \x93q\x94) Tj ET"
     assert extract_pdf_text(_hand_pdf(content)) == "dash — quote “q”"
