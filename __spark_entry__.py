@@ -913,6 +913,18 @@ def q_pdf_roundtrip(spark, sf_dir):
     ).orderBy("doc_id")
 
 
+def q_extractive_summary(spark, sf_dir):
+    """Summary/headline enrichment analog of the reference's LLM seam
+    (summary_service.py:205-313 / daily_topics_jobs.py:113-154): the
+    pluggable per-worker factory runs the deterministic extractive
+    default (integer frequency scoring — see operators/summarize.py),
+    which the DuckDB oracle reproduces bit-for-bit in SQL."""
+    from readability_scanner_spark.operators.summarize import summarize_docs
+
+    docs = _t(spark, sf_dir, "documents", spread=True)
+    return summarize_docs(docs, "doc_id", "text").orderBy("doc_id")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDER MATTERS: the driver evaluates the FIRST 50 entries only.
     # Round-2 insertion order pushed the 10 queries below past the window
@@ -933,6 +945,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_features": q_media_features,
         "dedup_clusters": q_dedup_clusters,
         "pdf_roundtrip": q_pdf_roundtrip,
+        "extractive_summary": q_extractive_summary,
         # --- round-2 driver-evaluated set (green in CORRECTNESS_r02) ---
         "readability_by_source": q_readability_by_source,
         "word_topk": q_word_topk,
@@ -1511,6 +1524,56 @@ def oracle_sql() -> dict[str, str]:
                    CAST(len(regexp_extract_all(norm, '[0-9A-Za-z_]+')) AS BIGINT) AS n_words
             FROM n
             ORDER BY doc_id
+        """,
+        "extractive_summary": r"""
+            -- bit-exact SQL form of the extractive default in
+            -- operators/summarize.py: sentence split -> whitespace
+            -- normalize -> ASCII token frequency -> integer scores ->
+            -- top-2 by (score desc, position asc), rejoined in order
+            WITH parts AS (
+              SELECT doc_id, regexp_split_to_array(coalesce(text, ''),
+                     '[.!?]+(?:\s+|$)') AS arr
+              FROM documents
+            ),
+            sents AS (
+              SELECT doc_id, pos, sent FROM (
+                SELECT doc_id,
+                       generate_subscripts(arr, 1)::BIGINT AS pos,
+                       trim(regexp_replace(unnest(arr), '\s+', ' ', 'g')) AS sent
+                FROM parts
+              ) WHERE sent <> ''
+            ),
+            tokens AS (
+              SELECT doc_id, pos,
+                     unnest(regexp_extract_all(lower(sent), '[0-9a-z_]+')) AS tok
+              FROM sents
+            ),
+            freq AS (
+              SELECT doc_id, tok, COUNT(*)::BIGINT AS f
+              FROM tokens GROUP BY doc_id, tok
+            ),
+            scores AS (
+              SELECT t.doc_id, t.pos, SUM(f.f)::BIGINT AS score
+              FROM tokens t JOIN freq f USING (doc_id, tok)
+              GROUP BY t.doc_id, t.pos
+            ),
+            ranked AS (
+              SELECT s.doc_id, s.pos, s.sent,
+                     row_number() OVER (PARTITION BY s.doc_id
+                         ORDER BY coalesce(sc.score, 0) DESC, s.pos ASC) AS rk
+              FROM sents s LEFT JOIN scores sc USING (doc_id, pos)
+            ),
+            agg AS (
+              SELECT doc_id,
+                     string_agg(sent, '. ' ORDER BY pos) || '.' AS summary,
+                     max(CASE WHEN rk = 1 THEN sent END) AS headline
+              FROM ranked WHERE rk <= 2 GROUP BY doc_id
+            )
+            SELECT d.doc_id,
+                   coalesce(a.headline, '') AS headline,
+                   coalesce(a.summary, '') AS summary
+            FROM documents d LEFT JOIN agg a USING (doc_id)
+            ORDER BY d.doc_id
         """,
         "greedy_topics": _greedy_topics_oracle(),
         "daily_topics": _daily_topics_oracle(),

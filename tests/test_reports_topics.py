@@ -106,3 +106,70 @@ def test_build_daily_topics(spark):
         assert len({i < 8 for i in ids}) == 1  # no cross-cluster mixing
         assert t.date_range_start <= t.date_range_end
         assert t.articles[0].title.startswith("title-")
+
+
+# --- summary / headline enrichment (LLM-seam analog) ------------------------------
+
+
+def test_extractive_summary_scoring_and_ties():
+    from readability_scanner_spark.operators.summarize import extractive_summary
+
+    # "alpha beta" words repeat most -> that sentence wins the headline;
+    # top-2 keeps document order in the summary
+    text = (
+        "Unique opener here. Alpha beta alpha beta gamma! Alpha beta again? Tail."
+    )
+    headline, summary = extractive_summary(text, 2)
+    assert headline == "Alpha beta alpha beta gamma"
+    assert summary == "Alpha beta alpha beta gamma. Alpha beta again."
+    # exact tie on score -> earlier sentence wins
+    h2, _ = extractive_summary("Same words here. Same words here.", 1)
+    assert h2 == "Same words here"
+
+
+def test_extractive_summary_edges():
+    from readability_scanner_spark.operators.summarize import extractive_summary
+
+    assert extractive_summary("", 2) == ("", "")
+    assert extractive_summary("   \n\t ", 2) == ("", "")
+    assert extractive_summary("no terminator at all", 2) == (
+        "no terminator at all",
+        "no terminator at all.",
+    )
+    # whitespace inside sentences normalizes to single spaces
+    h, s = extractive_summary("spread\n\tacross   lines.", 1)
+    assert (h, s) == ("spread across lines", "spread across lines.")
+
+
+def test_summarize_docs_seam_and_batch_invariance(spark):
+    from readability_scanner_spark.operators.summarize import (
+        extractive_summary,
+        summarize_docs,
+    )
+
+    rows = [
+        (i, f"Sentence one of doc {i}. Repeat repeat repeat words. Final bit?")
+        for i in range(40)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: (r.headline, r.summary) for r in summarize_docs(df, "doc_id", "text").collect()}
+    assert len(out) == 40
+    for i, text in rows:
+        assert out[i] == extractive_summary(text, 2)
+    # repartitioning (different Arrow batch boundaries) changes nothing
+    out2 = {
+        r.doc_id: (r.headline, r.summary)
+        for r in summarize_docs(df.repartition(7), "doc_id", "text").collect()
+    }
+    assert out2 == out
+    # the pluggable factory is honored (an "LLM client" stand-in)
+    def fake_llm_factory():
+        def fn(texts):
+            return [("HL", f"LEN:{len(t)}") for t in texts]
+        return fn
+
+    out3 = {
+        r.doc_id: r.summary
+        for r in summarize_docs(df, "doc_id", "text", make_summarize_fn=fake_llm_factory).collect()
+    }
+    assert out3[0] == f"LEN:{len(rows[0][1])}"
