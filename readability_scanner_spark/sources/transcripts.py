@@ -51,8 +51,15 @@ _TOOLS = (None, "browser", "search", "scraper", None, None)
 _EPOCH = datetime(2025, 6, 1, tzinfo=timezone.utc)
 
 
-def generate_conversation(conv_seq: int, seed: int = 42) -> list[dict]:
-    """All turns for one conversation. Pure function of (conv_seq, seed)."""
+def generate_conversation(
+    conv_seq: int, seed: int = 42, pdf_rate: float = 0.0
+) -> list[dict]:
+    """All turns for one conversation. Pure function of (conv_seq, seed,
+    pdf_rate). ``pdf_rate`` > 0 makes that fraction of turns carry a PDF
+    payload (extraction/pdf.py make_pdf over the same fixture-derived
+    text, latin-1 in the string column) — OFF by default so goldens and
+    benchmarks over the HTML corpus are unchanged; the flagship
+    pipeline's format dispatch handles both."""
     rng = random.Random(seed * 1_000_003 + conv_seq)
     conv_id = f"conv-{seed}-{conv_seq:09d}"
     # skewed size distribution: 3% mega-conversations
@@ -71,7 +78,9 @@ def generate_conversation(conv_seq: int, seed: int = 42) -> list[dict]:
                 "conv_id": conv_id,
                 "turn_idx": turn_idx,
                 "role": role,
-                "text": make_fixture(cls, seed * 7919 + conv_seq * 131 + turn_idx),
+                "text": _payload(
+                    cls, seed * 7919 + conv_seq * 131 + turn_idx, rng, pdf_rate
+                ),
                 "tool": rng.choice(_TOOLS) if role == "tool" else None,
                 "ts": ts,
             }
@@ -79,8 +88,28 @@ def generate_conversation(conv_seq: int, seed: int = 42) -> list[dict]:
     return rows
 
 
+def _payload(cls: str, fixture_seed: int, rng: "random.Random", pdf_rate: float) -> str:
+    # rng.random() is consumed UNCONDITIONALLY so pdf_rate=0.0 replays the
+    # exact pre-pdf_rate corpus (golden/bench comparability)... except it
+    # would shift every later draw — so only consume when pdf_rate > 0:
+    # the default corpus is bit-identical to the historical one, and any
+    # pdf_rate > 0 is an explicitly different corpus.
+    html = make_fixture(cls, fixture_seed)
+    if pdf_rate > 0.0 and rng.random() < pdf_rate:
+        from readability_scanner_spark.extraction.cleaning import clean_html_content
+        from readability_scanner_spark.extraction.pdf import make_pdf
+
+        text = clean_html_content(html).encode("latin-1", "replace").decode("latin-1")
+        return make_pdf(text).decode("latin-1")
+    return html
+
+
 def transcripts_df(
-    spark: SparkSession, n_conversations: int = 200, seed: int = 42, partitions: int | None = None
+    spark: SparkSession,
+    n_conversations: int = 200,
+    seed: int = 42,
+    partitions: int | None = None,
+    pdf_rate: float = 0.0,
 ) -> DataFrame:
     """Distributed generation: spark.range over conversation ids →
     mapInPandas expanding each id into its turns. No driver-side
@@ -90,7 +119,7 @@ def transcripts_df(
         for batch in batches:
             out: list[dict] = []
             for conv_seq in batch["id"]:
-                out.extend(generate_conversation(int(conv_seq), seed))
+                out.extend(generate_conversation(int(conv_seq), seed, pdf_rate))
                 if len(out) >= 2000:
                     yield pd.DataFrame(out)
                     out = []

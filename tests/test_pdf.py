@@ -321,3 +321,34 @@ def test_pipeline_mixed_html_and_pdf_turns(spark):
     assert "Readable web content" in out[0]["cleaned_data"]
     assert norm(out[1]["cleaned_data"]) == norm("Portable document text. " * 20)
     assert out[1]["words"] == 60
+
+
+def test_generator_pdf_rate_corpus_extracts_clean(spark):
+    """Opt-in pdf_rate: the same pipeline handles a mixed HTML/PDF
+    corpus with zero parse failures; pdf_rate=0.0 (the default) must
+    reproduce the historical all-HTML corpus bit-for-bit."""
+    from pyspark.sql import functions as F
+
+    from readability_scanner_spark.plans.pipeline import extract_and_score
+    from readability_scanner_spark.sources.transcripts import transcripts_df
+
+    mixed = transcripts_df(spark, 10, seed=7, pdf_rate=0.3)
+    n_pdf = mixed.where(F.col("text").startswith("%PDF-")).count()
+    assert n_pdf > 0
+    out = extract_and_score(mixed, repartition_to=8).cache()
+    try:
+        assert out.where(F.col("parse_failed")).count() < out.count() * 0.2
+        # every PDF turn extracted: non-empty text, no parse failure
+        joined = out.join(
+            mixed.where(F.col("text").startswith("%PDF-")).select("conv_id", "turn_idx"),
+            ["conv_id", "turn_idx"],
+        )
+        assert joined.count() == n_pdf
+        assert joined.where(F.col("parse_failed")).count() == 0
+        assert joined.where(F.length("cleaned_data") > 0).count() == n_pdf
+    finally:
+        out.unpersist()
+    # default corpus unchanged by the new parameter
+    a = transcripts_df(spark, 3, seed=7).orderBy("conv_id", "turn_idx").collect()
+    b = transcripts_df(spark, 3, seed=7, pdf_rate=0.0).orderBy("conv_id", "turn_idx").collect()
+    assert a == b
