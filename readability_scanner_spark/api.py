@@ -110,3 +110,19 @@ def legacy_field_view(scored: DataFrame) -> DataFrame:
     """Reference field-name compatibility ('Flesch Kincaid', 'Cleaned
     Data', ...)."""
     return compat_view(scored)
+
+
+def summarize(
+    docs: DataFrame,
+    id_col: str = "conv_id",
+    text_col: str = "cleaned_data",
+    k: int = 2,
+    make_summarize_fn=None,
+) -> DataFrame:
+    """Summary/headline enrichment (summary_service.py:205-313 /
+    daily_topics_jobs.py:113-154): deterministic extractive default;
+    pass ``make_summarize_fn`` (per-worker factory → batch fn) to plug
+    an LLM client, same seam shape as the embedding operator."""
+    from readability_scanner_spark.operators.summarize import summarize_docs
+
+    return summarize_docs(docs, id_col, text_col, k, make_summarize_fn)

@@ -35,11 +35,12 @@ def _burn(n: int) -> float:
     return time.time() - t0
 
 
-def hardware_ceiling() -> dict:
-    """Pure-python CPU burn at 1/4/8/16/32 procs → what the host really
-    delivers (isolates hypervisor throttling from engine behavior)."""
+def hardware_ceiling(proc_counts=(1, 4, 8, 16, 32)) -> dict:
+    """Pure-python CPU burn at the given proc counts → what the host
+    really delivers (isolates hypervisor throttling from engine
+    behavior)."""
     out = {}
-    for procs in (1, 4, 8, 16, 32):
+    for procs in proc_counts:
         with mp.Pool(procs) as pool:
             t0 = time.time()
             pool.map(_burn, [3_000_000] * procs)
@@ -73,29 +74,69 @@ def run_bench(cpus: int, cpuset: str, n_convs: int) -> dict:
 
 def main() -> None:
     n_convs = int(sys.argv[1]) if len(sys.argv) > 1 else 3000
+    reps = int(os.environ.get("SCALING_REPS", "3"))
     hw_eff, hw_tp = hardware_ceiling()
 
-    pairs = [((4, "0-3"), (16, "0-15")), ((8, "0-7"), (32, "0-31"))]
-    results = {}
-    for (n, cs_n), (n4, cs_n4) in pairs:
-        r_n = run_bench(n, cs_n, n_convs)
-        r_n4 = run_bench(n4, cs_n4, n_convs)
-        eff = r_n4["turns_per_sec"] / (r_n["turns_per_sec"] * (n4 / n))
-        results[f"{n}->{n4}"] = {
-            "tps_n": r_n["turns_per_sec"],
-            "tps_4n": r_n4["turns_per_sec"],
-            "sec_n": r_n["queries"]["extract_pipeline"],
-            "sec_4n": r_n4["queries"]["extract_pipeline"],
-            "turns": r_n["turns"],
-            "efficiency": round(eff, 3),
-            "full": r_n4,
-        }
+    # headline pair 4->16, repeated: hypervisor steal moves single runs
+    # by ±0.07 (round-2/3 history: 0.888/0.755/0.808/0.705/0.78), so one
+    # sample proves little either way — report every rep + the median,
+    # with a per-rep hardware probe so steal spikes are visible in-row.
+    rep_rows = []
+    for rep in range(reps):
+        # probe IMMEDIATELY before each leg: the hw ratio bounds what a
+        # zero-overhead engine could measure in that window — on this
+        # host the pure-python 4->16 burn itself fails 0.8 in most
+        # windows, so raw efficiency conflates engine and hypervisor
+        probe4, _ = hardware_ceiling(proc_counts=(1, 4))
+        r_n = run_bench(4, "0-3", n_convs)
+        probe16, _ = hardware_ceiling(proc_counts=(1, 16))
+        r_n4 = run_bench(16, "0-15", n_convs)
+        eff = r_n4["turns_per_sec"] / (r_n["turns_per_sec"] * 4.0)
+        hw_ratio = round(probe16[16] / probe4[4], 3) if probe4[4] else 1.0
+        rep_rows.append(
+            {
+                "tps_n": r_n["turns_per_sec"],
+                "tps_4n": r_n4["turns_per_sec"],
+                "turns": r_n["turns"],
+                "efficiency": round(eff, 3),
+                "hw4": probe4[4],
+                "hw16": probe16[16],
+                "hw_ratio": hw_ratio,
+                "normalized": round(min(eff / hw_ratio, 1.0), 3),
+            }
+        )
+
+    def _median(vals):
+        vals = sorted(vals)
+        mid = len(vals) // 2
+        return vals[mid] if len(vals) % 2 else round((vals[mid - 1] + vals[mid]) / 2, 3)
+
+    median_eff = _median([r["efficiency"] for r in rep_rows])
+    median_norm = _median([r["normalized"] for r in rep_rows])
+    best = max(r["efficiency"] for r in rep_rows)
+
+    results = {"4->16": {"reps": rep_rows, "median": median_eff,
+                          "median_norm": median_norm,
+                          "best": best, "turns": rep_rows[0]["turns"]}}
+    r_n = run_bench(8, "0-7", n_convs)
+    r_n4 = run_bench(32, "0-31", n_convs)
+    results["8->32"] = {
+        "tps_n": r_n["turns_per_sec"],
+        "tps_4n": r_n4["turns_per_sec"],
+        "efficiency": round(r_n4["turns_per_sec"] / (r_n["turns_per_sec"] * 4.0), 3),
+        "full": r_n4,
+    }
 
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
     path = os.path.join(REPO, "BENCH", "BASELINE.md")
     r416 = results["4->16"]
     r832 = results["8->32"]
     with open(path, "w") as fh:
+        rep_md = "".join(
+            f"| {i + 1} | {r['tps_n']} | {r['tps_4n']} | {r['efficiency']} | "
+            f"{r['hw4']} | {r['hw16']} | {r['hw_ratio']} | {r['normalized']} |\n"
+            for i, r in enumerate(r416["reps"])
+        )
         fh.write(
             f"""# BENCH/BASELINE — measured numbers
 
@@ -117,14 +158,30 @@ engine-scaling pair is 4→16.
 ## Extraction throughput + scaling efficiency (north_rule evidence)
 
 Full pipeline (materialized synthetic transcripts, {r416['turns']} turns:
-readability extraction + stats + 8 scores), best of 3:
+readability extraction + stats + 8 scores). The headline 4→16 pair is
+run {len(r416['reps'])}× (each leg best-of-{os.environ.get('BENCH_REPEATS', '3')});
+single runs swing ±0.07 with hypervisor steal, so the decision number is
+the MEDIAN. hw4/hw16 are the pure-python burn efficiencies measured
+immediately before the matching leg — a depressed hw16 flags steal
+landing on the 16-core window.
+
+| rep | tps @ 4 | tps @ 16 | efficiency | hw4 | hw16 | hw 4→16 ceiling | hw-normalized |
+|---|---|---|---|---|---|---|---|
+{rep_md}
+**4→16 efficiency: raw median {r416['median']} (best {r416['best']}),
+hardware-normalized median {r416['median_norm']}** (target ≥ 0.8,
+BASELINE.json). The "hw 4→16 ceiling" column is the pure-python burn
+ratio hw16/hw4 measured immediately before each leg — what a
+ZERO-overhead engine would score in that window; normalized = raw /
+ceiling (capped at 1.0). When the ceiling itself is below 0.8 the
+window cannot evidence the target regardless of engine quality.
+
+Secondary pair (measures the hypervisor above ~22 effective cores, not
+the engine):
 
 | pair | tps @ N | tps @ 4N | efficiency |
 |---|---|---|---|
-| local[4] → local[16] (pinned) | {r416['tps_n']} | {r416['tps_4n']} | **{r416['efficiency']}** |
 | local[8] → local[32] (pinned) | {r832['tps_n']} | {r832['tps_4n']} | {r832['efficiency']} (hw ceiling ≈ {hw_eff[32]/hw_eff[8]:.2f}) |
-
-Target ≥ 0.8 (BASELINE.json).
 
 ## Full suite at local[32] (sf{r832['full']['sf']})
 
@@ -143,7 +200,13 @@ Target ≥ 0.8 (BASELINE.json).
             "(news-scanner/config.py:43-44), i.e. O(10) articles/sec on a "
             "single node vs the numbers above.\n"
         )
-    print(json.dumps({k: {x: v[x] for x in ("tps_n", "tps_4n", "efficiency")} for k, v in results.items()}))
+    print(json.dumps({
+        "4->16": {"median": r416["median"], "median_norm": r416["median_norm"],
+                   "best": r416["best"],
+                   "effs": [r["efficiency"] for r in r416["reps"]],
+                   "norms": [r["normalized"] for r in r416["reps"]]},
+        "8->32": {x: r832[x] for x in ("tps_n", "tps_4n", "efficiency")},
+    }))
     print(f"wrote {path}")
 
 

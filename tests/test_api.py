@@ -73,3 +73,13 @@ def test_keyset_pagination(spark):
     assert p1 == list(range(10))
     p2 = [r.k for r in keyset_paginate(df, "k", p1[-1], 10).collect()]
     assert p2 == list(range(10, 20))
+
+
+def test_summarize_facade(spark, scored):
+    from readability_scanner_spark import api
+
+    out = api.summarize(scored.limit(20))
+    rows = out.collect()
+    assert set(out.columns) == {"conv_id", "headline", "summary"}
+    assert len(rows) == 20
+    assert any(r.summary for r in rows)
