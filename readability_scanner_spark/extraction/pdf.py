@@ -357,6 +357,42 @@ class _Document:
             obj = self._parse_object(body)
             if obj is not None:
                 self.objects[num] = obj
+        self._expand_object_streams()
+
+    def _expand_object_streams(self) -> None:
+        """Expand /ObjStm compressed object streams (PDF 1.5+): modern
+        writers put the catalog/page-tree/font dicts inside one Flate
+        stream, invisible to the `N G obj` scan. Layout per §7.5.7:
+        /N pairs of (object number, relative offset) before /First,
+        then the concatenated objects. Directly-scanned objects win on
+        number collisions (they are at least as recent)."""
+        for num in list(self.objects):
+            v = self.objects[num].value
+            if not (isinstance(v, dict) and str(v.get("Type", "")) == "ObjStm"):
+                continue
+            data = self.decoded_stream(num)
+            n = self.resolve(v.get("N"))
+            first = self.resolve(v.get("First"))
+            if not (isinstance(n, int) and isinstance(first, int)) or not data:
+                continue
+            tok = _Tokenizer(data[:first])
+            pairs = []
+            for _ in range(min(n, 100_000)):
+                a = tok.next_token()
+                b = tok.next_token()
+                if not (isinstance(a, int) and isinstance(b, int)):
+                    break
+                pairs.append((a, b))
+            for onum, off in pairs:
+                if onum in self.objects or not 0 <= off < len(data) - first + 1:
+                    continue
+                otok = _Tokenizer(data, first + off)
+                try:
+                    val = _parse_value(otok)
+                except RecursionError:
+                    continue
+                if val is not _NULL:
+                    self.objects[onum] = _PdfObject(value=val)
 
     def _parse_object(self, body: bytes) -> Optional[_PdfObject]:
         sm = _STREAM_START_RE.search(body)
@@ -427,6 +463,12 @@ class _Document:
             d = _parse_value(tok)
             if isinstance(d, dict) and "Root" in d:
                 return d
+        # PDF 1.5+ cross-reference STREAMS carry /Root and /Info in the
+        # /Type /XRef stream dict instead of a `trailer` keyword
+        for num in sorted(self.objects, reverse=True):
+            v = self.objects[num].value
+            if isinstance(v, dict) and str(v.get("Type", "")) == "XRef" and "Root" in v:
+                return v
         return None
 
     def catalog(self) -> Optional[dict]:

@@ -352,3 +352,39 @@ def test_generator_pdf_rate_corpus_extracts_clean(spark):
     a = transcripts_df(spark, 3, seed=7).orderBy("conv_id", "turn_idx").collect()
     b = transcripts_df(spark, 3, seed=7, pdf_rate=0.0).orderBy("conv_id", "turn_idx").collect()
     assert a == b
+
+
+def test_objstm_and_xref_stream_document():
+    """PDF 1.5+ shape: catalog/pages/page live inside a compressed
+    /ObjStm, no `trailer` keyword — /Root and /Info come from the
+    /Type /XRef stream dict. The Info title is only reachable through
+    that path."""
+    import zlib
+
+    inner_objs = [
+        (1, b"<< /Type /Catalog /Pages 2 0 R >>"),
+        (2, b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>"),
+        (3, b"<< /Type /Page /Parent 2 0 R /Contents 5 0 R >>"),
+        (7, b"<< /Title (From ObjStm Info) >>"),
+    ]
+    offsets, payload = [], b""
+    for num, body in inner_objs:
+        offsets.append((num, len(payload)))
+        payload += body + b" "
+    header = b" ".join(b"%d %d" % p for p in offsets) + b" "
+    stm_data = zlib.compress(header + payload, 9)
+
+    content = b"BT /F1 12 Tf 1 0 0 1 72 720 Tm (objstm text) Tj ET"
+    raw = (
+        b"%PDF-1.5\n"
+        b"4 0 obj << /Type /ObjStm /N 4 /First " + str(len(header)).encode()
+        + b" /Length " + str(len(stm_data)).encode()
+        + b" /Filter /FlateDecode >>\nstream\n" + stm_data + b"\nendstream endobj\n"
+        b"5 0 obj << /Length " + str(len(content)).encode() + b" >>\nstream\n"
+        + content + b"\nendstream endobj\n"
+        b"6 0 obj << /Type /XRef /Size 8 /Root 1 0 R /Info 7 0 R /Length 0 >>\n"
+        b"stream\n\nendstream endobj\n"
+    )
+    result = extract_pdf(raw)
+    assert result.text == "objstm text"
+    assert result.title == "From ObjStm Info"
