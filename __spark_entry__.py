@@ -1530,16 +1530,19 @@ def oracle_sql() -> dict[str, str]:
             -- operators/summarize.py: sentence split -> whitespace
             -- normalize -> ASCII token frequency -> integer scores ->
             -- top-2 by (score desc, position asc), rejoined in order
+            -- whitespace class spelled out to match the Python side
+            -- exactly (RE2 \s excludes \x0b; Python \s is Unicode)
             WITH parts AS (
               SELECT doc_id, regexp_split_to_array(coalesce(text, ''),
-                     '[.!?]+(?:\s+|$)') AS arr
+                     '[.!?]+(?:[ \t\n\x0b\x0c\r]+|$)') AS arr
               FROM documents
             ),
             sents AS (
               SELECT doc_id, pos, sent FROM (
                 SELECT doc_id,
                        generate_subscripts(arr, 1)::BIGINT AS pos,
-                       trim(regexp_replace(unnest(arr), '\s+', ' ', 'g')) AS sent
+                       trim(regexp_replace(unnest(arr),
+                            '[ \t\n\x0b\x0c\r]+', ' ', 'g')) AS sent
                 FROM parts
               ) WHERE sent <> ''
             ),

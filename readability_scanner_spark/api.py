@@ -122,7 +122,9 @@ def summarize(
     """Summary/headline enrichment (summary_service.py:205-313 /
     daily_topics_jobs.py:113-154): deterministic extractive default;
     pass ``make_summarize_fn`` (per-worker factory → batch fn) to plug
-    an LLM client, same seam shape as the embedding operator."""
+    an LLM client, same seam shape as the embedding operator. ``k``
+    applies to the extractive default only — a custom factory controls
+    its own summary shape."""
     from readability_scanner_spark.operators.summarize import summarize_docs
 
     return summarize_docs(docs, id_col, text_col, k, make_summarize_fn)

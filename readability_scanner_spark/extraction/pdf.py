@@ -14,9 +14,11 @@ Reader (:func:`extract_pdf_text` / :func:`extract_pdf`):
    ``N G obj`` headers; the xref table is never trusted. Real-world
    PDFs routinely ship broken/linearized/incremental xrefs, and at
    10^12-turn scale a parse path that dies on a stale offset table is a
-   task-killer. (Limitation, documented: a binary stream that happens
-   to contain an ``N G obj`` byte pattern could confuse the scan;
-   compressed object streams /ObjStm are not expanded.)
+   task-killer. /ObjStm compressed object streams are expanded
+   (``_expand_object_streams``), and ``trailer``-less PDF 1.5+ files
+   resolve /Root and /Info through the /Type /XRef stream dict.
+   (Limitation, documented: a binary stream that happens to contain an
+   ``N G obj`` byte pattern could confuse the scan.)
 2. **Page tree walk** from the trailer's /Root → /Pages → /Kids
    (recursive, inherited order preserved); falls back to every
    /Type /Page object in numeric order when the trailer is damaged.
@@ -329,6 +331,8 @@ class _PdfObject:
     value: object  # parsed first value (usually the dict)
     stream: Optional[bytes] = None  # raw (still-encoded) stream bytes
     body: bytes = b""
+    pos: int = -1  # file offset of the object (container's for ObjStm
+    # members) — incremental updates append, so larger pos == newer
 
 
 class _Document:
@@ -356,7 +360,8 @@ class _Document:
             body = body[body_start - start :]
             obj = self._parse_object(body)
             if obj is not None:
-                self.objects[num] = obj
+                obj.pos = start
+                self.objects[num] = obj  # later direct object wins (update)
         self._expand_object_streams()
 
     def _expand_object_streams(self) -> None:
@@ -364,12 +369,20 @@ class _Document:
         writers put the catalog/page-tree/font dicts inside one Flate
         stream, invisible to the `N G obj` scan. Layout per §7.5.7:
         /N pairs of (object number, relative offset) before /First,
-        then the concatenated objects. Directly-scanned objects win on
-        number collisions (they are at least as recent)."""
-        for num in list(self.objects):
+        then the concatenated objects. Number collisions resolve by
+        FILE POSITION (members inherit their container's offset):
+        incremental updates append, so the later definition is the
+        newer one — matching the later-wins rule of the direct scan."""
+        containers = sorted(
+            (
+                (obj.pos, num)
+                for num, obj in self.objects.items()
+                if isinstance(obj.value, dict)
+                and str(obj.value.get("Type", "")) == "ObjStm"
+            )
+        )
+        for cpos, num in containers:
             v = self.objects[num].value
-            if not (isinstance(v, dict) and str(v.get("Type", "")) == "ObjStm"):
-                continue
             data = self.decoded_stream(num)
             n = self.resolve(v.get("N"))
             first = self.resolve(v.get("First"))
@@ -384,7 +397,10 @@ class _Document:
                     break
                 pairs.append((a, b))
             for onum, off in pairs:
-                if onum in self.objects or not 0 <= off < len(data) - first + 1:
+                existing = self.objects.get(onum)
+                if existing is not None and existing.pos >= cpos:
+                    continue  # a later (or same-position) definition wins
+                if not 0 <= off < len(data) - first + 1:
                     continue
                 otok = _Tokenizer(data, first + off)
                 try:
@@ -392,7 +408,7 @@ class _Document:
                 except RecursionError:
                     continue
                 if val is not _NULL:
-                    self.objects[onum] = _PdfObject(value=val)
+                    self.objects[onum] = _PdfObject(value=val, pos=cpos)
 
     def _parse_object(self, body: bytes) -> Optional[_PdfObject]:
         sm = _STREAM_START_RE.search(body)

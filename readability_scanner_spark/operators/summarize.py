@@ -37,10 +37,15 @@ from typing import Callable, Iterable, Iterator, Optional
 
 import pandas as pd
 
-from pyspark.sql import Column, DataFrame
-from pyspark.sql import functions as F
+from pyspark.sql import DataFrame
 
-_SENTENCE_SPLIT = re.compile(r"[.!?]+(?:\s+|$)")
+# Whitespace class spelled out on BOTH engines: Python \s/str.split()
+# are Unicode-aware, RE2's \s is ASCII-only AND excludes \x0b — the
+# oracle SQL uses this exact class too, so the two sides stay
+# bit-identical even for documents carrying VT/NBSP/U+2028 whitespace
+_ASCII_WS = "[ \t\n\x0b\x0c\r]"
+_SENTENCE_SPLIT = re.compile(rf"[.!?]+(?:{_ASCII_WS}+|$)")
+_WS_RUN = re.compile(rf"{_ASCII_WS}+")
 _TOKEN = re.compile(r"[0-9a-z_]+")
 
 
@@ -48,7 +53,7 @@ def split_sentences(text: str) -> list[str]:
     """Ordered, whitespace-normalized, non-empty sentence segments."""
     out = []
     for seg in _SENTENCE_SPLIT.split(text or ""):
-        seg = " ".join(seg.split())
+        seg = _WS_RUN.sub(" ", seg).strip(" ")
         if seg:
             out.append(seg)
     return out
@@ -96,6 +101,8 @@ def summarize_docs(
     Arrow batches), must return ``fn(texts) -> [(headline, summary)]``
     of the same length — exactly what an LLM-client closure satisfies.
     Default: :func:`default_summarize_fn` (deterministic extractive).
+    ``k`` parameterizes the extractive DEFAULT only; a custom factory
+    owns its output shape entirely (close over your own k if needed).
     """
     factory = make_summarize_fn or (lambda: default_summarize_fn(k))
     id_field = df.schema[id_col]
@@ -114,12 +121,3 @@ def summarize_docs(
 
     schema = f"{id_col} {id_field.dataType.simpleString()}, headline string, summary string"
     return df.select(id_col, text_col).mapInPandas(run, schema)
-
-
-def headline_col(text: Column) -> Column:
-    """JVM-only top-sentence headline for ad-hoc SQL use — matches
-    extractive_summary's headline on single-sentence docs and is NOT the
-    scored variant (no token-frequency pass); kept as the cheap
-    projection for previews."""
-    first = F.element_at(F.split(text, r"[.!?]+(\s+|$)"), 1)
-    return F.trim(F.regexp_replace(first, r"\s+", " "))

@@ -56,7 +56,8 @@ def run_bench(cpus: int, cpuset: str, n_convs: int) -> dict:
             "SPARK_GRAFT_CPUS": str(cpus),
             "BENCH_CONVS": str(n_convs),
             "BENCH_TMP": "/tmp/bench_transcripts_scaling",
-            "BENCH_REPEATS": "3",
+            # honor a caller override — the written evidence cites this
+            "BENCH_REPEATS": os.environ.get("BENCH_REPEATS", "3"),
         }
     )
     out = subprocess.run(
@@ -74,7 +75,7 @@ def run_bench(cpus: int, cpuset: str, n_convs: int) -> dict:
 
 def main() -> None:
     n_convs = int(sys.argv[1]) if len(sys.argv) > 1 else 3000
-    reps = int(os.environ.get("SCALING_REPS", "3"))
+    reps = max(1, int(os.environ.get("SCALING_REPS", "3")))
     hw_eff, hw_tp = hardware_ceiling()
 
     # headline pair 4->16, repeated: hypervisor steal moves single runs

@@ -388,3 +388,40 @@ def test_objstm_and_xref_stream_document():
     result = extract_pdf(raw)
     assert result.text == "objstm text"
     assert result.title == "From ObjStm Info"
+
+
+def test_objstm_incremental_update_newest_wins():
+    """Two ObjStms both define object 7 (/Info); the LATER one in the
+    file is the incremental update and must win — first-in-file-wins
+    would resurrect the stale title."""
+    import zlib
+
+    def objstm(num, inner):
+        offsets, payload = [], b""
+        for onum, body in inner:
+            offsets.append((onum, len(payload)))
+            payload += body + b" "
+        header = b" ".join(b"%d %d" % p for p in offsets) + b" "
+        data = zlib.compress(header + payload, 9)
+        return (
+            b"%d 0 obj << /Type /ObjStm /N %d /First %d /Length %d /Filter /FlateDecode >>\nstream\n"
+            % (num, len(inner), len(header), len(data))
+            + data
+            + b"\nendstream endobj\n"
+        )
+
+    content = b"BT /F1 12 Tf 1 0 0 1 72 720 Tm (body) Tj ET"
+    raw = (
+        b"%PDF-1.5\n"
+        + objstm(4, [(1, b"<< /Type /Catalog /Pages 2 0 R >>"),
+                     (2, b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>"),
+                     (3, b"<< /Type /Page /Parent 2 0 R /Contents 5 0 R >>"),
+                     (7, b"<< /Title (Stale Title) >>")])
+        + b"5 0 obj << /Length " + str(len(content)).encode() + b" >>\nstream\n"
+        + content + b"\nendstream endobj\n"
+        + objstm(8, [(7, b"<< /Title (Updated Title) >>")])
+        + b"6 0 obj << /Type /XRef /Size 9 /Root 1 0 R /Info 7 0 R /Length 0 >>\nstream\n\nendstream endobj\n"
+    )
+    result = extract_pdf(raw)
+    assert result.text == "body"
+    assert result.title == "Updated Title"

@@ -173,3 +173,39 @@ def test_summarize_docs_seam_and_batch_invariance(spark):
         for r in summarize_docs(df, "doc_id", "text", make_summarize_fn=fake_llm_factory).collect()
     }
     assert out3[0] == f"LEN:{len(rows[0][1])}"
+
+
+def test_extractive_summary_ascii_whitespace_parity():
+    """Python \\s is Unicode, the DuckDB oracle's RE2 \\s is ASCII and
+    excludes VT — both sides now use the explicit [ \\t\\n\\x0b\\x0c\\r]
+    class. NBSP must NOT split/collapse; VT must."""
+    import duckdb
+
+    from readability_scanner_spark.operators.summarize import extractive_summary
+
+    texts = [
+        "first\x0bsentence here. second\xa0keeps\xa0nbsp!",  # VT + NBSP
+        "ends with period.\x0b",  # trailing VT after terminator
+        "a b. unicode line sep stays.",
+    ]
+    con = duckdb.connect()
+    sql = r"""
+    WITH parts AS (
+      SELECT regexp_split_to_array(?, '[.!?]+(?:[ \t\n\x0b\x0c\r]+|$)') AS arr
+    ),
+    sents AS (
+      SELECT pos, sent FROM (
+        SELECT generate_subscripts(arr, 1)::BIGINT AS pos,
+               trim(regexp_replace(unnest(arr), '[ \t\n\x0b\x0c\r]+', ' ', 'g')) AS sent
+        FROM parts
+      ) WHERE sent <> ''
+    )
+    SELECT list(sent ORDER BY pos) FROM sents
+    """
+    from readability_scanner_spark.operators.summarize import split_sentences
+
+    for t in texts:
+        sql_sents = con.execute(sql, [t]).fetchone()[0] or []
+        assert split_sentences(t) == sql_sents, t
+        # and the full summary path stays deterministic on such input
+        extractive_summary(t, 2)
