@@ -31,6 +31,9 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--input", help="transcripts table path (parquet)")
     ap.add_argument("--synthetic", type=int, default=0, help="generate N synthetic conversations instead of --input")
+    ap.add_argument("--pdf-rate", type=float, default=0.0,
+                    help="fraction of synthetic turns carrying PDF payloads "
+                    "(format-dispatch soak; 0.0 = historical HTML corpus)")
     ap.add_argument("--output", required=True)
     ap.add_argument("--buckets", type=int, default=8)
     ap.add_argument("--repartition", type=int, default=None)
@@ -47,7 +50,9 @@ def main() -> None:
         ap.error("--input and --synthetic are mutually exclusive (the old "
                  "behavior silently ignored --input)")
     if args.synthetic:
-        transcripts = transcripts_df(spark, n_conversations=args.synthetic)
+        transcripts = transcripts_df(
+            spark, n_conversations=args.synthetic, pdf_rate=args.pdf_rate
+        )
     elif args.input:
         transcripts = spark.read.parquet(args.input)
     else:
