@@ -49,6 +49,9 @@ def main() -> None:
     if args.synthetic and args.input:
         ap.error("--input and --synthetic are mutually exclusive (the old "
                  "behavior silently ignored --input)")
+    if args.pdf_rate and not args.synthetic:
+        ap.error("--pdf-rate only applies to --synthetic generation; real "
+                 "--input tables carry whatever payloads they carry")
     if args.synthetic:
         transcripts = transcripts_df(
             spark, n_conversations=args.synthetic, pdf_rate=args.pdf_rate

@@ -480,12 +480,17 @@ class _Document:
             if isinstance(d, dict) and "Root" in d:
                 return d
         # PDF 1.5+ cross-reference STREAMS carry /Root and /Info in the
-        # /Type /XRef stream dict instead of a `trailer` keyword
-        for num in sorted(self.objects, reverse=True):
-            v = self.objects[num].value
+        # /Type /XRef stream dict instead of a `trailer` keyword; pick
+        # by FILE POSITION (largest = the latest incremental update),
+        # consistent with the newest-wins rule everywhere else —
+        # object numbers say nothing about recency
+        best = None
+        for obj in self.objects.values():
+            v = obj.value
             if isinstance(v, dict) and str(v.get("Type", "")) == "XRef" and "Root" in v:
-                return v
-        return None
+                if best is None or obj.pos > best.pos:
+                    best = obj
+        return best.value if best is not None else None
 
     def catalog(self) -> Optional[dict]:
         trailer = self.trailer_dict()

@@ -89,10 +89,10 @@ def generate_conversation(
 
 
 def _payload(cls: str, fixture_seed: int, rng: "random.Random", pdf_rate: float) -> str:
-    # rng.random() is consumed UNCONDITIONALLY so pdf_rate=0.0 replays the
-    # exact pre-pdf_rate corpus (golden/bench comparability)... except it
-    # would shift every later draw — so only consume when pdf_rate > 0:
-    # the default corpus is bit-identical to the historical one, and any
+    # rng.random() is consumed ONLY when pdf_rate > 0: consuming it
+    # unconditionally would shift every later draw (tool choice, sizes)
+    # and break the bit-identity of the pdf_rate=0.0 corpus with the
+    # historical one that goldens and benchmarks depend on. Any
     # pdf_rate > 0 is an explicitly different corpus.
     html = make_fixture(cls, fixture_seed)
     if pdf_rate > 0.0 and rng.random() < pdf_rate:

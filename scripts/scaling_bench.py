@@ -20,6 +20,7 @@ from __future__ import annotations
 import json
 import multiprocessing as mp
 import os
+import statistics
 import subprocess
 import sys
 import time
@@ -88,12 +89,15 @@ def main() -> None:
         # zero-overhead engine could measure in that window — on this
         # host the pure-python 4->16 burn itself fails 0.8 in most
         # windows, so raw efficiency conflates engine and hypervisor
-        probe4, _ = hardware_ceiling(proc_counts=(1, 4))
+        probe4, raw4 = hardware_ceiling(proc_counts=(1, 4))
         r_n = run_bench(4, "0-3", n_convs)
-        probe16, _ = hardware_ceiling(proc_counts=(1, 16))
+        probe16, raw16 = hardware_ceiling(proc_counts=(1, 16))
         r_n4 = run_bench(16, "0-15", n_convs)
         eff = r_n4["turns_per_sec"] / (r_n["turns_per_sec"] * 4.0)
-        hw_ratio = round(probe16[16] / probe4[4], 3) if probe4[4] else 1.0
+        # ratio of RAW aggregate burn throughputs — dividing the two
+        # per-probe efficiencies instead would smuggle in the ratio of
+        # their separate (noisy) 1-proc baselines
+        hw_ratio = round(raw16[16] / (4.0 * raw4[4]), 3) if raw4[4] else 1.0
         rep_rows.append(
             {
                 "tps_n": r_n["turns_per_sec"],
@@ -107,13 +111,8 @@ def main() -> None:
             }
         )
 
-    def _median(vals):
-        vals = sorted(vals)
-        mid = len(vals) // 2
-        return vals[mid] if len(vals) % 2 else round((vals[mid - 1] + vals[mid]) / 2, 3)
-
-    median_eff = _median([r["efficiency"] for r in rep_rows])
-    median_norm = _median([r["normalized"] for r in rep_rows])
+    median_eff = round(statistics.median(r["efficiency"] for r in rep_rows), 3)
+    median_norm = round(statistics.median(r["normalized"] for r in rep_rows), 3)
     best = max(r["efficiency"] for r in rep_rows)
 
     results = {"4->16": {"reps": rep_rows, "median": median_eff,

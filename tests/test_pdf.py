@@ -425,3 +425,25 @@ def test_objstm_incremental_update_newest_wins():
     result = extract_pdf(raw)
     assert result.text == "body"
     assert result.title == "Updated Title"
+
+
+def test_xref_stream_incremental_update_wins_by_position():
+    """Two /Type /XRef dicts: the appended (later-in-file) one must
+    supply /Info even though its OBJECT NUMBER is lower — recency is
+    file position, never object number."""
+    content = b"BT /F1 12 Tf 1 0 0 1 72 720 Tm (xref body) Tj ET"
+    raw = (
+        b"%PDF-1.5\n"
+        b"1 0 obj << /Type /Catalog /Pages 2 0 R >> endobj\n"
+        b"2 0 obj << /Type /Pages /Kids [3 0 R] /Count 1 >> endobj\n"
+        b"3 0 obj << /Type /Page /Parent 2 0 R /Contents 5 0 R >> endobj\n"
+        b"5 0 obj << /Length " + str(len(content)).encode() + b" >>\nstream\n"
+        + content + b"\nendstream endobj\n"
+        b"7 0 obj << /Title (Old Title) >> endobj\n"
+        b"9 0 obj << /Type /XRef /Size 10 /Root 1 0 R /Info 7 0 R /Length 0 >>\nstream\n\nendstream endobj\n"
+        b"11 0 obj << /Title (New Title) >> endobj\n"
+        b"6 0 obj << /Type /XRef /Size 12 /Root 1 0 R /Info 11 0 R /Length 0 >>\nstream\n\nendstream endobj\n"
+    )
+    result = extract_pdf(raw)
+    assert result.text == "xref body"
+    assert result.title == "New Title"

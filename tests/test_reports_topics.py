@@ -186,7 +186,7 @@ def test_extractive_summary_ascii_whitespace_parity():
     texts = [
         "first\x0bsentence here. second\xa0keeps\xa0nbsp!",  # VT + NBSP
         "ends with period.\x0b",  # trailing VT after terminator
-        "a b. unicode line sep stays.",
+        "a\u2028b. unicode line-sep char must not split or collapse.",
     ]
     con = duckdb.connect()
     sql = r"""
