@@ -153,7 +153,13 @@ def train_ivf_centroids(
     """Deterministic mini k-means on a bounded driver-side sample
     (orderBy(id).limit → same sample at any parallelism). The sample is
     the ONLY driver-side data movement; assignment and search stay
-    distributed. At 10^12 rows the sample is still `sample_rows`."""
+    distributed. At 10^12 rows the sample is still `sample_rows`.
+
+    Sizing note: driver memory is ~sample_rows × dim × 8 bytes and the
+    broadcast shipped to executors is n_centroids × dim — both are set
+    by THESE parameters, never by the table size, so raising
+    sample_rows for better centroids is a deliberate, linear driver
+    cost (4096 × 768-dim ≈ 25 MB; fine; 10^7 rows would not be)."""
     sample = np.vstack(
         [
             r[0]

@@ -209,3 +209,45 @@ def test_extractive_summary_ascii_whitespace_parity():
         assert split_sentences(t) == sql_sents, t
         # and the full summary path stays deterministic on such input
         extractive_summary(t, 2)
+
+
+def test_extractive_summary_sentence_split_property_vs_duckdb():
+    """Property: for arbitrary printable-ASCII + control-whitespace
+    text, Python split_sentences equals the oracle's SQL recompute
+    (the exact sub-expression the driver hashes)."""
+    import duckdb
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from readability_scanner_spark.operators.summarize import split_sentences
+
+    con = duckdb.connect()
+    sql = r"""
+    WITH parts AS (
+      SELECT regexp_split_to_array(?, '[.!?]+(?:[ \t\n\x0b\x0c\r]+|$)') AS arr
+    ),
+    sents AS (
+      SELECT pos, sent FROM (
+        SELECT generate_subscripts(arr, 1)::BIGINT AS pos,
+               trim(regexp_replace(unnest(arr), '[ \t\n\x0b\x0c\r]+', ' ', 'g')) AS sent
+        FROM parts
+      ) WHERE sent <> ''
+    )
+    SELECT list(sent ORDER BY pos) FROM sents
+    """
+
+    @given(
+        st.text(
+            alphabet=st.characters(
+                min_codepoint=0x09,
+                max_codepoint=0x7E,
+                include_characters=" .!?\t\n\x0b\x0c\r",
+            ),
+            max_size=200,
+        )
+    )
+    @settings(max_examples=80, deadline=None)
+    def check(text):
+        assert split_sentences(text) == (con.execute(sql, [text]).fetchone()[0] or [])
+
+    check()
