@@ -1,11 +1,15 @@
 """Multimodal column plumbing: image/audio/video as opaque binary columns
 with typed metadata structs.
 
-The decode/resize/frame-sample kernels are STUBBED (the container has no
-image/audio libraries) behind deterministic fakes — clearly marked — but
-the Spark-side contract is real and tested: schema, Arrow batch shape,
-mapInPandas signatures, partition sizing. Swapping a real decoder in
-changes only the marked function bodies.
+What's REAL, stdlib-only: PNG pixel decode (inflate + all five
+scanline filters, :func:`decode_png`) with per-channel pixel-statistic
+features, and header-level dimension parsing for PNG/GIF/JPEG
+(:func:`parse_image_dimensions`). What's STUBBED behind deterministic
+fakes — clearly marked: JPEG/GIF pixel decode and audio/video frame
+decode (they need codec libraries this container lacks). The
+Spark-side contract is real and tested either way: schema, Arrow batch
+shape, mapInPandas signatures, partition sizing. Swapping a full
+decoder in changes only the marked function bodies.
 """
 
 from __future__ import annotations
@@ -52,11 +56,106 @@ FEATURE_SCHEMA = StructType(
 )
 
 
-def _decode_image(payload: bytes):  # pragma: no cover - stub
-    """STUB: real PIXEL decode would be PIL/turbojpeg (not in this
-    container). Raises so callers can't silently rely on it. Header-level
-    dimension parsing is REAL — see parse_image_dimensions."""
-    raise NotImplementedError("image decode requires an image library not in this container")
+def decode_png(payload: bytes) -> tuple[int, int, int, bytearray]:
+    """REAL stdlib-only PNG pixel decode → (width, height, channels,
+    raw interleaved 8-bit samples). Supports 8-bit greyscale/RGB/RGBA
+    (color types 0/2/6), non-interlaced, multi-IDAT, all five scanline
+    filters (None/Sub/Up/Average/Paeth, §9 of the PNG spec). Raises
+    ValueError on anything else — palette, 16-bit, and Adam7 are rare
+    in ML corpora and explicitly out of scope."""
+    if payload is None or not payload.startswith(b"\x89PNG\r\n\x1a\n"):
+        raise ValueError("not a PNG")
+    pos, n = 8, len(payload)
+    width = height = None
+    channels = 0
+    idat = bytearray()
+    while pos + 8 <= n:
+        (length,) = struct.unpack(">I", payload[pos : pos + 4])
+        typ = payload[pos + 4 : pos + 8]
+        data = payload[pos + 8 : pos + 8 + length]
+        pos += 12 + length  # length + type + data + crc
+        if typ == b"IHDR":
+            width, height, depth, ct, _comp, _filt, interlace = struct.unpack(
+                ">IIBBBBB", data
+            )
+            if depth != 8:
+                raise ValueError(f"unsupported bit depth {depth}")
+            if interlace != 0:
+                raise ValueError("Adam7 interlacing unsupported")
+            channels = {0: 1, 2: 3, 6: 4}.get(ct, 0)
+            if not channels:
+                raise ValueError(f"unsupported color type {ct}")
+        elif typ == b"IDAT":
+            idat += data
+        elif typ == b"IEND":
+            break
+    if width is None or not idat:
+        raise ValueError("missing IHDR or IDAT")
+    raw = zlib.decompress(bytes(idat))
+    stride = width * channels
+    if len(raw) < height * (stride + 1):
+        raise ValueError("truncated pixel data")
+    out = bytearray(height * stride)
+    prev_start = -1
+    for y in range(height):
+        ftype = raw[y * (stride + 1)]
+        line = bytearray(raw[y * (stride + 1) + 1 : (y + 1) * (stride + 1)])
+        row_start = y * stride
+        if ftype == 1:  # Sub
+            for i in range(channels, stride):
+                line[i] = (line[i] + line[i - channels]) & 0xFF
+        elif ftype == 2:  # Up
+            if prev_start >= 0:
+                for i in range(stride):
+                    line[i] = (line[i] + out[prev_start + i]) & 0xFF
+        elif ftype == 3:  # Average
+            for i in range(stride):
+                a = line[i - channels] if i >= channels else 0
+                b = out[prev_start + i] if prev_start >= 0 else 0
+                line[i] = (line[i] + ((a + b) >> 1)) & 0xFF
+        elif ftype == 4:  # Paeth
+            for i in range(stride):
+                a = line[i - channels] if i >= channels else 0
+                b = out[prev_start + i] if prev_start >= 0 else 0
+                c = out[prev_start + i - channels] if (prev_start >= 0 and i >= channels) else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                line[i] = (line[i] + pred) & 0xFF
+        elif ftype != 0:
+            raise ValueError(f"unknown filter type {ftype}")
+        out[row_start : row_start + stride] = line
+        prev_start = row_start
+    return width, height, channels, out
+
+
+def png_pixel_stats(payload: bytes) -> list[float]:
+    """REAL per-channel pixel statistics from :func:`decode_png`:
+    [width, height, channels, mean_c0, std_c0, mean_c1, std_c1, ...]
+    with means/stds scaled to 0..1. Deterministic, library-free — the
+    feature vector a downstream encoder seam would replace."""
+    width, height, channels, pixels = decode_png(payload)
+    n_px = width * height
+    feats = [float(width), float(height), float(channels)]
+    for c in range(channels):
+        plane = pixels[c::channels]
+        mean = sum(plane) / n_px
+        var = sum((v - mean) ** 2 for v in plane) / n_px
+        feats.append(mean / 255.0)
+        feats.append((var ** 0.5) / 255.0)
+    return feats
+
+
+def _decode_image(payload: bytes):
+    """Pixel decode dispatch: PNG is REAL (stdlib inflate + unfilter,
+    :func:`decode_png`); JPEG/GIF pixel decode genuinely needs codec
+    libraries this container lacks and raises — header-level dimension
+    parsing for those is real (parse_image_dimensions)."""
+    if payload is not None and payload.startswith(b"\x89PNG\r\n\x1a\n"):
+        return decode_png(payload)
+    raise NotImplementedError(
+        "JPEG/GIF pixel decode requires an image library not in this container"
+    )
 
 
 def parse_image_dimensions(payload: Optional[bytes]) -> Optional[tuple[int, int]]:
@@ -139,6 +238,13 @@ def _fake_features(payload: bytes, dim: int = 16) -> list[float]:
     return [((crc >> (i % 32)) & 0xFF) / 255.0 for i in range(dim)]
 
 
+def _features_dispatch(payload: Optional[bytes]) -> list[float]:
+    try:
+        return png_pixel_stats(payload)
+    except ValueError:
+        return _fake_features(payload)
+
+
 def extract_media_features(media: DataFrame, batch_limit_bytes: int = 64 << 20) -> DataFrame:
     """mapInPandas feature extraction over binary payloads. Arrow moves
     the bytes in bounded batches; at scale, repartition by media_id so
@@ -160,7 +266,10 @@ def extract_media_features(media: DataFrame, batch_limit_bytes: int = 64 << 20) 
                     "height": pd.array(
                         [d[1] if d else None for d in dims], dtype="Int32"
                     ),
-                    "features": [_fake_features(p) for p in pdf["payload"]],
+                    # REAL pixel statistics for PNG payloads; the
+                    # crc-seeded fake only for formats whose pixel
+                    # decode needs absent codec libs
+                    "features": [_features_dispatch(p) for p in pdf["payload"]],
                 }
             )
 

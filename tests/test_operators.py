@@ -491,7 +491,12 @@ def test_media_features_deterministic(spark):
     a = multimodal.extract_media_features(media).orderBy("media_id").collect()
     b = multimodal.extract_media_features(media.repartition(5)).orderBy("media_id").collect()
     assert a == b
-    assert all(len(r.features) == 16 for r in a)
+    for r in a:
+        if r.width is not None:  # PNG rows: REAL pixel stats [w,h,ch,mean/std...]
+            assert len(r.features) == 3 + 2 * int(r.features[2])
+            assert r.features[0] == float(r.width) and r.features[1] == float(r.height)
+        else:  # non-image payloads keep the marked 16-dim fake
+            assert len(r.features) == 16
     assert all(r.n_bytes > 0 for r in a)
 
 
@@ -793,3 +798,106 @@ def test_search_lookaround_equals_duckdb_token_oracle(spark):
             [t],
         ).fetchone()
         assert got[i] == want, (i, t, got[i], want)
+
+
+def _encode_png_filtered(width, height, channels, pixels, ftype):
+    """Test-side PNG encoder applying ONE filter type to every row —
+    the inverse of decode_png's unfilter, so roundtrip proves each
+    filter path (spec §9) independently."""
+    import struct
+    import zlib
+
+    ct = {1: 0, 3: 2, 4: 6}[channels]
+    stride = width * channels
+    prev = bytearray(stride)
+    raw = bytearray()
+    for y in range(height):
+        row = pixels[y * stride : (y + 1) * stride]
+        enc = bytearray(row)
+        if ftype == 1:
+            for i in range(stride - 1, channels - 1, -1):
+                enc[i] = (enc[i] - row[i - channels]) & 0xFF
+        elif ftype == 2:
+            for i in range(stride):
+                enc[i] = (enc[i] - prev[i]) & 0xFF
+        elif ftype == 3:
+            for i in range(stride):
+                a = row[i - channels] if i >= channels else 0
+                enc[i] = (enc[i] - ((a + prev[i]) >> 1)) & 0xFF
+        elif ftype == 4:
+            for i in range(stride):
+                a = row[i - channels] if i >= channels else 0
+                b = prev[i]
+                c = prev[i - channels] if i >= channels else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                enc[i] = (enc[i] - pred) & 0xFF
+        raw += bytes([ftype]) + enc
+        prev = row
+
+    def chunk(typ, data):
+        return (
+            struct.pack(">I", len(data)) + typ + data
+            + struct.pack(">I", zlib.crc32(typ + data))
+        )
+
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, ct, 0, 0, 0)
+    return (
+        b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(bytes(raw), 6)) + chunk(b"IEND", b"")
+    )
+
+
+@pytest.mark.parametrize("ftype", [0, 1, 2, 3, 4])
+@pytest.mark.parametrize("channels", [1, 3, 4])
+def test_decode_png_all_filters_roundtrip(ftype, channels):
+    import random
+
+    rng = random.Random(ftype * 10 + channels)
+    w, h = 9, 7
+    pixels = bytearray(rng.randrange(256) for _ in range(w * h * channels))
+    raw = _encode_png_filtered(w, h, channels, pixels, ftype)
+    got = multimodal.decode_png(raw)
+    assert got == (w, h, channels, pixels)
+
+
+def test_decode_png_matches_writer_pattern_and_stats():
+    png = multimodal.make_png(5, 4, seed=9)
+    w, h, ch, px = multimodal.decode_png(png)
+    assert (w, h, ch) == (5, 4, 3)
+    # writer pattern: byte x of row y is (seed + y*31 + x) % 256
+    expect = bytearray((9 + y * 31 + x) % 256 for y in range(4) for x in range(15))
+    assert px == expect
+    feats = multimodal.png_pixel_stats(png)
+    assert feats[:3] == [5.0, 4.0, 3.0]
+    plane0 = expect[0::3]
+    mean0 = sum(plane0) / 20
+    assert abs(feats[3] - mean0 / 255.0) < 1e-9
+    assert len(feats) == 3 + 2 * 3
+
+
+def test_decode_png_rejects_unsupported():
+    import struct as _s
+    import zlib as _z
+
+    with pytest.raises(ValueError):
+        multimodal.decode_png(b"not png")
+    with pytest.raises((ValueError, NotImplementedError)):
+        multimodal._decode_image(b"GIF89a" + b"\x00" * 20)  # GIF pixels: honest stub
+    # 16-bit depth refused, not silently mangled
+    def chunk(typ, data):
+        return _s.pack(">I", len(data)) + typ + data + _s.pack(">I", _z.crc32(typ + data))
+    ihdr16 = _s.pack(">IIBBBBB", 2, 2, 16, 2, 0, 0, 0)
+    bad = b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr16) + chunk(b"IDAT", _z.compress(b"\x00" * 26)) + chunk(b"IEND", b"")
+    with pytest.raises(ValueError, match="bit depth"):
+        multimodal.decode_png(bad)
+
+
+def test_features_dispatch_real_for_png_fake_otherwise():
+    png = multimodal.make_png(6, 3, seed=1)
+    real = multimodal._features_dispatch(png)
+    assert real[:3] == [6.0, 3.0, 3.0]  # real pixel stats, not crc noise
+    fake = multimodal._features_dispatch(b"\xff\xd8 jpeg-ish")
+    assert len(fake) == 16 and fake != real
+    assert multimodal._features_dispatch(None) == [0.0] * 16
