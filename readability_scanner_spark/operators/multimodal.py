@@ -56,6 +56,12 @@ FEATURE_SCHEMA = StructType(
 )
 
 
+# per-pixel pure-python unfiltering cost cap (samples = w*h*channels);
+# 4M ≈ a 1.2MP RGB image ≈ tens of ms. Larger images fall back to the
+# marked fake features — a real codec library replaces the cap.
+PNG_DECODE_MAX_SAMPLES = 4_000_000
+
+
 def decode_png(payload: bytes) -> tuple[int, int, int, bytearray]:
     """REAL stdlib-only PNG pixel decode → (width, height, channels,
     raw interleaved 8-bit samples). Supports 8-bit greyscale/RGB/RGBA
@@ -91,8 +97,18 @@ def decode_png(payload: bytes) -> tuple[int, int, int, bytearray]:
             break
     if width is None or not idat:
         raise ValueError("missing IHDR or IDAT")
-    raw = zlib.decompress(bytes(idat))
+    if width * height * channels > PNG_DECODE_MAX_SAMPLES:
+        # per-pixel pure-python unfiltering: a 12MP photo would take
+        # minutes in the hot path — callers fall back to the marked
+        # fake features (or plug a real codec) above this cap
+        raise ValueError(
+            f"image exceeds PNG_DECODE_MAX_SAMPLES ({width}x{height}x{channels})"
+        )
     stride = width * channels
+    expected = height * (stride + 1)
+    # bounded inflate: a kB-sized zlib bomb must not materialize GBs
+    # before the size check below can reject it
+    raw = zlib.decompressobj().decompress(bytes(idat), expected)
     if len(raw) < height * (stride + 1):
         raise ValueError("truncated pixel data")
     out = bytearray(height * stride)
@@ -132,17 +148,21 @@ def decode_png(payload: bytes) -> tuple[int, int, int, bytearray]:
 def png_pixel_stats(payload: bytes) -> list[float]:
     """REAL per-channel pixel statistics from :func:`decode_png`:
     [width, height, channels, mean_c0, std_c0, mean_c1, std_c1, ...]
-    with means/stds scaled to 0..1. Deterministic, library-free — the
-    feature vector a downstream encoder seam would replace."""
+    with means/stds scaled to 0..1. Deterministic — numpy-vectorized so
+    the stats pass is C-speed regardless of image size (the decode cap
+    bounds the pure-python unfilter loops, not this)."""
+    import numpy as np
+
     width, height, channels, pixels = decode_png(payload)
-    n_px = width * height
+    if width * height == 0:
+        raise ValueError("degenerate zero-pixel image")
+    arr = np.frombuffer(bytes(pixels), dtype=np.uint8).reshape(-1, channels)
     feats = [float(width), float(height), float(channels)]
+    means = arr.mean(axis=0)
+    stds = arr.std(axis=0)
     for c in range(channels):
-        plane = pixels[c::channels]
-        mean = sum(plane) / n_px
-        var = sum((v - mean) ** 2 for v in plane) / n_px
-        feats.append(mean / 255.0)
-        feats.append((var ** 0.5) / 255.0)
+        feats.append(float(means[c]) / 255.0)
+        feats.append(float(stds[c]) / 255.0)
     return feats
 
 
@@ -239,9 +259,13 @@ def _fake_features(payload: bytes, dim: int = 16) -> list[float]:
 
 
 def _features_dispatch(payload: Optional[bytes]) -> list[float]:
+    # never task-fatal: truncated IHDRs raise struct.error, corrupt
+    # IDATs raise zlib.error, degenerate dims ZeroDivisionError — any
+    # undecodable payload falls back to the marked fake, matching the
+    # extraction pipeline's row-never-throws policy
     try:
         return png_pixel_stats(payload)
-    except ValueError:
+    except Exception:
         return _fake_features(payload)
 
 

@@ -491,12 +491,15 @@ def test_media_features_deterministic(spark):
     a = multimodal.extract_media_features(media).orderBy("media_id").collect()
     b = multimodal.extract_media_features(media.repartition(5)).orderBy("media_id").collect()
     assert a == b
+    saw_real = saw_fake = False
     for r in a:
-        if r.width is not None:  # PNG rows: REAL pixel stats [w,h,ch,mean/std...]
+        if len(r.features) != 16:  # real-stats shape: [w,h,ch,mean/std per ch]
             assert len(r.features) == 3 + 2 * int(r.features[2])
             assert r.features[0] == float(r.width) and r.features[1] == float(r.height)
-        else:  # non-image payloads keep the marked 16-dim fake
-            assert len(r.features) == 16
+            saw_real = True
+        else:  # undecodable payloads keep the marked 16-dim fake
+            saw_fake = True
+    assert saw_real and saw_fake  # synthetic table mixes PNGs and A/V blobs
     assert all(r.n_bytes > 0 for r in a)
 
 
@@ -901,3 +904,33 @@ def test_features_dispatch_real_for_png_fake_otherwise():
     fake = multimodal._features_dispatch(b"\xff\xd8 jpeg-ish")
     assert len(fake) == 16 and fake != real
     assert multimodal._features_dispatch(None) == [0.0] * 16
+
+
+def test_features_dispatch_never_raises_on_hostile_png():
+    """Corrupt/hostile payloads must fall back to the fake vector, never
+    kill the task: truncated IHDR (struct.error), corrupt IDAT
+    (zlib.error), zero-width (ZeroDivisionError path), and an
+    over-cap/bomb-shaped image (rejected BEFORE full inflate)."""
+    import struct as _s
+    import zlib as _z
+
+    def chunk(typ, data):
+        return _s.pack(">I", len(data)) + typ + data + _s.pack(">I", _z.crc32(typ + data))
+
+    sig = b"\x89PNG\r\n\x1a\n"
+    truncated = sig + _s.pack(">I", 13) + b"IHDR" + b"\x00\x00"
+    zero_w = sig + chunk(b"IHDR", _s.pack(">IIBBBBB", 0, 2, 8, 2, 0, 0, 0)) + chunk(
+        b"IDAT", _z.compress(b"\x00\x00")
+    ) + chunk(b"IEND", b"")
+    corrupt = bytearray(multimodal.make_png(8, 8, seed=2))
+    corrupt[40] ^= 0xFF  # flip a byte inside IDAT
+    bomb = sig + chunk(
+        b"IHDR", _s.pack(">IIBBBBB", 50_000, 50_000, 8, 2, 0, 0, 0)
+    ) + chunk(b"IDAT", _z.compress(b"\x00" * 1_000_000, 9)) + chunk(b"IEND", b"")
+
+    for payload in (truncated, zero_w, bytes(corrupt), bomb):
+        out = multimodal._features_dispatch(payload)
+        assert out == multimodal._fake_features(payload)
+    # the cap rejects oversized images cheaply (ValueError, no inflate)
+    with pytest.raises(ValueError, match="MAX_SAMPLES"):
+        multimodal.decode_png(bomb)
