@@ -248,6 +248,82 @@ def make_png(width: int, height: int, seed: int = 0) -> bytes:
     )
 
 
+def make_wav(n_samples: int, sample_rate: int = 8000, channels: int = 1, seed: int = 0) -> bytes:
+    """REAL RIFF/WAVE PCM16 writer (stdlib struct only): canonical
+    fmt + data chunk layout, deterministic sample formula — gives the
+    synthetic media table genuine audio payloads so the WAV parser and
+    stats kernel are exercised end to end."""
+    frames = bytearray()
+    for j in range(n_samples * channels):
+        v = ((seed * 31 + j * 2654435761) % 65536) - 32768
+        frames += struct.pack("<h", v)
+    byte_rate = sample_rate * channels * 2
+    fmt = struct.pack("<HHIIHH", 1, channels, sample_rate, byte_rate, channels * 2, 16)
+    body = b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    body += b"data" + struct.pack("<I", len(frames)) + bytes(frames)
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def _parse_wav(payload: Optional[bytes]) -> Optional[tuple[int, int, int, int]]:
+    """(sample_rate, channels, n_samples, data_offset) or None. Walks
+    the chunk list (tolerating extra chunks like LIST/fact before
+    data, word-aligned per RIFF); PCM16 only — compressed codecs need
+    libraries this container lacks."""
+    if payload is None or len(payload) < 44:
+        return None
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        return None
+    pos, n = 12, len(payload)
+    sample_rate = channels = None
+    data_len = data_off = None
+    while pos + 8 <= n:
+        typ = payload[pos : pos + 4]
+        (length,) = struct.unpack("<I", payload[pos + 4 : pos + 8])
+        if typ == b"fmt " and length >= 16:
+            fmt_code, channels, sample_rate, _br, _ba, bits = struct.unpack(
+                "<HHIIHH", payload[pos + 8 : pos + 24]
+            )
+            if fmt_code != 1 or bits != 16:
+                return None  # non-PCM16: honestly out of stdlib scope
+        elif typ == b"data":
+            data_len = min(length, n - pos - 8)
+            data_off = pos + 8
+        pos += 8 + length + (length & 1)  # chunks are word-aligned
+    if not (sample_rate and channels) or data_len is None:
+        return None
+    return sample_rate, channels, data_len // (channels * 2), data_off
+
+
+def parse_wav_info(payload: Optional[bytes]) -> Optional[tuple[int, int, int, int]]:
+    """REAL RIFF/WAVE header parse → (sample_rate, channels, n_samples,
+    duration_ms), or None for non-WAV/undecodable bytes."""
+    parsed = _parse_wav(payload)
+    if parsed is None:
+        return None
+    sample_rate, channels, n_samples, _off = parsed
+    return sample_rate, channels, n_samples, (n_samples * 1000) // sample_rate
+
+
+def wav_audio_stats(payload: bytes) -> list[float]:
+    """REAL audio statistics from the PCM16 frames:
+    [sample_rate, channels, n_samples, rms, peak] with rms/peak scaled
+    to 0..1 (numpy-vectorized over the raw frames)."""
+    import numpy as np
+
+    parsed = _parse_wav(payload)
+    if parsed is None:
+        raise ValueError("not a PCM16 WAV")
+    sample_rate, channels, n_samples, data_off = parsed
+    if n_samples == 0:
+        raise ValueError("empty WAV")
+    frames = np.frombuffer(
+        payload, dtype="<i2", count=n_samples * channels, offset=data_off
+    ).astype(np.float64)
+    rms = float(np.sqrt(np.mean(frames**2))) / 32768.0
+    peak = float(np.max(np.abs(frames))) / 32768.0
+    return [float(sample_rate), float(channels), float(n_samples), rms, peak]
+
+
 def _fake_features(payload: bytes, dim: int = 16) -> list[float]:
     """Deterministic fake feature vector (crc-seeded), standing in for a
     real encoder. Marked fake: values carry no semantics, but determinism
@@ -264,6 +340,8 @@ def _features_dispatch(payload: Optional[bytes]) -> list[float]:
     # undecodable payload falls back to the marked fake, matching the
     # extraction pipeline's row-never-throws policy
     try:
+        if payload is not None and payload[:4] == b"RIFF":
+            return wav_audio_stats(payload)
         return png_pixel_stats(payload)
     except Exception:
         return _fake_features(payload)
@@ -317,14 +395,17 @@ def sample_frames(media: DataFrame, every_ms: int = 1000) -> DataFrame:
 
 def synthetic_media_row(i: int, seed: int = 42):
     """One deterministic synthetic media row: (kind, payload, width,
-    height). Image rows carry REAL PNG bytes (dimensions derived from i)
-    so the header parser round-trips; audio/video stay opaque byte
-    formulas (the parser must return None on them). Shared by the table
-    generator and the driver oracle so both recompute the same bytes."""
+    height). Image rows carry REAL PNG bytes (dimensions derived from
+    i) and audio rows REAL PCM16 WAV bytes, so both decode kernels
+    round-trip; video stays an opaque byte formula (the parsers must
+    return None / fall back on it). Shared by the table generator and
+    the driver oracle so both recompute the same bytes."""
     kind = ("image", "audio", "video")[i % 3]
     if kind == "image":
         w, h = 16 + (i % 23), 16 + ((i * 3) % 17)
         return kind, make_png(w, h, seed=seed + i), w, h
+    if kind == "audio":
+        return kind, make_wav(50 + (i % 200), 8000, 1 + (i % 2), seed=seed + i), None, None
     payload = bytes((seed * 7 + i * 13 + j) % 256 for j in range((i % 50) + 10))
     return kind, payload, None, None
 
@@ -334,6 +415,12 @@ def synthetic_media_df(spark, n: int = 100, seed: int = 42) -> DataFrame:
     rows = []
     for i in range(n):
         kind, payload, w, h = synthetic_media_row(i, seed)
+        if kind == "audio":
+            duration = parse_wav_info(payload)[3]  # REAL, from the bytes
+        elif kind == "video":
+            duration = (i % 10 + 1) * 1000
+        else:
+            duration = None
         rows.append(
             (
                 i,
@@ -342,7 +429,7 @@ def synthetic_media_df(spark, n: int = 100, seed: int = 42) -> DataFrame:
                 payload,
                 w,
                 h,
-                (i % 10 + 1) * 1000 if kind != "image" else None,
+                duration,
             )
         )
     return spark.createDataFrame(rows, MEDIA_SCHEMA)

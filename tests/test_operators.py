@@ -491,15 +491,16 @@ def test_media_features_deterministic(spark):
     a = multimodal.extract_media_features(media).orderBy("media_id").collect()
     b = multimodal.extract_media_features(media.repartition(5)).orderBy("media_id").collect()
     assert a == b
-    saw_real = saw_fake = False
+    kinds = {r.media_id: r.kind for r in media.select("media_id", "kind").collect()}
     for r in a:
-        if len(r.features) != 16:  # real-stats shape: [w,h,ch,mean/std per ch]
+        if kinds[r.media_id] == "image":  # REAL pixel stats [w,h,ch,mean/std per ch]
             assert len(r.features) == 3 + 2 * int(r.features[2])
             assert r.features[0] == float(r.width) and r.features[1] == float(r.height)
-            saw_real = True
-        else:  # undecodable payloads keep the marked 16-dim fake
-            saw_fake = True
-    assert saw_real and saw_fake  # synthetic table mixes PNGs and A/V blobs
+        elif kinds[r.media_id] == "audio":  # REAL [sr, ch, n_samples, rms, peak]
+            assert len(r.features) == 5 and r.features[0] == 8000.0
+            assert 0.0 < r.features[3] <= 1.0
+        else:  # video blobs: marked 16-dim fake (no stdlib codec)
+            assert len(r.features) == 16
     assert all(r.n_bytes > 0 for r in a)
 
 
@@ -934,3 +935,40 @@ def test_features_dispatch_never_raises_on_hostile_png():
     # the cap rejects oversized images cheaply (ValueError, no inflate)
     with pytest.raises(ValueError, match="MAX_SAMPLES"):
         multimodal.decode_png(bomb)
+
+
+def test_wav_roundtrip_parse_and_stats():
+    import numpy as np
+
+    wav = multimodal.make_wav(120, sample_rate=16000, channels=2, seed=5)
+    info = multimodal.parse_wav_info(wav)
+    assert info == (16000, 2, 120, 120 * 1000 // 16000)
+    feats = multimodal.wav_audio_stats(wav)
+    assert feats[:3] == [16000.0, 2.0, 120.0]
+    # recompute rms independently from the known writer formula
+    samples = np.array(
+        [((5 * 31 + j * 2654435761) % 65536) - 32768 for j in range(240)], dtype=np.float64
+    )
+    assert feats[3] == pytest.approx(float(np.sqrt(np.mean(samples**2))) / 32768.0)
+    assert feats[4] == pytest.approx(float(np.max(np.abs(samples))) / 32768.0)
+
+
+def test_wav_parser_walks_extra_chunks_and_rejects_non_pcm():
+    import struct as _s
+
+    wav = multimodal.make_wav(10, 8000, 1, seed=1)
+    # splice a LIST chunk (odd length -> word alignment matters) before fmt
+    extra = b"LIST" + _s.pack("<I", 5) + b"INFOx" + b"\x00"
+    spliced = wav[:12] + extra + wav[12:]
+    spliced = spliced[:4] + _s.pack("<I", len(spliced) - 8) + spliced[8:]
+    assert multimodal.parse_wav_info(spliced) == (8000, 1, 10, 1)
+    # non-PCM format code refused, not misparsed
+    mutated = bytearray(wav)
+    fmt_off = wav.index(b"fmt ") + 8
+    mutated[fmt_off : fmt_off + 2] = _s.pack("<H", 3)  # IEEE float
+    assert multimodal.parse_wav_info(bytes(mutated)) is None
+    assert multimodal.parse_wav_info(b"RIFF1234WAVE") is None
+    assert multimodal.parse_wav_info(None) is None
+    # dispatch falls back to the fake on the refused payload
+    out = multimodal._features_dispatch(bytes(mutated))
+    assert out == multimodal._fake_features(bytes(mutated))
