@@ -279,13 +279,16 @@ def _parse_wav(payload: Optional[bytes]) -> Optional[tuple[int, int, int, int]]:
     while pos + 8 <= n:
         typ = payload[pos : pos + 4]
         (length,) = struct.unpack("<I", payload[pos + 4 : pos + 8])
-        if typ == b"fmt " and length >= 16:
+        if typ == b"fmt " and length >= 16 and pos + 24 <= n:
             fmt_code, channels, sample_rate, _br, _ba, bits = struct.unpack(
                 "<HHIIHH", payload[pos + 8 : pos + 24]
             )
             if fmt_code != 1 or bits != 16:
                 return None  # non-PCM16: honestly out of stdlib scope
-        elif typ == b"data":
+        elif typ == b"data" and data_off is None:
+            # FIRST data chunk wins (the spec allows exactly one);
+            # last-wins would let chunk-shaped trailing garbage silently
+            # replace the real audio with wrong-but-plausible stats
             data_len = min(length, n - pos - 8)
             data_off = pos + 8
         pos += 8 + length + (length & 1)  # chunks are word-aligned

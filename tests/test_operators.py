@@ -972,3 +972,19 @@ def test_wav_parser_walks_extra_chunks_and_rejects_non_pcm():
     # dispatch falls back to the fake on the refused payload
     out = multimodal._features_dispatch(bytes(mutated))
     assert out == multimodal._fake_features(bytes(mutated))
+
+
+def test_wav_parser_truncated_fmt_and_trailing_data_garbage():
+    """Truncated fmt chunks return None (never struct.error); trailing
+    chunk-shaped garbage must not override the FIRST data chunk."""
+    import struct as _s
+
+    truncated = (
+        b"RIFF" + _s.pack("<I", 44) + b"WAVE" + b"fmt " + _s.pack("<I", 16) + b"\x01\x00" * 4
+    )
+    assert multimodal.parse_wav_info(truncated) is None
+
+    wav = multimodal.make_wav(10, 8000, 1, seed=1)
+    tampered = wav + b"data" + _s.pack("<I", 2) + b"\x00\x00"
+    assert multimodal.parse_wav_info(tampered) == multimodal.parse_wav_info(wav)
+    assert multimodal.wav_audio_stats(tampered) == multimodal.wav_audio_stats(wav)
