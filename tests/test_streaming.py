@@ -265,3 +265,28 @@ def test_streaming_rollup_partials_reaggregate_exactly(spark, stream_input, tmp_
     closed = F.col("bucket") < sentinel_day
     assert sorted(via_stream.where(closed).collect()) == sorted(direct.where(closed).collect())
     assert via_stream.where(closed).count() > 0
+
+
+def test_stream_extracts_pdf_payloads(spark, tmp_path):
+    """The streaming path shares the batch UDF's format dispatch — PDF
+    turns in a stream extract identically to batch, no parse failures."""
+    path = str(tmp_path / "pdf_in")
+    transcripts_df(spark, n_conversations=6, seed=11, pdf_rate=0.4).write.mode(
+        "overwrite"
+    ).parquet(path)
+    out = str(tmp_path / "pdf_out")
+    ckpt = str(tmp_path / "pdf_ckpt")
+    q = run_extract_stream(spark, path, out, ckpt)
+    q.awaitTermination(180)
+
+    src = spark.read.parquet(path)
+    n_pdf = src.where(F.col("text").startswith("%PDF-")).count()
+    assert n_pdf > 0
+    streamed = spark.read.parquet(out)
+    pdf_rows = streamed.join(
+        src.where(F.col("text").startswith("%PDF-")).select("conv_id", "turn_idx"),
+        ["conv_id", "turn_idx"],
+    )
+    assert pdf_rows.count() == n_pdf
+    assert pdf_rows.where(F.col("parse_failed")).count() == 0
+    assert pdf_rows.where(F.length("text_content") > 0).count() == n_pdf
