@@ -277,7 +277,10 @@ def _parse_from(tok: _Tokenizer, t):
         d = {}
         while True:
             k = tok.next_token()
-            if k is None or k == b">>":
+            # exact-type test: _Str subclasses bytes, so a string literal
+            # token _Str(b'>>') in key position would otherwise compare
+            # equal to the delimiter and silently truncate the dict
+            if k is None or (type(k) is bytes and k == b">>"):
                 return d
             if not isinstance(k, _Name):
                 continue  # malformed key — resync on next name
@@ -287,7 +290,9 @@ def _parse_from(tok: _Tokenizer, t):
         while True:
             save = tok.pos
             item = tok.next_token()
-            if item is None or item == b"]":
+            # exact-type test (see dict-key note): _Str(b']') is an array
+            # ELEMENT, not the terminator
+            if item is None or (type(item) is bytes and item == b"]"):
                 return arr
             tok.pos = save
             arr.append(_parse_value(tok))
@@ -783,8 +788,10 @@ def is_pdf(raw: Union[str, bytes, None]) -> bool:
         return False
     head = raw[:1024]
     if isinstance(head, str):
-        return head.lstrip().startswith("%PDF-")
-    return head.lstrip(b"\x00\t\n\r ").startswith(b"%PDF-")
+        # same strip set as the bytes path (incl. NUL): a latin-1-decoded
+        # binary payload with leading \x00 must sniff identically
+        return head.lstrip("\x00\t\n\x0c\r ").startswith("%PDF-")
+    return head.lstrip(b"\x00\t\n\x0c\r ").startswith(b"%PDF-")
 
 
 def extract_pdf(raw: Union[str, bytes]) -> PdfResult:

@@ -457,7 +457,9 @@ def embedding_near_dups(
                 f"exact all-pairs near-dup refused: {n} rows > cap {exact_max_rows}; "
                 "use the default LSH path at scale"
             )
-        return similarity_pairs(vectors, id_col, vec_col, threshold)
+        # max_rows=None: the cap was just enforced above — don't pay a
+        # second count() action inside similarity_pairs
+        return similarity_pairs(vectors, id_col, vec_col, threshold, max_rows=None)
 
     if dim is None:
         row = vectors.select(vec_col).where(F.col(vec_col).isNotNull()).first()
@@ -501,52 +503,67 @@ def connected_components(
         .distinct()
         .withColumn("label", F.col("node"))
     )
+    label_type = labels.schema["label"].dataType
     converged = False
     prev_persisted = None
     for it in range(max_iterations):
-        nbr = sym.join(labels, sym["a"] == labels["node"]).select(
-            F.col("b").alias("node"), F.col("label")
+        # ONE action per iteration (r3 ADVICE/VERDICT: the old shape paid
+        # a materializing count() PLUS a join-based convergence probe):
+        # carry each node's previous label through the min-aggregate —
+        # every node has exactly one `own` row, so min(old_label) ignores
+        # the nbr rows' nulls and reproduces it — then read the changed
+        # flag off the same aggregate that materializes the cache.
+        nbr = (
+            sym.join(labels, sym["a"] == labels["node"])
+            .select(F.col("b").alias("node"), F.col("label"))
+            .withColumn("old_label", F.lit(None).cast(label_type))
         )
+        own = labels.select("node", "label", F.col("label").alias("old_label"))
         new_labels = (
-            labels.unionByName(nbr).groupBy("node").agg(F.min("label").alias("label"))
+            own.unionByName(nbr)
+            .groupBy("node")
+            .agg(F.min("label").alias("label"), F.min("old_label").alias("old_label"))
         )
         if checkpoint_every and (it + 1) % checkpoint_every == 0:
-            new_labels = new_labels.localCheckpoint()
+            new_labels = new_labels.localCheckpoint()  # eager: materializes
         else:
-            # persist each round: the convergence probe below is an
-            # action, and without this both it AND the next iteration
-            # re-execute every join since the last checkpoint (O(k^2)
-            # join work per checkpoint window instead of O(k)).
-            # count() materializes EVERY partition — the limit(1) probe
-            # alone could leave some uncached, and those would recompute
-            # through the just-unpersisted previous round
+            # persist each round: without it the next iteration re-executes
+            # every join since the last checkpoint (O(k^2) join work per
+            # checkpoint window instead of O(k))
             new_labels = new_labels.persist()
-            new_labels.count()
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
-            .where(F.col("n.label") < F.col("o.label"))
-            .limit(1)
-            .count()
-        )
+        # full-scan aggregate == the materializing action (every partition
+        # lands in the cache) AND the convergence probe in one job
+        changed = new_labels.agg(
+            F.max((F.col("label") < F.col("old_label")).cast("int")).alias("c")
+        ).first()["c"]
         if prev_persisted is not None:
             prev_persisted.unpersist()
         prev_persisted = new_labels
-        labels = new_labels
-        if changed == 0:
+        labels = new_labels.select("node", "label")
+        if not changed:  # 0 or None (empty graph)
             converged = True
             break
-    sym.unpersist()
     if not converged:
         # silently returning intermediate labels would break the
         # min-reachable-id contract (and any exact-oracle comparison)
         # on graphs with diameter > max_iterations — fail loudly
+        if prev_persisted is not None:
+            prev_persisted.unpersist()
+        sym.unpersist()
         raise RuntimeError(
             f"connected_components did not converge within {max_iterations} "
             "iterations (graph diameter exceeds the bound); raise "
             "max_iterations or pre-partition the pair set"
         )
-    return labels.select("node", F.col("label").alias("component"))
+    # hand back a lineage-free copy and release every cached table this
+    # call owns (r3 ADVICE: the final persist used to leak for the session
+    # lifetime). localCheckpoint blocks are ContextCleaner-managed — freed
+    # when the returned DataFrame is garbage collected, no unpersist owed.
+    result = labels.select("node", F.col("label").alias("component")).localCheckpoint()
+    if prev_persisted is not None:
+        prev_persisted.unpersist()
+    sym.unpersist()
+    return result
 
 
 def resolve_duplicate_clusters(

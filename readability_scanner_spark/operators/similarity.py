@@ -44,11 +44,30 @@ def cosine_col(a: Column, b: Column) -> Column:
 
 
 def similarity_pairs(
-    vectors: DataFrame, id_col: str, vec_col: str, threshold: float
+    vectors: DataFrame,
+    id_col: str,
+    vec_col: str,
+    threshold: float,
+    max_rows: int | None = 500,
 ) -> DataFrame:
     """JN5 all-pairs theta join (vector_service.py:194-221): pairs with
     cosine >= threshold, each pair once (id_a < id_b). Dimension-match
-    guard = V5 (ml-service/main.py:459-461)."""
+    guard = V5 (ml-service/main.py:459-461).
+
+    The non-equi join plans as a nested-loop PRODUCT — the reference's
+    own algorithm, which it caps at 500 documents (ml-service/main.py:418).
+    Same contract here (r4, mirrors embedding_near_dups): inputs above
+    ``max_rows`` are refused so the quadratic plan can never run at
+    scale; pass ``max_rows=None`` only when the caller already bounded
+    the input. The scale path is lsh_bucketed_pairs/embedding_near_dups."""
+    if max_rows is not None:
+        n = vectors.count()
+        if n > max_rows:
+            raise ValueError(
+                f"all-pairs similarity refused: {n} rows > cap {max_rows} "
+                "(quadratic nested-loop plan); use lsh_bucketed_pairs / "
+                "embedding_near_dups at scale, or raise max_rows explicitly"
+            )
     a = vectors.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
     b = vectors.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
     return (
