@@ -145,15 +145,16 @@ def decode_png(payload: bytes) -> tuple[int, int, int, bytearray]:
     return width, height, channels, out
 
 
-def png_pixel_stats(payload: bytes) -> list[float]:
-    """REAL per-channel pixel statistics from :func:`decode_png`:
+def _sample_stats(
+    width: int, height: int, channels: int, pixels: bytes | bytearray
+) -> list[float]:
+    """Per-channel pixel statistics over interleaved 8-bit samples:
     [width, height, channels, mean_c0, std_c0, mean_c1, std_c1, ...]
     with means/stds scaled to 0..1. Deterministic — numpy-vectorized so
-    the stats pass is C-speed regardless of image size (the decode cap
-    bounds the pure-python unfilter loops, not this)."""
+    the stats pass is C-speed regardless of image size (the decode caps
+    bound the pure-python loops, not this)."""
     import numpy as np
 
-    width, height, channels, pixels = decode_png(payload)
     if width * height == 0:
         raise ValueError("degenerate zero-pixel image")
     arr = np.frombuffer(bytes(pixels), dtype=np.uint8).reshape(-1, channels)
@@ -166,15 +167,32 @@ def png_pixel_stats(payload: bytes) -> list[float]:
     return feats
 
 
+def png_pixel_stats(payload: bytes) -> list[float]:
+    """REAL per-channel pixel statistics from :func:`decode_png`."""
+    return _sample_stats(*decode_png(payload))
+
+
+def image_pixel_stats(payload: bytes) -> list[float]:
+    """REAL per-channel pixel statistics for any decodable image format
+    (PNG via :func:`decode_png`, baseline JPEG via
+    :func:`~readability_scanner_spark.operators.jpeg.decode_jpeg`)."""
+    return _sample_stats(*_decode_image(payload))
+
+
 def _decode_image(payload: bytes):
-    """Pixel decode dispatch: PNG is REAL (stdlib inflate + unfilter,
-    :func:`decode_png`); JPEG/GIF pixel decode genuinely needs codec
-    libraries this container lacks and raises — header-level dimension
-    parsing for those is real (parse_image_dimensions)."""
+    """Pixel decode dispatch — REAL, stdlib(+numpy)-only: PNG (inflate +
+    unfilter, :func:`decode_png`) and baseline JPEG (huffman + IDCT,
+    operators/jpeg.py). GIF pixel decode (LZW) and video frame decode
+    still honestly raise — header-level dimension parsing for those is
+    real (parse_image_dimensions)."""
     if payload is not None and payload.startswith(b"\x89PNG\r\n\x1a\n"):
         return decode_png(payload)
+    if payload is not None and payload[:2] == b"\xff\xd8":
+        from readability_scanner_spark.operators.jpeg import decode_jpeg
+
+        return decode_jpeg(payload)
     raise NotImplementedError(
-        "JPEG/GIF pixel decode requires an image library not in this container"
+        "GIF/video pixel decode requires codec libraries not in this container"
     )
 
 
@@ -345,7 +363,7 @@ def _features_dispatch(payload: Optional[bytes]) -> list[float]:
     try:
         if payload is not None and payload[:4] == b"RIFF":
             return wav_audio_stats(payload)
-        return png_pixel_stats(payload)
+        return image_pixel_stats(payload)
     except Exception:
         return _fake_features(payload)
 
@@ -398,14 +416,19 @@ def sample_frames(media: DataFrame, every_ms: int = 1000) -> DataFrame:
 
 def synthetic_media_row(i: int, seed: int = 42):
     """One deterministic synthetic media row: (kind, payload, width,
-    height). Image rows carry REAL PNG bytes (dimensions derived from
-    i) and audio rows REAL PCM16 WAV bytes, so both decode kernels
-    round-trip; video stays an opaque byte formula (the parsers must
-    return None / fall back on it). Shared by the table generator and
-    the driver oracle so both recompute the same bytes."""
+    height). Image rows alternate REAL PNG and REAL baseline-JPEG bytes
+    (dimensions derived from i) and audio rows REAL PCM16 WAV bytes, so
+    all three decode kernels round-trip; video stays an opaque byte
+    formula (the parsers must return None / fall back on it). Shared by
+    the table generator and the driver oracle so both recompute the
+    same bytes."""
     kind = ("image", "audio", "video")[i % 3]
     if kind == "image":
         w, h = 16 + (i % 23), 16 + ((i * 3) % 17)
+        if (i // 3) % 2 == 1:
+            from readability_scanner_spark.operators.jpeg import make_jpeg
+
+            return kind, make_jpeg(w, h, seed=seed + i), w, h
         return kind, make_png(w, h, seed=seed + i), w, h
     if kind == "audio":
         return kind, make_wav(50 + (i % 200), 8000, 1 + (i % 2), seed=seed + i), None, None
@@ -424,11 +447,15 @@ def synthetic_media_df(spark, n: int = 100, seed: int = 42) -> DataFrame:
             duration = (i % 10 + 1) * 1000
         else:
             duration = None
+        if kind == "image":
+            mime = "image/jpeg" if payload[:2] == b"\xff\xd8" else "image/png"
+        else:
+            mime = {"audio": "audio/wav", "video": "video/mp4"}[kind]
         rows.append(
             (
                 i,
                 kind,
-                {"image": "image/png", "audio": "audio/wav", "video": "video/mp4"}[kind],
+                mime,
                 payload,
                 w,
                 h,

@@ -24,10 +24,15 @@ def _terms(query: str) -> list[str]:
 
 
 def _term_pattern(t: str) -> str:
-    """Word-boundary pattern that works for non-ASCII terms: Java regex
-    \\b is ASCII-only, so \\bcafé\\b can never match — use unicode
-    letter/digit lookarounds instead (equivalent to \\b for ASCII
-    terms, which keeps the DuckDB oracles' \\b forms exact)."""
+    """Explicit unicode word-boundary: letter/digit/underscore
+    lookarounds. Measured (tests/test_search_unicode.py): Java's \\b is
+    already unicode-word-aware — '\\bdata\\b' does NOT match inside
+    'data表' — so this form equals Java \\b; we keep the explicit
+    lookarounds because they state the semantics rather than rely on a
+    JVM quirk. The DuckDB oracles CANNOT use \\b (RE2's is ASCII-only
+    and false-matches CJK-adjacent terms) — they use token-run equality
+    over '[\\p{{L}}\\p{{N}}_]+' runs, pinned equivalent by the same
+    test."""
     return rf"(?<![\p{{L}}\p{{N}}_]){re.escape(t)}(?![\p{{L}}\p{{N}}_])"
 
 

@@ -1,0 +1,206 @@
+"""Adversarial proof that the FTS term matching and its DuckDB oracle
+form agree on NON-ASCII-adjacent terms (VERDICT r3 follow-up).
+
+Measured ground truth (r4, probed in both engines):
+  * Spark/Java `\\bdata\\b` does NOT match inside 'data表' — Java's \\b
+    is UNICODE-word-aware (even though Java \\w is ASCII), so it equals
+    search.py's lookarounds `(?<![\\p{L}\\p{N}_])…(?![\\p{L}\\p{N}_])`.
+  * DuckDB/RE2 `\\bdata\\b` DOES match inside 'data表' — RE2's \\b is
+    ASCII-only. An oracle written with RE2 \\b silently diverges the
+    moment an ASCII term abuts a non-ASCII letter.
+The driver oracles therefore use token-run equality — split on unicode
+word runs `[\\p{L}\\p{N}_]+` and count exact-token matches — which this
+test pins as equivalent to BOTH Spark forms on a corpus built to break
+it: ASCII terms abutting CJK ideographs, accented latin, digits,
+underscores, and punctuation.
+"""
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from readability_scanner_spark.operators.search import (
+    relevance_col,
+    text_search,
+    weighted_text_score,
+)
+
+# every way 'data' can abut something: real matches (punctuation/space
+# boundaries), non-matches (letter/digit/underscore/CJK/accent joins)
+CORPUS = [
+    (0, "data table query"),                 # 3 plain hits
+    (1, "data表 holds the 表data ledger"),    # CJK-joined: NO 'data' hit
+    (2, "the data 表 and more data."),        # CJK-separated: 2 hits
+    (3, "café data naïve-data data_x"),      # accent-sep: 2 hits, _x join: no
+    (4, "DATA, Data; (data)"),               # case + punctuation: 3 hits
+    (5, "database datatable metadata"),      # substrings only: 0 hits
+    (6, "data1 2data data 3"),               # digit-joined: 1 hit
+    (7, "таблица data данные"),              # cyrillic-separated: 1 hit
+    (8, "数据 data 表 query データ"),          # CJK corpus, spaced: 2 hits
+    (9, ""),                                  # empty row
+]
+
+TERMS = ["data", "table", "query"]
+
+_TOKEN_COUNT = (
+    "len(list_filter(regexp_extract_all(lower(text), '[\\p{{L}}\\p{{N}}_]+'),"
+    " x -> x = '{t}'))"
+)
+
+
+@pytest.fixture(scope="module")
+def corpus_df(spark):
+    return spark.createDataFrame(CORPUS, "doc_id long, text string")
+
+
+def _duck_counts(term: str) -> dict[int, int]:
+    rows = duckdb.sql(
+        "SELECT doc_id, " + _TOKEN_COUNT.format(t=term) + " AS c FROM corpus",
+        params=None,
+        connection=_conn(),
+    ).fetchall()
+    return {r[0]: r[1] for r in rows}
+
+
+_CONN = None
+
+
+def _conn():
+    global _CONN
+    if _CONN is None:
+        _CONN = duckdb.connect()
+        _CONN.execute("CREATE TABLE corpus (doc_id BIGINT, text VARCHAR)")
+        _CONN.executemany("INSERT INTO corpus VALUES (?, ?)", CORPUS)
+    return _CONN
+
+
+def test_lookaround_equals_token_runs_per_term(spark, corpus_df):
+    """Spark lookaround counts == DuckDB token-run counts, row by row,
+    for every term — on the corpus built to expose \\b-style divergence."""
+    for term in TERMS:
+        got = {
+            r["doc_id"]: r["c"]
+            for r in corpus_df.select(
+                "doc_id", relevance_col(F.col("text"), term).alias("c")
+            ).collect()
+        }
+        assert got == _duck_counts(term), term
+
+
+def test_expected_hit_pattern_hand_checked(spark, corpus_df):
+    """Pin the hand-derived per-row 'data' counts so BOTH engines are
+    checked against human intent, not just each other."""
+    expected = {0: 1, 1: 0, 2: 2, 3: 2, 4: 3, 5: 0, 6: 1, 7: 1, 8: 1, 9: 0}
+    got = {
+        r["doc_id"]: r["c"]
+        for r in corpus_df.select(
+            "doc_id", relevance_col(F.col("text"), "data").alias("c")
+        ).collect()
+    }
+    assert got == expected
+
+
+def test_engine_boundary_semantics_pinned(spark, corpus_df):
+    """Prove the corpus discriminates AND pin each engine's \\b flavor:
+    Java \\b == the lookaround form (unicode-word-aware, 0 hits on the
+    CJK-joined row); RE2 \\b is ASCII-only (2 false hits there) — which
+    is exactly why no oracle may use RE2 \\b for word-bounded terms."""
+    java_b = {
+        r["doc_id"]: r["c"]
+        for r in corpus_df.select(
+            "doc_id",
+            F.regexp_count(F.lower(F.col("text")), F.lit(r"\bdata\b")).alias("c"),
+        ).collect()
+    }
+    look = {
+        r["doc_id"]: r["c"]
+        for r in corpus_df.select(
+            "doc_id", relevance_col(F.col("text"), "data").alias("c")
+        ).collect()
+    }
+    assert java_b == look  # Java \b IS the unicode-lookaround semantics
+    assert look[1] == 0  # 'data表'/'表data' are joins, not matches
+    re2_b = {
+        r[0]: r[1]
+        for r in _conn()
+        .execute(
+            "SELECT doc_id, len(regexp_extract_all(lower(text), '\\bdata\\b'))"
+            " FROM corpus"
+        )
+        .fetchall()
+    }
+    assert re2_b[1] == 2  # RE2's ASCII \b false-matches both CJK joins
+
+
+def test_text_search_end_to_end_vs_duckdb(spark, corpus_df):
+    """Full text_search ranking vs the oracle-shaped DuckDB query —
+    same rows, same relevance, same order."""
+    got = [
+        (r["doc_id"], r["relevance"])
+        for r in text_search(corpus_df, "text", "data query", "doc_id", limit=10)
+        .collect()
+    ]
+    want = _conn().execute(
+        """
+        SELECT doc_id, relevance FROM (
+          SELECT doc_id,
+                 """
+        + _TOKEN_COUNT.format(t="data")
+        + " + "
+        + _TOKEN_COUNT.format(t="query")
+        + """ AS relevance
+          FROM corpus
+        ) WHERE relevance > 0
+        ORDER BY relevance DESC, doc_id ASC LIMIT 10
+        """
+    ).fetchall()
+    assert got == [(d, c) for d, c in want]
+
+
+def test_weighted_score_unicode_corpus(spark):
+    """text_search_scored's scoring expression on a two-field frame with
+    CJK-adjacent terms: Spark vs the oracle's CASE/token-run recompute."""
+    rows = [
+        (0, "data表 query", "data query data"),
+        (1, "query data", "表data"),
+        (2, "nothing here", "метаdata"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    got = {
+        r["doc_id"]: r["s"]
+        for r in df.select(
+            "doc_id",
+            F.round(
+                weighted_text_score({"source": 5.0, "text": 1.0}, "data query"), 4
+            ).alias("s"),
+        ).collect()
+    }
+    conn = duckdb.connect()
+    conn.execute("CREATE TABLE d (doc_id BIGINT, source VARCHAR, text VARCHAR)")
+    conn.executemany("INSERT INTO d VALUES (?, ?, ?)", rows)
+    tok = (
+        "len(list_filter(regexp_extract_all(lower({col}), '[\\p{{L}}\\p{{N}}_]+'),"
+        " x -> x = '{t}'))::DOUBLE"
+    )
+    want = {
+        r[0]: r[1]
+        for r in conn.execute(
+            f"""
+        SELECT doc_id, round(
+            (CASE WHEN {tok.format(col='source', t='data')} > 0
+              THEN 5.0 * (0.5 + 0.5 * {tok.format(col='source', t='data')}
+                   / ({tok.format(col='source', t='data')} + 1)) ELSE 0 END)
+          + (CASE WHEN {tok.format(col='source', t='query')} > 0
+              THEN 5.0 * (0.5 + 0.5 * {tok.format(col='source', t='query')}
+                   / ({tok.format(col='source', t='query')} + 1)) ELSE 0 END)
+          + (CASE WHEN {tok.format(col='text', t='data')} > 0
+              THEN 1.0 * (0.5 + 0.5 * {tok.format(col='text', t='data')}
+                   / ({tok.format(col='text', t='data')} + 1)) ELSE 0 END)
+          + (CASE WHEN {tok.format(col='text', t='query')} > 0
+              THEN 1.0 * (0.5 + 0.5 * {tok.format(col='text', t='query')}
+                   / ({tok.format(col='text', t='query')} + 1)) ELSE 0 END), 4)
+        FROM d
+        """
+        ).fetchall()
+    }
+    assert got == want
