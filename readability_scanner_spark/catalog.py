@@ -49,6 +49,35 @@ def _is_path(target: str) -> bool:
 # upsert
 # ---------------------------------------------------------------------------
 
+def merge_sql(target: str, view: str, key: str, order_col: str, mode: str) -> str:
+    """The exact MERGE INTO statement the Iceberg leg executes — a pure
+    function so the statement is golden-testable in this jar-less
+    sandbox (tests/test_catalog.py pins it; the runtime leg stays
+    capability-gated behind iceberg_available)."""
+    matched = (
+        "WHEN MATCHED THEN UPDATE SET *"
+        if mode == "replace"
+        else f"WHEN MATCHED AND s.{order_col} >= t.{order_col} THEN UPDATE SET *"
+    )
+    return (
+        f"MERGE INTO {target} t USING {view} s\n"
+        f"ON t.{key} = s.{key}\n"
+        f"{matched}\n"
+        "WHEN NOT MATCHED THEN INSERT *"
+    )
+
+
+def delete_sql(target: str, predicate_sql: str) -> str:
+    """The exact DELETE FROM statement of the Iceberg leg (golden-tested)."""
+    return f"DELETE FROM {target} WHERE {predicate_sql}"
+
+
+def overwrite_sql(target: str, view: str) -> str:
+    """The exact INSERT OVERWRITE statement of the Iceberg leg
+    (golden-tested)."""
+    return f"INSERT OVERWRITE {target} SELECT * FROM {view}"
+
+
 def merge_upsert(
     spark: SparkSession,
     target: str,
@@ -97,20 +126,8 @@ def merge_upsert(
     view = f"_merge_src_{uuid.uuid4().hex}"
     deduped.createOrReplaceTempView(view)
     stats = _was_new_counts(spark.table(target), deduped, key, order_col, mode)
-    matched = (
-        "WHEN MATCHED THEN UPDATE SET *"
-        if mode == "replace"
-        else f"WHEN MATCHED AND s.{order_col} >= t.{order_col} THEN UPDATE SET *"
-    )
     try:
-        spark.sql(
-            f"""
-            MERGE INTO {target} t USING {view} s
-            ON t.{key} = s.{key}
-            {matched}
-            WHEN NOT MATCHED THEN INSERT *
-            """
-        )
+        spark.sql(merge_sql(target, view, key, order_col, mode))
     finally:
         spark.catalog.dropTempView(view)
     return stats
@@ -265,7 +282,7 @@ def delete_rows(spark: SparkSession, target: str, predicate_sql: str) -> None:
         return
     if not iceberg_available(spark):
         raise RuntimeError(f"no Iceberg runtime for table target {target!r}")
-    spark.sql(f"DELETE FROM {target} WHERE {predicate_sql}")
+    spark.sql(delete_sql(target, predicate_sql))
 
 
 def overwrite_all(spark: SparkSession, target: str, df: DataFrame) -> None:
@@ -280,6 +297,6 @@ def overwrite_all(spark: SparkSession, target: str, df: DataFrame) -> None:
     view = f"_overwrite_src_{uuid.uuid4().hex}"
     df.createOrReplaceTempView(view)
     try:
-        spark.sql(f"INSERT OVERWRITE {target} SELECT * FROM {view}")
+        spark.sql(overwrite_sql(target, view))
     finally:
         spark.catalog.dropTempView(view)

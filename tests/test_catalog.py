@@ -190,3 +190,71 @@ def test_was_new_accounting_newest_mode(spark, tmp_path):
     fresh = spark.createDataFrame([(1, 99)], "k long, ver long")
     stats = catalog.merge_upsert(spark, path, fresh, "k", "ver", mode="newest")
     assert stats == {"inserted": 0, "updated": 1}
+
+
+# ---------------------------------------------------------------------------
+# Iceberg-leg emitted SQL: contract-locked by golden text (VERDICT r3 #8).
+# No iceberg-spark-runtime jar exists in this sandbox, so the statements
+# below have never executed here — these goldens pin EXACTLY what a
+# jar-equipped runtime would run, so the unexecutable leg can't drift
+# silently. Semantics mirror the reference's replace_one upsert
+# (news-scanner/database/articles.py:128-132) and delete/refresh paths.
+# ---------------------------------------------------------------------------
+
+
+def test_merge_sql_golden_replace_mode():
+    assert catalog.merge_sql("db.docs", "src_v", "url", "analysis_date", "replace") == (
+        "MERGE INTO db.docs t USING src_v s\n"
+        "ON t.url = s.url\n"
+        "WHEN MATCHED THEN UPDATE SET *\n"
+        "WHEN NOT MATCHED THEN INSERT *"
+    )
+
+
+def test_merge_sql_golden_newest_mode():
+    assert catalog.merge_sql("db.docs", "src_v", "url", "ver", "newest") == (
+        "MERGE INTO db.docs t USING src_v s\n"
+        "ON t.url = s.url\n"
+        "WHEN MATCHED AND s.ver >= t.ver THEN UPDATE SET *\n"
+        "WHEN NOT MATCHED THEN INSERT *"
+    )
+
+
+def test_delete_and_overwrite_sql_golden():
+    assert (
+        catalog.delete_sql("db.docs", "host = 'x.com' AND words < 10")
+        == "DELETE FROM db.docs WHERE host = 'x.com' AND words < 10"
+    )
+    assert (
+        catalog.overwrite_sql("db.docs", "src_v")
+        == "INSERT OVERWRITE db.docs SELECT * FROM src_v"
+    )
+
+
+def test_merge_upsert_iceberg_leg_emits_golden_sql(spark, monkeypatch):
+    """Drive merge_upsert down the Iceberg branch with spark.sql stubbed:
+    proves the RUNTIME path feeds exactly the golden statement (modulo
+    the per-call uuid view name) to the SQL engine."""
+    executed = []
+    monkeypatch.setattr(catalog, "iceberg_available", lambda s: True)
+
+    class _SparkProxy:
+        def __getattr__(self, name):
+            return getattr(spark, name)
+
+        def sql(self, stmt):
+            executed.append(stmt)
+            raise RuntimeError("stop before real execution")
+
+        def table(self, name):
+            return None  # no existing table -> inserted-only accounting
+
+    batch = spark.createDataFrame([(1, 5)], "url long, ver long")
+    with pytest.raises(RuntimeError, match="stop before real execution"):
+        catalog.merge_upsert(_SparkProxy(), "db.docs", batch, "url", "ver")
+    assert len(executed) == 1
+    import re as _re
+
+    view = _re.search(r"USING (\S+) s", executed[0]).group(1)
+    assert view.startswith("_merge_src_")
+    assert executed[0] == catalog.merge_sql("db.docs", view, "url", "ver", "replace")

@@ -988,3 +988,29 @@ def test_wav_parser_truncated_fmt_and_trailing_data_garbage():
     tampered = wav + b"data" + _s.pack("<I", 2) + b"\x00\x00"
     assert multimodal.parse_wav_info(tampered) == multimodal.parse_wav_info(wav)
     assert multimodal.wav_audio_stats(tampered) == multimodal.wav_audio_stats(wav)
+
+
+def test_connected_components_single_action_per_iteration(spark):
+    """r4 rework: the changed-flag rides the label aggregate, so each
+    iteration costs ONE driver action (the old shape paid a
+    materializing count() PLUS a join-based probe -> 2+ actions/round).
+    AQE splinters actions into many engine jobs, so measure with AQE
+    off: triangle+pair converges in 2 iterations -> 2 iteration actions
+    + the final lineage-free localCheckpoint + one setup job = at most
+    4 jobs (the old shape measured 7+ here)."""
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        sc = spark.sparkContext
+        pairs = spark.createDataFrame(
+            [(1, 2), (2, 3), (1, 3), (10, 11)], "a long, b long"
+        )
+        sc.setJobGroup("cc-action-count", "probe")
+        out = dedup.connected_components(pairs, "a", "b", checkpoint_every=0)
+        sc.setJobGroup("cc-after", "rest")
+        jobs = sc.statusTracker().getJobIdsForGroup("cc-action-count")
+        assert len(jobs) <= 4, f"{len(jobs)} jobs for 2 iterations"
+        assert sorted((r["node"], r["component"]) for r in out.collect()) == [
+            (1, 1), (2, 1), (3, 1), (10, 10), (11, 10),
+        ]
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
