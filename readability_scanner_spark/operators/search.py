@@ -25,14 +25,14 @@ def _terms(query: str) -> list[str]:
 
 def _term_pattern(t: str) -> str:
     """Explicit unicode word-boundary: letter/digit/underscore
-    lookarounds. Measured (tests/test_search_unicode.py): Java's \\b is
-    already unicode-word-aware — '\\bdata\\b' does NOT match inside
-    'data表' — so this form equals Java \\b; we keep the explicit
-    lookarounds because they state the semantics rather than rely on a
-    JVM quirk. The DuckDB oracles CANNOT use \\b (RE2's is ASCII-only
-    and false-matches CJK-adjacent terms) — they use token-run equality
-    over '[\\p{{L}}\\p{{N}}_]+' runs, pinned equivalent by the same
-    test."""
+    lookarounds — the only boundary definition that is STABLE across
+    engines (measured, tests/test_search_unicode.py): Java's \\b agrees
+    on letter-adjacency ('\\bdata\\b' does not match inside 'data表')
+    but diverges on No-category numerics (①, ²) and combining marks;
+    RE2/DuckDB's \\b is ASCII-only and false-matches every non-ASCII
+    adjacency. The DuckDB oracles therefore use token-run equality over
+    '[\\p{{L}}\\p{{N}}_]+' runs, which equals this lookaround form by
+    construction (same word-char set), pinned by the same test."""
     return rf"(?<![\p{{L}}\p{{N}}_]){re.escape(t)}(?![\p{{L}}\p{{N}}_])"
 
 

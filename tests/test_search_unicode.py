@@ -1,18 +1,19 @@
 """Adversarial proof that the FTS term matching and its DuckDB oracle
 form agree on NON-ASCII-adjacent terms (VERDICT r3 follow-up).
 
-Measured ground truth (r4, probed in both engines):
-  * Spark/Java `\\bdata\\b` does NOT match inside 'data表' — Java's \\b
-    is UNICODE-word-aware (even though Java \\w is ASCII), so it equals
-    search.py's lookarounds `(?<![\\p{L}\\p{N}_])…(?![\\p{L}\\p{N}_])`.
-  * DuckDB/RE2 `\\bdata\\b` DOES match inside 'data表' — RE2's \\b is
-    ASCII-only. An oracle written with RE2 \\b silently diverges the
-    moment an ASCII term abuts a non-ASCII letter.
-The driver oracles therefore use token-run equality — split on unicode
-word runs `[\\p{L}\\p{N}_]+` and count exact-token matches — which this
-test pins as equivalent to BOTH Spark forms on a corpus built to break
-it: ASCII terms abutting CJK ideographs, accented latin, digits,
-underscores, and punctuation.
+Measured ground truth (r4, probed in both engines): there are THREE
+different word-char sets behind `\\b`:
+  * RE2/DuckDB `\\b` — ASCII-only: false-matches inside 'data表'.
+  * Java `\\b` — unicode-LETTER-aware (no match inside 'data表') but
+    EXCLUDES No-category numerics ('data①', 'data²' match) and treats
+    combining marks as word-continuation.
+  * search.py's lookarounds `(?<![\\p{L}\\p{N}_])…(?![\\p{L}\\p{N}_])`
+    — exactly the \\p{L}\\p{N}_ set on both ends.
+Only the lookaround form has a DuckDB twin with the IDENTICAL word-char
+set: token-run equality over `[\\p{L}\\p{N}_]+` runs. This test pins
+that pairwise equivalence (the one correctness depends on) on a corpus
+built to break it — CJK, accents, No-category digits, combining marks —
+and documents where each engine's native \\b falls off.
 """
 
 import duckdb
@@ -101,10 +102,10 @@ def test_expected_hit_pattern_hand_checked(spark, corpus_df):
 
 
 def test_engine_boundary_semantics_pinned(spark, corpus_df):
-    """Prove the corpus discriminates AND pin each engine's \\b flavor:
-    Java \\b == the lookaround form (unicode-word-aware, 0 hits on the
-    CJK-joined row); RE2 \\b is ASCII-only (2 false hits there) — which
-    is exactly why no oracle may use RE2 \\b for word-bounded terms."""
+    """Pin each engine's \\b flavor on the letter-adjacency corpus:
+    Java \\b == the lookaround form HERE (it is unicode-letter-aware),
+    while RE2 \\b is ASCII-only (2 false hits on the CJK-joined row) —
+    why no oracle may use RE2 \\b for word-bounded terms."""
     java_b = {
         r["doc_id"]: r["c"]
         for r in corpus_df.select(
@@ -118,7 +119,7 @@ def test_engine_boundary_semantics_pinned(spark, corpus_df):
             "doc_id", relevance_col(F.col("text"), "data").alias("c")
         ).collect()
     }
-    assert java_b == look  # Java \b IS the unicode-lookaround semantics
+    assert java_b == look  # agreement holds for LETTER adjacency...
     assert look[1] == 0  # 'data表'/'表data' are joins, not matches
     re2_b = {
         r[0]: r[1]
@@ -130,6 +131,44 @@ def test_engine_boundary_semantics_pinned(spark, corpus_df):
         .fetchall()
     }
     assert re2_b[1] == 2  # RE2's ASCII \b false-matches both CJK joins
+
+
+def test_java_b_diverges_on_no_category_and_combining_marks(spark):
+    """...but Java \\b is NOT a safe stand-in either: No-category
+    numerics and combining marks split the engines three ways, and ONLY
+    lookaround == token-run survives. This is why every word-bounded
+    Spark-side expression uses the explicit lookarounds."""
+    # row 2 is the DECOMPOSED form 'data' + U+0301 + 'y' (a precomposed
+    # \u00e1 would not contain the substring 'data' at all)
+    rows = [(0, "data\u2460"), (1, "data\u00b2 x"), (2, "data\u0301y"), (3, "data ok")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    java_b = {
+        r["doc_id"]: r["c"]
+        for r in df.select(
+            "doc_id", F.regexp_count("text", F.lit(r"\bdata\b")).alias("c")
+        ).collect()
+    }
+    look = {
+        r["doc_id"]: r["c"]
+        for r in df.select(
+            "doc_id", relevance_col(F.col("text"), "data").alias("c")
+        ).collect()
+    }
+    # Java \b: ①/² are not word chars to it -> false boundary matches;
+    # combining mark U+0301 IS word-continuation to it -> missed match
+    assert java_b == {0: 1, 1: 1, 2: 0, 3: 1}
+    assert look == {0: 0, 1: 0, 2: 1, 3: 1}
+    conn = duckdb.connect()
+    conn.execute("CREATE TABLE d (doc_id BIGINT, text VARCHAR)")
+    conn.executemany("INSERT INTO d VALUES (?, ?)", rows)
+    tok = {
+        r[0]: r[1]
+        for r in conn.execute(
+            "SELECT doc_id, len(list_filter(regexp_extract_all(lower(text),"
+            " '[\\p{L}\\p{N}_]+'), x -> x = 'data')) FROM d"
+        ).fetchall()
+    }
+    assert tok == look  # the oracle pair agrees on every edge
 
 
 def test_text_search_end_to_end_vs_duckdb(spark, corpus_df):
