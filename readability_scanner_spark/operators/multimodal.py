@@ -1,15 +1,17 @@
 """Multimodal column plumbing: image/audio/video as opaque binary columns
 with typed metadata structs.
 
-What's REAL, stdlib-only: PNG pixel decode (inflate + all five
-scanline filters, :func:`decode_png`) with per-channel pixel-statistic
-features, and header-level dimension parsing for PNG/GIF/JPEG
-(:func:`parse_image_dimensions`). What's STUBBED behind deterministic
-fakes — clearly marked: JPEG/GIF pixel decode and audio/video frame
-decode (they need codec libraries this container lacks). The
-Spark-side contract is real and tested either way: schema, Arrow batch
-shape, mapInPandas signatures, partition sizing. Swapping a full
-decoder in changes only the marked function bodies.
+What's REAL, stdlib(+numpy)-only: PNG pixel decode (inflate + all five
+scanline filters, :func:`decode_png`), baseline JPEG pixel decode
+(huffman + IDCT, operators/jpeg.py), GIF pixel decode (LZW + palette,
+operators/gif.py), per-channel pixel-statistic features over all
+three, RIFF/WAVE PCM16 parse + audio stats, and header-level dimension
+parsing (:func:`parse_image_dimensions`). The ONE remaining stub,
+clearly marked: video FRAME decode (h264/vp9 entropy coding genuinely
+needs codec libraries this container lacks) — video rows get the
+deterministic crc-fake feature vector and a real frame-sampling plan.
+The Spark-side contract is real and tested throughout: schema, Arrow
+batch shape, mapInPandas signatures, partition sizing.
 """
 
 from __future__ import annotations
@@ -181,18 +183,24 @@ def image_pixel_stats(payload: bytes) -> list[float]:
 
 def _decode_image(payload: bytes):
     """Pixel decode dispatch — REAL, stdlib(+numpy)-only: PNG (inflate +
-    unfilter, :func:`decode_png`) and baseline JPEG (huffman + IDCT,
-    operators/jpeg.py). GIF pixel decode (LZW) and video frame decode
-    still honestly raise — header-level dimension parsing for those is
-    real (parse_image_dimensions)."""
+    unfilter, :func:`decode_png`), baseline JPEG (huffman + IDCT,
+    operators/jpeg.py), and GIF (LZW + palette, operators/gif.py).
+    Video FRAME decode is the one remaining honest stub — h264/vp9
+    entropy decoding genuinely needs codec libraries this container
+    lacks; the frame-sampling PLAN (sample_frames) and header parsing
+    are real."""
     if payload is not None and payload.startswith(b"\x89PNG\r\n\x1a\n"):
         return decode_png(payload)
     if payload is not None and payload[:2] == b"\xff\xd8":
         from readability_scanner_spark.operators.jpeg import decode_jpeg
 
         return decode_jpeg(payload)
+    if payload is not None and payload[:6] in (b"GIF87a", b"GIF89a"):
+        from readability_scanner_spark.operators.gif import decode_gif
+
+        return decode_gif(payload)
     raise NotImplementedError(
-        "GIF/video pixel decode requires codec libraries not in this container"
+        "video frame decode requires codec libraries not in this container"
     )
 
 
@@ -425,10 +433,15 @@ def synthetic_media_row(i: int, seed: int = 42):
     kind = ("image", "audio", "video")[i % 3]
     if kind == "image":
         w, h = 16 + (i % 23), 16 + ((i * 3) % 17)
-        if (i // 3) % 2 == 1:
+        fmt = (i // 3) % 3  # cycle all three real image codecs
+        if fmt == 1:
             from readability_scanner_spark.operators.jpeg import make_jpeg
 
             return kind, make_jpeg(w, h, seed=seed + i), w, h
+        if fmt == 2:
+            from readability_scanner_spark.operators.gif import make_gif
+
+            return kind, make_gif(w, h, seed=seed + i), w, h
         return kind, make_png(w, h, seed=seed + i), w, h
     if kind == "audio":
         return kind, make_wav(50 + (i % 200), 8000, 1 + (i % 2), seed=seed + i), None, None
@@ -448,7 +461,12 @@ def synthetic_media_df(spark, n: int = 100, seed: int = 42) -> DataFrame:
         else:
             duration = None
         if kind == "image":
-            mime = "image/jpeg" if payload[:2] == b"\xff\xd8" else "image/png"
+            if payload[:2] == b"\xff\xd8":
+                mime = "image/jpeg"
+            elif payload[:3] == b"GIF":
+                mime = "image/gif"
+            else:
+                mime = "image/png"
         else:
             mime = {"audio": "audio/wav", "video": "video/mp4"}[kind]
         rows.append(

@@ -125,18 +125,23 @@ def test_image_pixel_stats_jpeg_and_dispatch():
     assert feats[3] == pytest.approx(float(arr[:, 0].mean()) / 255.0)
 
 
-def test_synthetic_media_rows_alternate_png_jpeg():
+def test_synthetic_media_rows_cycle_png_jpeg_gif():
     kinds = {}
     for i in range(0, 36, 3):  # image rows
         kind, payload, w, h = multimodal.synthetic_media_row(i)
         assert kind == "image"
-        fmt = "jpeg" if payload[:2] == b"\xff\xd8" else "png"
+        if payload[:2] == b"\xff\xd8":
+            fmt = "jpeg"
+        elif payload[:3] == b"GIF":
+            fmt = "gif"
+        else:
+            fmt = "png"
         kinds.setdefault(fmt, 0)
         kinds[fmt] += 1
         assert multimodal.parse_image_dimensions(payload) == (w, h)
-        # BOTH formats really pixel-decode
+        # ALL three formats really pixel-decode
         assert multimodal.image_pixel_stats(payload)[:2] == [float(w), float(h)]
-    assert kinds["png"] == 6 and kinds["jpeg"] == 6
+    assert kinds == {"png": 4, "jpeg": 4, "gif": 4}
 
 
 def test_media_features_real_stats_for_jpeg_rows(spark):
