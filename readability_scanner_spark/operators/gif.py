@@ -21,7 +21,9 @@ from __future__ import annotations
 
 import struct
 
-GIF_DECODE_MAX_SAMPLES = 4_000_000  # palette lookup is numpy-cheap, PNG-like cost
+# LZW symbol decode is the pure-python cost driver (~1 dict-entry append
+# per pixel); the palette gather itself is a vectorized numpy lookup
+GIF_DECODE_MAX_SAMPLES = 4_000_000
 
 
 # ---------------------------------------------------------------------------
@@ -59,12 +61,13 @@ def _lzw_decode(data: bytes, min_code_size: int, max_pixels: int) -> bytearray:
     end = clear + 1
     reader = _LzwReader(data)
     out = bytearray()
+    # shared literal objects: a clear code arrives every ~253 symbols
+    # from our own writer, so reset must be a cheap list copy, not
+    # 2**min_code_size fresh bytes objects per clear
+    literals = [bytes([i]) for i in range(clear)] + [b"", b""]
 
     def reset():
-        return (
-            [bytes([i]) for i in range(clear)] + [b"", b""],
-            min_code_size + 1,
-        )
+        return list(literals), min_code_size + 1
 
     table, width = reset()
     prev: bytes | None = None
@@ -162,9 +165,9 @@ def decode_gif(payload: bytes) -> tuple[int, int, int, bytearray]:
             pos += 1 + ln
         pos += 1  # terminator
         indices = _lzw_decode(bytes(chunks), min_code, iw * ih)
+        # _lzw_decode raises above iw*ih, this raises below -> exact
         if len(indices) < iw * ih:
             raise ValueError("LZW output shorter than frame")
-        indices = indices[: iw * ih]
         if iflags & 0x40:  # interlaced: reorder rows
             rows = [indices[r * iw : (r + 1) * iw] for r in range(ih)]
             ordered: list[bytes | None] = [None] * ih
@@ -174,13 +177,17 @@ def decode_gif(payload: bytes) -> tuple[int, int, int, bytearray]:
                     ordered[y] = rows[src]
                     src += 1
             indices = bytearray().join(ordered)  # type: ignore[arg-type]
+        # numpy palette gather: a cap-sized frame is ~1.3M pixels — a
+        # python per-pixel loop here would cost hundreds of ms in the
+        # mapInPandas hot path vs ~1ms for the vectorized lookup
+        import numpy as np
+
         n_colors = len(table) // 3
-        out = bytearray(iw * ih * 3)
-        for i, idx in enumerate(indices):
-            if idx >= n_colors:
-                raise ValueError("palette index out of range")
-            out[3 * i : 3 * i + 3] = table[3 * idx : 3 * idx + 3]
-        return iw, ih, 3, out
+        idx_arr = np.frombuffer(bytes(indices), dtype=np.uint8)
+        if int(idx_arr.max()) >= n_colors:
+            raise ValueError("palette index out of range")
+        pal = np.frombuffer(bytes(table), dtype=np.uint8).reshape(-1, 3)
+        return iw, ih, 3, bytearray(pal[idx_arr].tobytes())
     raise ValueError("no image frame")
 
 

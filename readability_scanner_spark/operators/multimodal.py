@@ -176,8 +176,8 @@ def png_pixel_stats(payload: bytes) -> list[float]:
 
 def image_pixel_stats(payload: bytes) -> list[float]:
     """REAL per-channel pixel statistics for any decodable image format
-    (PNG via :func:`decode_png`, baseline JPEG via
-    :func:`~readability_scanner_spark.operators.jpeg.decode_jpeg`)."""
+    (PNG via :func:`decode_png`, baseline JPEG via operators/jpeg.py,
+    GIF via operators/gif.py)."""
     return _sample_stats(*_decode_image(payload))
 
 
@@ -424,9 +424,9 @@ def sample_frames(media: DataFrame, every_ms: int = 1000) -> DataFrame:
 
 def synthetic_media_row(i: int, seed: int = 42):
     """One deterministic synthetic media row: (kind, payload, width,
-    height). Image rows alternate REAL PNG and REAL baseline-JPEG bytes
+    height). Image rows cycle REAL PNG, baseline-JPEG, and GIF bytes
     (dimensions derived from i) and audio rows REAL PCM16 WAV bytes, so
-    all three decode kernels round-trip; video stays an opaque byte
+    all four decode kernels round-trip; video stays an opaque byte
     formula (the parsers must return None / fall back on it). Shared by
     the table generator and the driver oracle so both recompute the
     same bytes."""

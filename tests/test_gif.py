@@ -48,9 +48,6 @@ def test_deterministic_and_header_parsable():
 
 def _tiny_gif(codes_bytes: bytes, w=3, h=1, min_code=2, iflags=0):
     """Hand-assembled GIF: 4-color GCT, one frame, given LZW bytes."""
-    palette = bytes(
-        (10 * i, 20 * i, 30 * i) for i in range(0)
-    )  # placeholder, built below
     palette = b"".join(bytes((10 * i, 20 * i, 30 * i)) for i in range(4))
     out = bytearray(b"GIF89a")
     out += struct.pack("<HHBBB", w, h, 0x80 | 0x01, 0, 0)  # GCT, 4 entries
@@ -138,3 +135,78 @@ def test_dispatch_and_features():
     assert multimodal._features_dispatch(payload) == feats
     # corrupted GIF falls back to the fake vector, never raises
     assert len(multimodal._features_dispatch(payload[:30])) == 16
+
+
+def _real_lzw_encode(indices: bytes, min_code_size: int) -> bytes:
+    """A REAL compressing GIF-LZW encoder (dictionary grows, code width
+    bumps at exactly 2**width entries) — exists to exercise the
+    decoder's growth path, which make_gif's clear-flush writer never
+    does."""
+    clear = 1 << min_code_size
+    end = clear + 1
+    width = min_code_size + 1
+    table = {bytes([i]): i for i in range(clear)}
+    next_code = end + 1
+    acc = nbits = 0
+    out = bytearray()
+
+    def put(code, w):
+        nonlocal acc, nbits
+        acc |= code << nbits
+        nbits += w
+        while nbits >= 8:
+            out.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+
+    put(clear, width)
+    buf = b""
+    for b in indices:
+        cand = buf + bytes([b])
+        if cand in table:
+            buf = cand
+            continue
+        put(table[buf], width)
+        if next_code < 4096:
+            table[cand] = next_code
+            # encoder must widen when next_code reaches 2**width (the
+            # decoder widens after APPENDING entry 2**width - 1)
+            if next_code == (1 << width) and width < 12:
+                width += 1
+            next_code += 1
+        buf = bytes([b])
+    if buf:
+        put(table[buf], width)
+    put(end, width)
+    if nbits:
+        out.append(acc & 0xFF)
+    return bytes(out)
+
+
+def test_decoder_handles_real_lzw_with_width_growth():
+    """Roundtrip through a genuinely compressing LZW stream: 4000
+    repetitive pixels build a deep dictionary and force multiple width
+    bumps (8->9->10 for a 256-color table) — the path make_gif never
+    exercises and the classic place GIF decoders get the off-by-one
+    wrong."""
+    w, h = 80, 50
+    indices = bytes((x // 7 + y // 5) % 11 for y in range(h) for x in range(w))
+    lzw = _real_lzw_encode(indices, 8)
+    # sanity: this stream really is compressed (clear-flush streams are
+    # ~9 bits/pixel; dictionary reuse must beat that by a wide margin)
+    assert len(lzw) < len(indices)
+    palette = b"".join(bytes(((i * 5) % 256, (i * 11) % 256, (i * 17) % 256)) for i in range(256))
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HHBBB", w, h, 0x80 | 0x07, 0, 0)
+    out += palette
+    out += b"\x2c" + struct.pack("<HHHHB", 0, 0, w, h, 0)
+    out.append(8)
+    for i in range(0, len(lzw), 255):
+        chunk = lzw[i : i + 255]
+        out.append(len(chunk))
+        out += chunk
+    out += b"\x00\x3b"
+    dw, dh, c, samples = decode_gif(bytes(out))
+    assert (dw, dh, c) == (w, h, 3)
+    want = b"".join(palette[3 * i : 3 * i + 3] for i in indices)
+    assert bytes(samples) == want
