@@ -32,11 +32,46 @@ from pyspark.sql import functions as F
 from readability_scanner_spark.config import build_session
 
 
+def _burn(n: int) -> int:  # module-level: mp.Pool must pickle it
+    x = 0
+    for i in range(n):
+        x += i * i % 7
+    return x
+
+
+def _hw_probe(cpus: int) -> dict:
+    """Pure-python CPU burn at 1 and `cpus` procs — how much of the
+    advertised parallelism the host is actually delivering RIGHT NOW.
+    Stamped into the output JSON so every recorded bench carries its
+    own hypervisor-steal context (this host's run history shows ±40%
+    suite swings on identical code purely from steal windows; see
+    BENCH/BASELINE.md run history)."""
+    import multiprocessing as mp
+    import time as _time
+
+    out = {}
+    for procs in (1, cpus):
+        with mp.Pool(procs) as pool:
+            t0 = _time.time()
+            pool.map(_burn, [3_000_000] * procs)
+            out[procs] = procs / (_time.time() - t0)
+    return {
+        "hw_procs": cpus,
+        # fraction of perfect linear scaling the HOST delivers in this
+        # window; when this is low, suite seconds measure the
+        # hypervisor, not the engine
+        "hw_eff": round(out[cpus] / (cpus * out[1] / 1), 3)
+        if out[1]
+        else None,
+    }
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     n_convs = int(os.environ.get("BENCH_CONVS", "3000"))
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    probe = _hw_probe(cpus)
 
     spark = build_session("bench", master=f"local[{cpus}]", shuffle_partitions=2 * cpus)
     spark.sparkContext.setLogLevel("ERROR")
@@ -125,6 +160,7 @@ def main() -> None:
                 "queries": timings,
                 "sf": sf,
                 "cpus": cpus,
+                **probe,
                 **extra,
             }
         )
