@@ -376,6 +376,22 @@ def _features_dispatch(payload: Optional[bytes]) -> list[float]:
         return _fake_features(payload)
 
 
+def parse_media_dimensions(payload: Optional[bytes]) -> Optional[tuple[int, int]]:
+    """(width, height) from any recognized container header: image
+    formats via parse_image_dimensions, MP4 video via the tkhd box —
+    all REAL stdlib parses, None for unrecognized bytes."""
+    dims = parse_image_dimensions(payload)
+    if dims is not None:
+        return dims
+    if payload is not None and len(payload) >= 12 and payload[4:8] == b"ftyp":
+        from readability_scanner_spark.operators.mp4 import parse_mp4_info
+
+        info = parse_mp4_info(payload)
+        if info is not None and info[0] and info[1]:
+            return (info[0], info[1])
+    return None
+
+
 def extract_media_features(media: DataFrame, batch_limit_bytes: int = 64 << 20) -> DataFrame:
     """mapInPandas feature extraction over binary payloads. Arrow moves
     the bytes in bounded batches; at scale, repartition by media_id so
@@ -383,7 +399,7 @@ def extract_media_features(media: DataFrame, batch_limit_bytes: int = 64 << 20) 
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            dims = [parse_image_dimensions(p) for p in pdf["payload"]]
+            dims = [parse_media_dimensions(p) for p in pdf["payload"]]
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],
@@ -425,11 +441,11 @@ def sample_frames(media: DataFrame, every_ms: int = 1000) -> DataFrame:
 def synthetic_media_row(i: int, seed: int = 42):
     """One deterministic synthetic media row: (kind, payload, width,
     height). Image rows cycle REAL PNG, baseline-JPEG, and GIF bytes
-    (dimensions derived from i) and audio rows REAL PCM16 WAV bytes, so
-    all four decode kernels round-trip; video stays an opaque byte
-    formula (the parsers must return None / fall back on it). Shared by
-    the table generator and the driver oracle so both recompute the
-    same bytes."""
+    (dimensions derived from i), audio rows carry REAL PCM16 WAV bytes,
+    and video rows carry structurally REAL MP4 containers (header
+    metadata parses for real; frame decode stays the marked stub).
+    Shared by the table generator and the driver oracle so both
+    recompute the same bytes."""
     kind = ("image", "audio", "video")[i % 3]
     if kind == "image":
         w, h = 16 + (i % 23), 16 + ((i * 3) % 17)
@@ -443,10 +459,15 @@ def synthetic_media_row(i: int, seed: int = 42):
 
             return kind, make_gif(w, h, seed=seed + i), w, h
         return kind, make_png(w, h, seed=seed + i), w, h
-    if kind == "audio":
-        return kind, make_wav(50 + (i % 200), 8000, 1 + (i % 2), seed=seed + i), None, None
-    payload = bytes((seed * 7 + i * 13 + j) % 256 for j in range((i % 50) + 10))
-    return kind, payload, None, None
+    if kind == "video":
+        # structurally real MP4 container (ftyp+moov+mdat): header
+        # metadata parses for real; only FRAME decode stays stubbed
+        from readability_scanner_spark.operators.mp4 import make_mp4
+
+        w, h = 160 + (i % 5) * 32, 120 + (i % 3) * 24
+        return kind, make_mp4(w, h, (i % 10 + 1) * 1000, seed=seed + i), w, h
+    # audio: dimensions are meaningless -> None/None
+    return kind, make_wav(50 + (i % 200), 8000, 1 + (i % 2), seed=seed + i), None, None
 
 
 def synthetic_media_df(spark, n: int = 100, seed: int = 42) -> DataFrame:
@@ -457,7 +478,9 @@ def synthetic_media_df(spark, n: int = 100, seed: int = 42) -> DataFrame:
         if kind == "audio":
             duration = parse_wav_info(payload)[3]  # REAL, from the bytes
         elif kind == "video":
-            duration = (i % 10 + 1) * 1000
+            from readability_scanner_spark.operators.mp4 import parse_mp4_info
+
+            duration = parse_mp4_info(payload)[2]  # REAL, from the bytes
         else:
             duration = None
         if kind == "image":

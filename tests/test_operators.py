@@ -474,8 +474,9 @@ def test_parse_image_dimensions_formats():
 
 
 def test_media_dimensions_round_trip(spark):
-    """make_png(w,h) → binary column → Arrow → worker-side parse must
-    reproduce the requested dimensions; non-image payloads → NULLs."""
+    """writer(w,h) → binary column → Arrow → worker-side parse must
+    reproduce the requested dimensions for image AND video containers
+    (PNG/JPEG/GIF headers, MP4 tkhd); audio payloads → NULLs."""
     media = multimodal.synthetic_media_df(spark, 30)
     out = {
         r.media_id: (r.width, r.height)
@@ -483,7 +484,7 @@ def test_media_dimensions_round_trip(spark):
     }
     for i in range(30):
         kind, _payload, w, h = multimodal.synthetic_media_row(i)
-        assert out[i] == ((w, h) if kind == "image" else (None, None))
+        assert out[i] == ((w, h) if kind in ("image", "video") else (None, None))
 
 
 def test_media_features_deterministic(spark):
