@@ -37,6 +37,62 @@ def overwrite_table(df: DataFrame, path: str) -> None:
     df.write.mode("overwrite").parquet(path)
 
 
+def table_file_stats(path: str) -> dict:
+    """Parquet-file census for a table directory: {files, bytes,
+    avg_bytes} over data files (skips _SUCCESS/_meta). The small-files
+    signal compact_parquet acts on."""
+    files = []
+    for root, _dirs, names in os.walk(path):
+        for n in names:
+            if n.endswith(".parquet"):
+                files.append(os.path.getsize(os.path.join(root, n)))
+    total = sum(files)
+    return {
+        "files": len(files),
+        "bytes": total,
+        "avg_bytes": total // len(files) if files else 0,
+    }
+
+
+def compact_parquet(
+    spark: SparkSession, path: str, target_file_bytes: int = 128 << 20
+) -> dict:
+    """Small-files compaction — the maintenance job every long-running
+    100 TB ingest needs: incremental bucket commits and streaming
+    micro-batches accrete kB-sized parquet files whose per-file open/
+    footer cost eventually dominates scans. Rewrites the table to
+    ceil(bytes / target_file_bytes) files via coalesce (narrow — no
+    shuffle; compaction only ever lowers the file count) behind the
+    same staged-swap protocol the catalog uses, so readers never see a
+    half-written table and a crash leaves the original intact.
+
+    At real scale this is Iceberg's rewrite_data_files / OPTIMIZE;
+    the parquet form carries identical dataflow semantics for this
+    sandbox. Returns {files_before, files_after, bytes}. No-op (and no
+    rewrite cost) when the table is already at or below the target
+    file count."""
+    from readability_scanner_spark.catalog import _swap_in
+
+    before = table_file_stats(path)
+    if before["files"] == 0:
+        return {"files_before": 0, "files_after": 0, "bytes": 0}
+    n_target = max(1, math.ceil(before["bytes"] / target_file_bytes))
+    if before["files"] <= n_target:
+        return {
+            "files_before": before["files"],
+            "files_after": before["files"],
+            "bytes": before["bytes"],
+        }
+    df = spark.read.parquet(path).coalesce(n_target)
+    _swap_in(df, path)
+    after = table_file_stats(path)
+    return {
+        "files_before": before["files"],
+        "files_after": after["files"],
+        "bytes": after["bytes"],
+    }
+
+
 def export_csv(df: DataFrame, path: str) -> None:
     """S6 CSV export (api/routes/export.py:19-72)."""
     df.write.mode("overwrite").option("header", True).csv(path)

@@ -1015,3 +1015,32 @@ def test_connected_components_single_action_per_iteration(spark):
         ]
     finally:
         spark.conf.set("spark.sql.adaptive.enabled", "true")
+
+
+def test_compact_parquet_small_files(spark, tmp_path):
+    """20 tiny files -> 1, same rows; already-compact tables are a
+    no-op (no rewrite cost); staged swap leaves no stale dirs."""
+    from readability_scanner_spark.operators.io_ops import (
+        compact_parquet,
+        table_file_stats,
+    )
+
+    path = str(tmp_path / "tbl")
+    df = spark.range(0, 2000).withColumn("v", F.col("id") * 3)
+    df.repartition(20).write.parquet(path)
+    assert table_file_stats(path)["files"] == 20
+    before = sorted(map(tuple, spark.read.parquet(path).collect()))
+    stats = compact_parquet(spark, path, target_file_bytes=128 << 20)
+    assert stats["files_before"] == 20 and stats["files_after"] == 1
+    assert sorted(map(tuple, spark.read.parquet(path).collect())) == before
+    # idempotent: second call is a no-op
+    stats2 = compact_parquet(spark, path, target_file_bytes=128 << 20)
+    assert stats2 == {"files_before": 1, "files_after": 1, "bytes": stats["bytes"]}
+    # partial-target: tiny target keeps multiple files, never grows count
+    stats3 = compact_parquet(spark, path, target_file_bytes=1)
+    assert stats3["files_after"] == stats3["files_before"] == 1
+    # no staging/backup leftovers
+    import os as _os
+
+    leftovers = [p for p in _os.listdir(tmp_path) if "__" in p]
+    assert leftovers == []
