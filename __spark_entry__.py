@@ -787,15 +787,34 @@ def q_daily_topics(spark, sf_dir):
 
 
 def q_full_report(spark, sf_dir):
-    """A1 over the full scored pipeline output (all 15 metrics)."""
-    from readability_scanner_spark.operators.reports import readability_report
+    """A1 over the full scored pipeline output (all 15 metrics),
+    EXACTLY oracled since r4 — this was the last rows-only query. The
+    chain of evidence making it exact: flagship_extract proves the LIVE
+    pipeline's per-doc values equal the materialized sidecar's
+    bit-for-bit; therefore the report layer over the live pipeline
+    equals the same aggregation over the sidecar (which the DuckDB
+    oracle computes) modulo float summation ORDER — absorbed by
+    round(4) on both sides, the same contract full_report_agg has
+    already proven at the driver's hash bar. full_report_agg remains as
+    the sidecar-input variant: together they pin live-vs-materialized
+    aggregation equivalence."""
+    from readability_scanner_spark.operators.reports import (
+        A1_METRICS,
+        readability_report,
+    )
     from readability_scanner_spark.plans.pipeline import extract_and_score
 
+    _fullreport_sidecar(spark, sf_dir)  # the oracle's side of the compare
     docs = _t(spark, sf_dir, "documents", spread=True)
     transcripts = _docs_as_transcripts(
         docs, F.col("source"), F.to_timestamp(F.lit("2025-06-01 00:00:00"))
     )
-    return readability_report(extract_and_score(transcripts, repartition_to=0), "conv_id")
+    rep = readability_report(extract_and_score(transcripts, repartition_to=0), "conv_id")
+    return rep.select(
+        "grp",
+        "documents",
+        *[F.round(f"avg_{m}", 4).alias(f"avg_{m}") for m in A1_METRICS],
+    )
 
 
 def q_full_report_sql(spark, sf_dir):
@@ -1023,7 +1042,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "flagship_extract": q_flagship_extract,
         # --- (b) changed in round 4 ---
         "media_features": q_media_features,
-        "full_report": q_full_report,  # rows-only BY DESIGN (layers oracled)
+        "full_report": q_full_report,  # exact since r4 (sidecar oracle)
         "full_report_agg": q_full_report_agg,
         "full_report_sql": q_full_report_sql,
         "dedup_clusters": q_dedup_clusters,
@@ -1540,6 +1559,35 @@ def _text_quality_filters_oracle() -> str:
     """
 
 
+def _sidecar_report_sql() -> str:
+    """The avg×15 report over the stats sidecar, shared by the
+    full_report (live-pipeline Spark side) and full_report_agg
+    (sidecar-input Spark side) oracles. Called at oracle_sql() time so
+    the sidecar path tracks _oracle_sf_dir()."""
+    name = os.path.basename(os.path.normpath(_oracle_sf_dir()))
+    return f"""
+            SELECT conv_id AS grp, count(*) AS documents,
+                   round(avg(words), 4) AS avg_words,
+                   round(avg(sentences), 4) AS avg_sentences,
+                   round(avg(paragraphs), 4) AS avg_paragraphs,
+                   round(avg(characters), 4) AS avg_characters,
+                   round(avg(syllables), 4) AS avg_syllables,
+                   round(avg(word_syllables), 4) AS avg_word_syllables,
+                   round(avg(complex_polysyllabic_words), 4) AS avg_complex_polysyllabic_words,
+                   round(avg(flesch), 4) AS avg_flesch,
+                   round(avg(flesch_kincaid), 4) AS avg_flesch_kincaid,
+                   round(avg(smog), 4) AS avg_smog,
+                   round(avg(dale_chall), 4) AS avg_dale_chall,
+                   round(avg(coleman_liau), 4) AS avg_coleman_liau,
+                   round(avg(gunning_fog), 4) AS avg_gunning_fog,
+                   round(avg(spache), 4) AS avg_spache,
+                   round(avg(automated_readability), 4) AS avg_automated_readability
+            FROM read_parquet('/tmp/rss_fullreport_stats_{name}_{_SIDECAR_VER}.parquet/*.parquet')
+            WHERE NOT parse_failed
+            GROUP BY conv_id
+        """
+
+
 def _media_oracle(n: int = 100, seed: int = 42) -> str:
     """media_features oracle: the synthetic payload generator is a pure
     deterministic formula, so the expected (n_bytes, crc32) rows are
@@ -1728,27 +1776,12 @@ def oracle_sql() -> dict[str, str]:
         # rows, so this verifies avg×15 + HAVING + sort exactly. The
         # sidecar path derives from _oracle_sf_dir() so selfcheck's
         # [sf_dir] parameter keeps working.
-        "full_report_agg": f"""
-            SELECT conv_id AS grp, count(*) AS documents,
-                   round(avg(words), 4) AS avg_words,
-                   round(avg(sentences), 4) AS avg_sentences,
-                   round(avg(paragraphs), 4) AS avg_paragraphs,
-                   round(avg(characters), 4) AS avg_characters,
-                   round(avg(syllables), 4) AS avg_syllables,
-                   round(avg(word_syllables), 4) AS avg_word_syllables,
-                   round(avg(complex_polysyllabic_words), 4) AS avg_complex_polysyllabic_words,
-                   round(avg(flesch), 4) AS avg_flesch,
-                   round(avg(flesch_kincaid), 4) AS avg_flesch_kincaid,
-                   round(avg(smog), 4) AS avg_smog,
-                   round(avg(dale_chall), 4) AS avg_dale_chall,
-                   round(avg(coleman_liau), 4) AS avg_coleman_liau,
-                   round(avg(gunning_fog), 4) AS avg_gunning_fog,
-                   round(avg(spache), 4) AS avg_spache,
-                   round(avg(automated_readability), 4) AS avg_automated_readability
-            FROM read_parquet('/tmp/rss_fullreport_stats_{os.path.basename(os.path.normpath(_oracle_sf_dir()))}_{_SIDECAR_VER}.parquet/*.parquet')
-            WHERE NOT parse_failed
-            GROUP BY conv_id
-        """,
+        # full_report (exact since r4, the last rows-only entry): same
+        # oracle — the Spark side aggregates the LIVE pipeline, which
+        # flagship_extract proves per-doc bit-equal to the sidecar, and
+        # round(4) absorbs summation-order noise on both engines.
+        "full_report": _sidecar_report_sql(),
+        "full_report_agg": _sidecar_report_sql(),
         # per-doc layer of the same sidecar: the Spark side re-runs the
         # FULL extraction pipeline live (see q_flagship_extract) — hash
         # equality against this raw read proves per-doc bit-exact
