@@ -822,9 +822,11 @@ def q_full_report_sql(spark, sf_dir):
     pipeline, restricted to its SQL-expressible metric columns so the
     driver can verify it exactly: plain-text documents survive
     extraction as whitespace-normalized text, so word/sentence/char
-    counts and the syllable-free formulas recompute in DuckDB. The
-    syllable-based metrics stay in `full_report` (rows-only — syllable
-    estimation is not SQL)."""
+    counts and the syllable-free formulas recompute in DuckDB from the
+    SOURCE text — an independent check of the extraction layer itself,
+    complementing full_report (all 15 metrics, exact since r4 via the
+    sidecar oracle — syllables can't be recomputed in SQL, but the
+    sidecar chain pins them anyway)."""
     from readability_scanner_spark.operators.reports import readability_report
     from readability_scanner_spark.plans.pipeline import extract_and_score
 

@@ -55,15 +55,11 @@ def _hw_probe(cpus: int) -> dict:
             t0 = _time.time()
             pool.map(_burn, [3_000_000] * procs)
             out[procs] = procs / (_time.time() - t0)
-    return {
-        "hw_procs": cpus,
-        # fraction of perfect linear scaling the HOST delivers in this
-        # window; when this is low, suite seconds measure the
-        # hypervisor, not the engine
-        "hw_eff": round(out[cpus] / (cpus * out[1] / 1), 3)
-        if out[1]
-        else None,
-    }
+    # fraction of perfect linear scaling the HOST delivers in this
+    # window; when this is low, suite seconds measure the hypervisor,
+    # not the engine. (The proc count is the `cpus` key already in the
+    # output line.)
+    return {"hw_eff": round(out[cpus] / (cpus * out[1]), 3) if out[1] else None}
 
 
 def main() -> None:

@@ -73,6 +73,18 @@ def compact_parquet(
     file count."""
     from readability_scanner_spark.catalog import _swap_in
 
+    # REFUSE layouts the flat rewrite would destroy: partition dirs
+    # (key=value) would be flattened and _-prefixed sidecars (_meta
+    # checkpoint records) silently deleted — compact the resumable
+    # pipeline's output per bucket via compact_pipeline_output instead
+    for entry in os.listdir(path):
+        full = os.path.join(path, entry)
+        if os.path.isdir(full) and ("=" in entry or entry.startswith("_")):
+            raise ValueError(
+                f"compact_parquet refuses partitioned/checkpointed layout "
+                f"({entry!r} in {path}); compact leaf directories "
+                "individually (see compact_pipeline_output)"
+            )
     before = table_file_stats(path)
     if before["files"] == 0:
         return {"files_before": 0, "files_after": 0, "bytes": 0}
@@ -91,6 +103,25 @@ def compact_parquet(
         "files_after": after["files"],
         "bytes": after["bytes"],
     }
+
+
+def compact_pipeline_output(
+    spark: SparkSession, path: str, target_file_bytes: int = 128 << 20
+) -> dict:
+    """Compaction for the resumable pipeline's bucketed layout
+    (bucket=K/ data dirs + _meta/ commit records): compacts each bucket
+    directory INDIVIDUALLY — bucket boundaries are the resume/commit
+    unit, so they must survive — and never touches _meta. Returns
+    aggregate {files_before, files_after, buckets}."""
+    totals = {"files_before": 0, "files_after": 0, "buckets": 0}
+    for entry in sorted(os.listdir(path)):
+        full = os.path.join(path, entry)
+        if os.path.isdir(full) and entry.startswith("bucket="):
+            stats = compact_parquet(spark, full, target_file_bytes)
+            totals["files_before"] += stats["files_before"]
+            totals["files_after"] += stats["files_after"]
+            totals["buckets"] += 1
+    return totals
 
 
 def export_csv(df: DataFrame, path: str) -> None:

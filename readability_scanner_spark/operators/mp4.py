@@ -26,15 +26,20 @@ def _walk(data: bytes, start: int, end: int, depth: int = 0):
         (size,) = struct.unpack(">I", data[pos : pos + 4])
         typ = data[pos + 4 : pos + 8]
         body = pos + 8
+        header = 8
         if size == 1:  # 64-bit largesize
             if body + 8 > end:
                 return
             (size,) = struct.unpack(">Q", data[body : body + 8])
             body += 8
+            header = 16
         elif size == 0:  # box extends to end of file
             size = end - pos
-        if size < 8 or pos + size > end:
-            return  # malformed size: stop walking, parse what we had
+        if size < header or pos + size > end:
+            # malformed size (incl. a largesize smaller than its own
+            # 16-byte header, which would invert the payload range):
+            # stop walking, parse what we had
+            return
         yield typ, body, pos + size
         if typ in _CONTAINERS and depth < 8:
             yield from _walk(data, body, pos + size, depth + 1)
@@ -62,6 +67,8 @@ def parse_mp4_info(payload: Optional[bytes]) -> Optional[tuple[int, int, int]]:
             if timescale:
                 duration_ms = duration * 1000 // timescale
         elif typ == b"tkhd" and width is None:
+            if b1 - b0 < 4:  # truncated box: version byte itself missing
+                continue  # (row-never-throws: skip, don't IndexError)
             version = payload[b0]
             # fixed header up to the 36-byte matrix: v0 = 4+4+4+4+4(dur)
             # +8+2+2+2+2 = 36 after the version/flags word; v1 widens the

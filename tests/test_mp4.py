@@ -67,7 +67,7 @@ def test_media_dimension_dispatch_and_duration():
     assert pdur == (5 % 10 + 1) * 1000
 
 
-def test_video_features_stay_marked_fake(spark):
+def test_video_features_stay_marked_fake():
     """Frame decode is honestly stubbed: video payloads fall to the
     crc-fake vector (16 entries), while dims/duration are real."""
     kind, p, _, _ = multimodal.synthetic_media_row(5)
@@ -75,3 +75,55 @@ def test_video_features_stay_marked_fake(spark):
     assert feats == multimodal._fake_features(p)
     with pytest.raises(NotImplementedError):
         multimodal._decode_image(p)
+
+
+def test_truncated_tkhd_and_largesize_do_not_throw():
+    """Hostile container shapes stay row-safe: a bare 8-byte tkhd at
+    EOF (no version byte) is skipped, and a 64-bit largesize smaller
+    than its own header terminates the walk instead of inverting the
+    payload range."""
+    # ftyp + moov(trak(tkhd[empty]))
+    ftyp = struct.pack(">I", 16) + b"ftyp" + b"isom" + struct.pack(">I", 0)
+    tkhd = struct.pack(">I", 8) + b"tkhd"  # no payload at all
+    trak = struct.pack(">I", len(tkhd) + 8) + b"trak" + tkhd
+    moov = struct.pack(">I", len(trak) + 8) + b"moov" + trak
+    assert parse_mp4_info(ftyp + moov) is None  # skipped, not IndexError
+    from readability_scanner_spark.operators import multimodal as _mm
+
+    assert _mm.parse_media_dimensions(ftyp + moov) is None
+    # largesize claiming 12 (< its own 16-byte header)
+    bad = struct.pack(">I", 1) + b"mvhd" + struct.pack(">Q", 12) + b"\x00" * 24
+    assert parse_mp4_info(ftyp + bad) is None
+
+
+def test_compact_pipeline_output_preserves_meta_and_buckets(spark, tmp_path):
+    """compact_parquet must REFUSE bucketed/checkpointed layouts (the
+    flat rewrite would flatten bucket=K/ and delete _meta), and
+    compact_pipeline_output compacts per bucket, keeping both."""
+    import os
+
+    from readability_scanner_spark.operators.io_ops import (
+        compact_parquet,
+        compact_pipeline_output,
+        table_file_stats,
+    )
+
+    root = str(tmp_path / "out")
+    for k in (0, 1):
+        spark.range(k * 100, k * 100 + 100).repartition(6).write.parquet(
+            f"{root}/bucket={k}"
+        )
+    os.makedirs(f"{root}/_meta")
+    with open(f"{root}/_meta/bucket-0.json", "w") as fh:
+        fh.write("{}")
+    with pytest.raises(ValueError, match="refuses partitioned"):
+        compact_parquet(spark, root)
+    stats = compact_pipeline_output(spark, root, target_file_bytes=128 << 20)
+    assert stats["buckets"] == 2
+    assert stats["files_before"] == 12 and stats["files_after"] == 2
+    assert os.path.exists(f"{root}/_meta/bucket-0.json")  # survived
+    assert table_file_stats(f"{root}/bucket=0")["files"] == 1
+    rows = sorted(
+        r.id for r in spark.read.option("basePath", root).parquet(f"{root}/bucket=*").collect()
+    )
+    assert rows == list(range(0, 200))
