@@ -206,10 +206,13 @@ def _decode_image(payload: bytes):
 
 def parse_image_dimensions(payload: Optional[bytes]) -> Optional[tuple[int, int]]:
     """(width, height) from the container header — stdlib-only, real (not
-    a stub): PNG IHDR, GIF87a/89a logical screen, JPEG SOFn segment scan.
-    None for anything unrecognized, truncated, or non-image."""
+    a stub): PNG IHDR, GIF87a/89a logical screen, JPEG SOFn segment
+    scan, WebP (VP8/VP8L/VP8X chunks). None for anything unrecognized,
+    truncated, or non-image."""
     if not payload or len(payload) < 10:
         return None
+    if payload[:4] == b"RIFF" and payload[8:12] == b"WEBP":
+        return _webp_dimensions(payload)
     if payload[:8] == b"\x89PNG\r\n\x1a\n":
         if len(payload) >= 24 and payload[12:16] == b"IHDR":
             w, h = struct.unpack(">II", payload[16:24])
@@ -245,6 +248,33 @@ def parse_image_dimensions(payload: Optional[bytes]) -> Optional[tuple[int, int]
                 return None
             i += 2 + seg_len
         return None
+    return None
+
+
+def _webp_dimensions(payload: bytes) -> Optional[tuple[int, int]]:
+    """WebP dims from the first known chunk (RFC 9649 layouts): VP8X
+    (extended: 24-bit minus-one), VP8L (lossless: 14-bit packed after
+    the 0x2F signature), VP8 (lossy: 14-bit LE after the 3-byte frame
+    tag + 0x9D012A sync code)."""
+    pos, n = 12, len(payload)
+    while pos + 8 <= n:
+        typ = payload[pos : pos + 4]
+        (length,) = struct.unpack("<I", payload[pos + 4 : pos + 8])
+        body = pos + 8
+        if typ == b"VP8X" and body + 10 <= n:
+            w = int.from_bytes(payload[body + 4 : body + 7], "little") + 1
+            h = int.from_bytes(payload[body + 7 : body + 10], "little") + 1
+            return (w, h)
+        if typ == b"VP8L" and body + 5 <= n and payload[body] == 0x2F:
+            bits = int.from_bytes(payload[body + 1 : body + 5], "little")
+            return ((bits & 0x3FFF) + 1, ((bits >> 14) & 0x3FFF) + 1)
+        if typ == b"VP8 " and body + 10 <= n:
+            if payload[body + 3 : body + 6] != b"\x9d\x01\x2a":
+                return None  # bad sync code: not a valid lossy frame
+            w = int.from_bytes(payload[body + 6 : body + 8], "little") & 0x3FFF
+            h = int.from_bytes(payload[body + 8 : body + 10], "little") & 0x3FFF
+            return (w, h)
+        pos = body + length + (length & 1)  # chunks are word-aligned
     return None
 
 

@@ -1044,3 +1044,38 @@ def test_compact_parquet_small_files(spark, tmp_path):
 
     leftovers = [p for p in _os.listdir(tmp_path) if "__" in p]
     assert leftovers == []
+
+
+def test_webp_dimensions_all_three_variants():
+    """Hand-built WebP headers per RFC 9649: VP8X (extended), VP8L
+    (lossless), VP8 (lossy) — plus RIFF discrimination vs WAV and
+    hostile variants."""
+    import struct as _s
+
+    def riff(chunks: bytes) -> bytes:
+        return b"RIFF" + _s.pack("<I", 4 + len(chunks)) + b"WEBP" + chunks
+
+    vp8x = riff(
+        b"VP8X" + _s.pack("<I", 10) + b"\x00\x00\x00\x00"
+        + (639).to_bytes(3, "little") + (479).to_bytes(3, "little")
+    )
+    assert multimodal.parse_image_dimensions(vp8x) == (640, 480)
+    bits = (33 - 1) | ((21 - 1) << 14)
+    vp8l = riff(b"VP8L" + _s.pack("<I", 5) + b"\x2f" + _s.pack("<I", bits))
+    assert multimodal.parse_image_dimensions(vp8l) == (33, 21)
+    vp8 = riff(
+        b"VP8 " + _s.pack("<I", 10) + b"\x00\x00\x00" + b"\x9d\x01\x2a"
+        + _s.pack("<HH", 320, 240)
+    )
+    assert multimodal.parse_image_dimensions(vp8) == (320, 240)
+    # bad sync code -> None, not garbage dims
+    bad = riff(
+        b"VP8 " + _s.pack("<I", 10) + b"\x00\x00\x00" + b"\x9d\x01\x2b"
+        + _s.pack("<HH", 320, 240)
+    )
+    assert multimodal.parse_image_dimensions(bad) is None
+    # a WAV is RIFF but not WEBP: stays an audio payload, no dims
+    wav = multimodal.make_wav(100)
+    assert multimodal.parse_image_dimensions(wav) is None
+    # truncated chunk list terminates cleanly
+    assert multimodal.parse_image_dimensions(vp8x[:16]) is None

@@ -156,3 +156,91 @@ def test_fast_parser_parity_on_wellformed(html):
         return (n.tag, tuple(sorted(n.attrs.items())), tuple(sig(c) for c in n.children))
 
     assert sig(fast_parse(html)) == sig(parse_html_stdlib(html))
+
+
+# --- media codecs: never raise on arbitrary bytes, roundtrip on valid ---
+
+media_bytes = st.binary(max_size=600)
+
+
+@settings(max_examples=150, deadline=None)
+@given(media_bytes)
+def test_features_dispatch_never_raises_on_arbitrary_bytes(payload):
+    """The mapInPandas feature kernel must survive ANY payload: real
+    decode, honest refusal, or crc-fake — never an exception."""
+    from readability_scanner_spark.operators.multimodal import _features_dispatch
+
+    feats = _features_dispatch(payload)
+    assert isinstance(feats, list) and len(feats) >= 5
+    assert all(isinstance(f, float) for f in feats)
+
+
+@settings(max_examples=150, deadline=None)
+@given(media_bytes)
+def test_media_dimension_parsers_never_raise(payload):
+    from readability_scanner_spark.operators.multimodal import (
+        parse_media_dimensions,
+        parse_wav_info,
+    )
+    from readability_scanner_spark.operators.mp4 import parse_mp4_info
+
+    for fn in (parse_media_dimensions, parse_wav_info, parse_mp4_info):
+        out = fn(payload)
+        assert out is None or isinstance(out, tuple)
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    st.integers(min_value=1, max_value=40),
+    st.integers(min_value=1, max_value=40),
+    st.integers(min_value=0, max_value=10_000),
+)
+def test_gif_roundtrip_property(w, h, seed):
+    """GIF is lossless: EXACT pixel roundtrip for arbitrary sizes/seeds."""
+    from readability_scanner_spark.operators.gif import decode_gif, make_gif
+
+    dw, dh, c, samples = decode_gif(make_gif(w, h, seed=seed))
+    assert (dw, dh, c) == (w, h, 3)
+    assert len(samples) == w * h * 3
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    st.integers(min_value=1, max_value=33),
+    st.integers(min_value=1, max_value=33),
+    st.integers(min_value=0, max_value=10_000),
+    st.sampled_from(["444", "422", "420"]),
+)
+def test_jpeg_roundtrip_property(w, h, seed, sub):
+    """Lossy but bounded: decode returns the exact declared geometry and
+    pixels within the codec's smooth-content error envelope."""
+    import numpy as np
+
+    from readability_scanner_spark.operators.jpeg import decode_jpeg, make_jpeg
+
+    payload = make_jpeg(w, h, seed=seed)
+    dw, dh, c, samples = decode_jpeg(payload)
+    assert (dw, dh, c) == (w, h, 3)
+    assert len(samples) == w * h * 3
+    if sub != "444":  # also push the subsampled encode paths
+        from readability_scanner_spark.operators.jpeg import encode_jpeg
+
+        yy, xx = np.mgrid[0:h, 0:w].astype(np.float64)
+        rgb = np.stack(
+            [40 + xx * 150 / max(w - 1, 1)] * 3, axis=-1
+        ).astype(np.uint8)
+        dw2, dh2, _, s2 = decode_jpeg(encode_jpeg(rgb, subsampling=sub))
+        dec = np.frombuffer(bytes(s2), dtype=np.uint8).reshape(h, w, 3)
+        assert np.abs(dec.astype(int) - rgb.astype(int)).max() <= 25
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    st.integers(min_value=1, max_value=4096),
+    st.integers(min_value=1, max_value=4096),
+    st.integers(min_value=0, max_value=10_000_000),
+)
+def test_mp4_roundtrip_property(w, h, dur):
+    from readability_scanner_spark.operators.mp4 import make_mp4, parse_mp4_info
+
+    assert parse_mp4_info(make_mp4(w, h, dur)) == (w, h, dur)
