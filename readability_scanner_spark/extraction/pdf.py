@@ -22,7 +22,8 @@ Reader (:func:`extract_pdf_text` / :func:`extract_pdf`):
 2. **Page tree walk** from the trailer's /Root → /Pages → /Kids
    (recursive, inherited order preserved); falls back to every
    /Type /Page object in numeric order when the trailer is damaged.
-3. **Content streams** FlateDecoded via zlib (plus ASCIIHexDecode);
+3. **Content streams** FlateDecoded via zlib (plus ASCIIHex, ASCII85,
+   and RunLength decodes);
    array-valued /Contents are concatenated in order, as the spec
    requires.
 4. **Text operator interpretation**: BT/ET, Tf, TL, Td/TD/Tm/T*,
@@ -580,9 +581,82 @@ def _apply_filters(raw: bytes, filters: list[str]) -> bytes:
                 data = bytes.fromhex(hex_bytes.decode("ascii"))
             except ValueError:
                 return b""
+        elif f in ("ASCII85Decode", "A85"):
+            data = _ascii85_decode(data)
+            if data is None:
+                return b""
+        elif f in ("RunLengthDecode", "RL"):
+            data = _runlength_decode(data)
+            if data is None:
+                return b""
         else:
             return b""  # image/JBIG2/DCT etc — no text to be had
     return data
+
+
+def _ascii85_decode(data: bytes):
+    """ISO 32000-1 §7.4.3 ASCII85: base-85 groups of 5 chars ('z' =
+    four zero bytes), whitespace ignored, '~>' EOD, partial final group
+    padded with 'u' and truncated. None on malformed input."""
+    body = data.split(b"~>")[0]
+    if body.startswith(b"<~"):  # Adobe-style leader (rare, tolerated)
+        body = body[2:]
+    out = bytearray()
+    group: list[int] = []
+    for c in body:
+        if c in b" \t\r\n\x0c\x00":
+            continue
+        if c == 0x7A:  # 'z'
+            if group:
+                return None  # z inside a group is illegal
+            out += b"\x00\x00\x00\x00"
+            continue
+        if not 0x21 <= c <= 0x75:
+            return None
+        group.append(c - 0x21)
+        if len(group) == 5:
+            acc = 0
+            for g in group:
+                acc = acc * 85 + g
+            if acc > 0xFFFFFFFF:
+                return None
+            out += acc.to_bytes(4, "big")
+            group = []
+    if group:
+        n = len(group)
+        if n == 1:
+            return None  # a single trailing char cannot encode anything
+        acc = 0
+        for g in group + [84] * (5 - n):  # pad with 'u'
+            acc = acc * 85 + g
+        if acc > 0xFFFFFFFF:
+            return None
+        out += acc.to_bytes(4, "big")[: n - 1]
+    return bytes(out)
+
+
+def _runlength_decode(data: bytes):
+    """ISO 32000-1 §7.4.5 RunLength: L<128 copies L+1 literal bytes,
+    L>128 repeats the next byte 257-L times, 128 = EOD. None on
+    truncation."""
+    out = bytearray()
+    i, n = 0, len(data)
+    while i < n:
+        length = data[i]
+        i += 1
+        if length == 128:
+            return bytes(out)
+        if length < 128:
+            if i + length + 1 > n:
+                return None
+            out += data[i : i + length + 1]
+            i += length + 1
+        else:
+            if i >= n:
+                return None
+            out += bytes([data[i]]) * (257 - length)
+            i += 1
+    return bytes(out)  # EOD omitted: tolerate, like trailing-garbage flate
 
 
 # ---------------------------------------------------------------------------

@@ -127,3 +127,20 @@ def test_compact_pipeline_output_preserves_meta_and_buckets(spark, tmp_path):
         r.id for r in spark.read.option("basePath", root).parquet(f"{root}/bucket=*").collect()
     )
     assert rows == list(range(0, 200))
+
+
+def test_tkhd_version1_parses():
+    """v1 tkhd widens the three time fields to 64-bit; the width/height
+    offset math must track it (real muxers emit v1 for long tracks)."""
+    tkhd_v1 = (
+        struct.pack(">B3B", 1, 0, 0, 7)
+        + struct.pack(">QQIxxxxQ", 0, 0, 1, 7000)  # ctime mtime id rsvd dur
+        + struct.pack(">8x hh h 2x", 0, 0, 0)
+        + struct.pack(">9I", 0x10000, 0, 0, 0, 0x10000, 0, 0, 0, 0x40000000)
+        + struct.pack(">II", 800 << 16, 600 << 16)
+    )
+    tkhd = struct.pack(">I", len(tkhd_v1) + 8) + b"tkhd" + tkhd_v1
+    trak = struct.pack(">I", len(tkhd) + 8) + b"trak" + tkhd
+    moov = struct.pack(">I", len(trak) + 8) + b"moov" + trak
+    ftyp = struct.pack(">I", 16) + b"ftyp" + b"isom" + struct.pack(">I", 0)
+    assert parse_mp4_info(ftyp + moov) == (800, 600, 0)

@@ -447,3 +447,34 @@ def test_xref_stream_incremental_update_wins_by_position():
     result = extract_pdf(raw)
     assert result.text == "xref body"
     assert result.title == "New Title"
+
+
+def test_ascii85_and_runlength_filters():
+    """New r4 filters (ISO 32000-1 §7.4.3/§7.4.5): known-answer vectors
+    + malformed-input None (which _apply_filters maps to empty text)."""
+    import base64
+
+    from readability_scanner_spark.extraction.pdf import (
+        _apply_filters,
+        _ascii85_decode,
+        _runlength_decode,
+    )
+
+    # cross-check ascii85 against the stdlib encoder (Adobe variant)
+    for payload in (b"hello world", b"\x00\x00\x00\x00spam", b"a", b"ab", bytes(range(256))):
+        enc = base64.a85encode(payload) + b"~>"
+        assert _ascii85_decode(enc) == payload
+    assert _ascii85_decode(b"z~>") == b"\x00\x00\x00\x00"
+    assert _ascii85_decode(b"!!z~>") is None  # z inside a group
+    assert _ascii85_decode(b"\x7f\x7f\x7f\x7f\x7f~>") is None  # out of range
+    assert _ascii85_decode(b"!~>") is None  # 1-char group is illegal
+    # runlength: literal run + repeat run + EOD
+    rl = bytes([2]) + b"abc" + bytes([257 - 4]) + b"x" + bytes([128])
+    assert _runlength_decode(rl) == b"abcxxxx"
+    assert _runlength_decode(bytes([5]) + b"ab") is None  # truncated literal
+    assert _runlength_decode(bytes([200])) is None  # truncated repeat
+    # end to end through the filter chain (chained with AHx)
+    a85 = base64.a85encode(b"chained payload") + b"~>"
+    hexed = a85.hex().encode() + b">"
+    assert _apply_filters(hexed, ["ASCIIHexDecode", "ASCII85Decode"]) == b"chained payload"
+    assert _apply_filters(b"garbage", ["DCTDecode"]) == b""
