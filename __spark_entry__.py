@@ -699,6 +699,24 @@ def q_rolling_mean(spark, sf_dir):
     )
 
 
+def q_token_index_search(spark, sf_dir):
+    """P9's scale path (r4): inverted token index (explode + aggregate)
+    queried by broadcasting the term list — O(matching postings) per
+    query instead of the regexp scan's O(corpus). Same unicode word-run
+    tokenizer as the lookaround matchers, so the oracle is the SAME
+    token-run recompute text_search uses; equality with the regexp path
+    is additionally pinned in tests/test_search_unicode.py."""
+    from readability_scanner_spark.operators.search import (
+        build_token_index,
+        search_token_index,
+    )
+
+    idx = build_token_index(
+        _t(spark, sf_dir, "documents", spread=True), "doc_id", "text"
+    )
+    return search_token_index(idx, "data table query", limit=20)
+
+
 def q_text_search(spark, sf_dir):
     """P9 full-text search with relevance ranking."""
     from readability_scanner_spark.operators.search import text_search
@@ -1078,11 +1096,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "describe_n_chars": q_describe_n_chars,
         "success_ratio": q_success_ratio,
         "broadcast_lookup_join": q_broadcast_lookup_join,
-        "orders_semi_join": q_orders_semi_join,
         # changed this round (boundary pattern + oracle) — must stay in
         # the evaluated window
         "regex_filter_counts": q_regex_filter_counts,
+        # NEW in r4: the inverted-index FTS scale path
+        "token_index_search": q_token_index_search,
         # --- past the 50-query window: untouched, green in r3 ---
+        "orders_semi_join": q_orders_semi_join,
         "latest_order_per_customer": q_latest_order_per_customer,
         "orders_with_part": q_orders_with_part,
         "orders_topk": q_orders_topk,
@@ -2161,6 +2181,18 @@ def oracle_sql() -> dict[str, str]:
                                           ROWS BETWEEN 5 PRECEDING AND CURRENT ROW), 4)
                      AS rolling_value
             FROM events
+        """,
+        # the inverted-index path tokenizes with the identical word-run
+        # definition, so its oracle IS the text_search oracle
+        "token_index_search": """
+            SELECT doc_id, relevance FROM (
+              SELECT doc_id,
+                     len(list_filter(regexp_extract_all(lower(text), '[\\p{L}\\p{N}_]+'), x -> x = 'data'))
+                   + len(list_filter(regexp_extract_all(lower(text), '[\\p{L}\\p{N}_]+'), x -> x = 'table'))
+                   + len(list_filter(regexp_extract_all(lower(text), '[\\p{L}\\p{N}_]+'), x -> x = 'query')) AS relevance
+              FROM documents
+            ) WHERE relevance > 0
+            ORDER BY relevance DESC, doc_id ASC LIMIT 20
         """,
         "text_search": """
             -- token-run equality mirrors the Spark lookaround counts (RE2

@@ -99,3 +99,48 @@ def text_search(
         .orderBy(F.desc("relevance"), F.asc(id_col))
         .limit(limit)
     )
+
+
+def build_token_index(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Inverted token index: (token, doc_id, tf) — the scale path for
+    P9. The regexp forms above re-scan the corpus per query (fine for
+    ad-hoc filters, O(corpus) at 100 TB); a materialized index makes a
+    query O(matching postings). Tokenization is the SAME unicode
+    word-run definition the lookaround matchers use
+    (`[\\p{L}\\p{N}_]+` on lowercased text), so index-backed search
+    returns exactly the regexp search's results (pinned by
+    tests/test_search_unicode.py).
+
+    At scale: write with `.write.bucketBy(N, "token")` (or partition by
+    a token hash prefix) so each query's term lookups prune to a few
+    buckets; the index build is one explode + one aggregation, both
+    map-side combinable."""
+    toks = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(
+            F.regexp_extract_all(
+                F.lower(F.col(text_col)), F.lit(r"[\p{L}\p{N}_]+"), 0
+            )
+        ).alias("token"),
+    )
+    return toks.groupBy("token", "doc_id").agg(
+        F.count("*").cast("long").alias("tf")
+    )
+
+
+def search_token_index(index: DataFrame, query: str, limit: int = 20) -> DataFrame:
+    """Query the inverted index: broadcast the (tiny) term list against
+    the postings, sum tf per doc, top-k. Shuffles only the matching
+    postings' partial sums — independent of corpus size."""
+    terms = _terms(query)
+    spark = index.sparkSession
+    if not terms:
+        return spark.createDataFrame([], "doc_id long, relevance long")
+    tdf = spark.createDataFrame([(t,) for t in terms], "token string")
+    return (
+        index.join(F.broadcast(tdf), "token")
+        .groupBy("doc_id")
+        .agg(F.sum("tf").cast("long").alias("relevance"))
+        .orderBy(F.desc("relevance"), F.asc("doc_id"))
+        .limit(limit)
+    )

@@ -243,3 +243,27 @@ def test_weighted_score_unicode_corpus(spark):
         ).fetchall()
     }
     assert got == want
+
+
+def test_token_index_equals_regexp_search(spark, corpus_df):
+    """The inverted-index path (build_token_index + search_token_index)
+    must return EXACTLY the regexp search's results — same tokenizer
+    definition, same relevance, same ordering — including on the
+    CJK/accent-adjacent corpus."""
+    from readability_scanner_spark.operators.search import (
+        build_token_index,
+        search_token_index,
+        text_search,
+    )
+
+    idx = build_token_index(corpus_df, "doc_id", "text")
+    for query in ("data query", "data table query", "表", "nothing matching"):
+        via_index = [
+            (r["doc_id"], r["relevance"])
+            for r in search_token_index(idx, query, limit=10).collect()
+        ]
+        via_regexp = [
+            (r["doc_id"], r["relevance"])
+            for r in text_search(corpus_df, "text", query, "doc_id", limit=10).collect()
+        ]
+        assert via_index == via_regexp, query
