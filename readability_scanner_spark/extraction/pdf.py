@@ -598,9 +598,13 @@ def _ascii85_decode(data: bytes):
     """ISO 32000-1 §7.4.3 ASCII85: base-85 groups of 5 chars ('z' =
     four zero bytes), whitespace ignored, '~>' EOD, partial final group
     padded with 'u' and truncated. None on malformed input."""
-    body = data.split(b"~>")[0]
-    if body.startswith(b"<~"):  # Adobe-style leader (rare, tolerated)
-        body = body[2:]
+    if data.lstrip(b" \t\r\n\x0c\x00").startswith(b"<~"):
+        # Adobe-style leader (rare, tolerated)
+        data = data.lstrip(b" \t\r\n\x0c\x00")[2:]
+    # EOD: '~' begins the terminator and 0x7E can appear nowhere else in
+    # valid data, so cut at the first '~' — tolerating writers that
+    # line-wrap between '~' and '>' (whitespace is ignorable anywhere)
+    body = data.split(b"~")[0]
     out = bytearray()
     group: list[int] = []
     for c in body:

@@ -261,14 +261,17 @@ def _webp_dimensions(payload: bytes) -> Optional[tuple[int, int]]:
         typ = payload[pos : pos + 4]
         (length,) = struct.unpack("<I", payload[pos + 4 : pos + 8])
         body = pos + 8
-        if typ == b"VP8X" and body + 10 <= n:
+        # validate against the chunk's DECLARED length too, not just the
+        # file bounds: a short chunk followed by more data would
+        # otherwise read the next chunk's header as dimension fields
+        if typ == b"VP8X" and length >= 10 and body + 10 <= n:
             w = int.from_bytes(payload[body + 4 : body + 7], "little") + 1
             h = int.from_bytes(payload[body + 7 : body + 10], "little") + 1
             return (w, h)
-        if typ == b"VP8L" and body + 5 <= n and payload[body] == 0x2F:
+        if typ == b"VP8L" and length >= 5 and body + 5 <= n and payload[body] == 0x2F:
             bits = int.from_bytes(payload[body + 1 : body + 5], "little")
             return ((bits & 0x3FFF) + 1, ((bits >> 14) & 0x3FFF) + 1)
-        if typ == b"VP8 " and body + 10 <= n:
+        if typ == b"VP8 " and length >= 10 and body + 10 <= n:
             if payload[body + 3 : body + 6] != b"\x9d\x01\x2a":
                 return None  # bad sync code: not a valid lossy frame
             w = int.from_bytes(payload[body + 6 : body + 8], "little") & 0x3FFF

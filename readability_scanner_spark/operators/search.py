@@ -18,6 +18,14 @@ from pyspark.sql import functions as F
 
 _TOKEN = re.compile(r"[^\w\s]")
 
+# THE word-character set, single source of truth: _term_pattern's
+# lookarounds exclude exactly these on both ends, WORD_RUN extracts
+# runs of exactly these, and every DuckDB search oracle repeats the
+# same class as '[\\p{L}\\p{N}_]+' (string literal there — keep them
+# in sync; tests/test_search_unicode.py pins the equivalence).
+WORD_CHARS = r"\p{L}\p{N}_"
+WORD_RUN = rf"[{WORD_CHARS}]+"
+
 
 def _terms(query: str) -> list[str]:
     return [t.lower() for t in _TOKEN.sub(" ", query or "").split() if t]
@@ -33,7 +41,7 @@ def _term_pattern(t: str) -> str:
     adjacency. The DuckDB oracles therefore use token-run equality over
     '[\\p{{L}}\\p{{N}}_]+' runs, which equals this lookaround form by
     construction (same word-char set), pinned by the same test."""
-    return rf"(?<![\p{{L}}\p{{N}}_]){re.escape(t)}(?![\p{{L}}\p{{N}}_])"
+    return rf"(?<![{WORD_CHARS}]){re.escape(t)}(?![{WORD_CHARS}])"
 
 
 def relevance_col(text: Column, query: str) -> Column:
@@ -118,9 +126,7 @@ def build_token_index(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     toks = df.select(
         F.col(id_col).alias("doc_id"),
         F.explode(
-            F.regexp_extract_all(
-                F.lower(F.col(text_col)), F.lit(r"[\p{L}\p{N}_]+"), 0
-            )
+            F.regexp_extract_all(F.lower(F.col(text_col)), F.lit(WORD_RUN), 0)
         ).alias("token"),
     )
     return toks.groupBy("token", "doc_id").agg(
@@ -135,7 +141,17 @@ def search_token_index(index: DataFrame, query: str, limit: int = 20) -> DataFra
     terms = _terms(query)
     spark = index.sparkSession
     if not terms:
-        return spark.createDataFrame([], "doc_id long, relevance long")
+        # schema must track the index's actual doc_id type (string ids
+        # are legal) or the empty frame can't union with real results
+        from pyspark.sql.types import LongType, StructField, StructType
+
+        schema = StructType(
+            [
+                StructField("doc_id", index.schema["doc_id"].dataType),
+                StructField("relevance", LongType()),
+            ]
+        )
+        return spark.createDataFrame([], schema)
     tdf = spark.createDataFrame([(t,) for t in terms], "token string")
     return (
         index.join(F.broadcast(tdf), "token")

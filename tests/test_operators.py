@@ -1079,3 +1079,13 @@ def test_webp_dimensions_all_three_variants():
     assert multimodal.parse_image_dimensions(wav) is None
     # truncated chunk list terminates cleanly
     assert multimodal.parse_image_dimensions(vp8x[:16]) is None
+
+
+def test_webp_short_chunk_yields_none():
+    """A VP8X chunk with declared length 0 followed by more data must
+    not read the NEXT chunk's bytes as canvas fields (r4 review)."""
+    import struct as _s
+
+    chunks = b"VP8X" + _s.pack("<I", 0) + b"VP8L" + _s.pack("<I", 5) + b"\x00" * 5
+    payload = b"RIFF" + _s.pack("<I", 4 + len(chunks)) + b"WEBP" + chunks
+    assert multimodal.parse_image_dimensions(payload) is None

@@ -478,3 +478,14 @@ def test_ascii85_and_runlength_filters():
     hexed = a85.hex().encode() + b">"
     assert _apply_filters(hexed, ["ASCIIHexDecode", "ASCII85Decode"]) == b"chained payload"
     assert _apply_filters(b"garbage", ["DCTDecode"]) == b""
+
+
+def test_ascii85_whitespace_split_eod_and_leader():
+    """Writers may line-wrap between '~' and '>' (whitespace is
+    ignorable anywhere); the Adobe '<~' leader may follow whitespace."""
+    import base64
+
+    from readability_scanner_spark.extraction.pdf import _ascii85_decode
+
+    assert _ascii85_decode(base64.a85encode(b"wrapped") + b"~\r\n>") == b"wrapped"
+    assert _ascii85_decode(b"\n<~" + base64.a85encode(b"led") + b"~>") == b"led"

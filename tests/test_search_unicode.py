@@ -267,3 +267,21 @@ def test_token_index_equals_regexp_search(spark, corpus_df):
             for r in text_search(corpus_df, "text", query, "doc_id", limit=10).collect()
         ]
         assert via_index == via_regexp, query
+
+
+def test_token_index_empty_query_tracks_id_type(spark):
+    """Empty/no-word-char queries return an empty frame whose doc_id
+    type matches the index (string ids are legal) — unionable with the
+    non-empty path (r4 review)."""
+    from readability_scanner_spark.operators.search import (
+        build_token_index,
+        search_token_index,
+    )
+
+    df = spark.createDataFrame([("u1", "data here")], "url string, text string")
+    idx = build_token_index(df, "url", "text")
+    empty = search_token_index(idx, "!!!")
+    assert empty.count() == 0
+    assert empty.schema["doc_id"].dataType.simpleString() == "string"
+    full = search_token_index(idx, "data")
+    empty.unionByName(full).collect()  # must not raise a type mismatch
