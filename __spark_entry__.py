@@ -271,16 +271,18 @@ def q_orders_with_part(spark, sf_dir):
 def q_similar_pairs(spark, sf_dir):
     from readability_scanner_spark.operators.similarity import similarity_pairs
 
-    # explicit cap covering the largest testdata SF (2000 vectors at
-    # sf0.1): the operator's default 500-row guard (the reference's own
-    # cap) is for unbounded production inputs; this harness input is
-    # bounded, and anything larger is still refused
+    # max_rows=None at THIS call site only: the harness input is the
+    # driver's own bounded embeddings table (500-2000 rows across
+    # testdata SFs), a cap here would add a full count() action per
+    # driver run and break on any larger SF, and the guard contract
+    # itself lives on the OPERATOR (default 500 = the reference's cap,
+    # refusal pytest-asserted) where unbounded production inputs enter
     return similarity_pairs(
         _t(spark, sf_dir, "embeddings", spread=True),
         "vec_id",
         "embedding",
         0.4,
-        max_rows=2000,
+        max_rows=None,
     )
 
 
@@ -866,11 +868,39 @@ def q_full_report_sql(spark, sf_dir):
     )
 
 
-# bump when extraction/stats semantics change: the sidecar lives in /tmp
-# across driver rounds, and the mtime gate only tracks the SOURCE parquet —
-# a stale sidecar built by older extraction code would fail the live-vs-
-# sidecar per-doc comparison (flagship_extract) bit-exactly-but-wrongly
-_SIDECAR_VER = "v4"
+def _sidecar_version() -> str:
+    """Content-derived sidecar version: the sidecar lives in /tmp across
+    driver rounds and its mtime gate only tracks the SOURCE parquet, so
+    a sidecar built by OLDER extraction code would fail the live-vs-
+    sidecar per-doc comparison (flagship_extract/full_report) bit-
+    exactly-but-wrongly. Hashing every extraction-semantics source file
+    into the path closes that class permanently — any code change that
+    could alter per-doc output changes the path and forces a rebuild
+    (r4 review: a hand-bumped constant was forgotten twice in one
+    round)."""
+    import hashlib
+
+    pkg = os.path.join(os.path.dirname(os.path.abspath(__file__)), "readability_scanner_spark")
+    h = hashlib.md5()
+    for rel in (
+        "functions/udfs.py",
+        "functions/textstats.py",
+        "functions/syllables.py",
+        "functions/formulas.py",
+        "extraction/readability.py",
+        "extraction/cleaning.py",
+        "extraction/dates.py",
+        "extraction/images.py",
+        "extraction/pdf.py",
+        "dom.py",
+        "plans/pipeline.py",
+    ):
+        with open(os.path.join(pkg, rel), "rb") as fh:
+            h.update(fh.read())
+    return "v" + h.hexdigest()[:10]
+
+
+_SIDECAR_VER = _sidecar_version()
 
 
 def _fullreport_sidecar(spark, sf_dir: str, force: bool = False) -> str:
@@ -880,8 +910,10 @@ def _fullreport_sidecar(spark, sf_dir: str, force: bool = False) -> str:
     THIS table, which makes full_report's aggregation layer (avg×15 +
     HAVING + sort, news-scanner/database/articles.py:278-371) exactly
     hash-verifiable — the per-doc stats themselves stay covered by the
-    golden/pytest layer. Rebuilt when forced (entry() does, once per
-    driver session) or when older than the source parquet."""
+    golden/pytest layer. Rebuilt when the sidecar is missing, older
+    than the source parquet, or the extraction code changed (the
+    content-derived _SIDECAR_VER in the path); entry() prebuilds
+    WITHOUT force — parity needs a SHARED table, not a fresh one."""
     import shutil
 
     from readability_scanner_spark.operators.reports import A1_METRICS
@@ -1037,13 +1069,16 @@ def q_extractive_summary(spark, sf_dir):
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDER MATTERS: the driver evaluates the FIRST 50 entries only.
-    # Round-4 rotation: (a) the 14 queries the r3 window skipped lead (all
-    # r2-green; every query then has a driver row within the last two
-    # rounds), (b) then every query whose code changed this round
-    # (flagship_extract now EXACT via the stats sidecar, media_features
-    # with JPEG decode, the extraction-path and dedup/similarity/pdf
-    # changes), (c) then r3-greens. The 14 that fall out of the window are
-    # untouched pure-SQL analytics over orders/events, all green in r3.
+    # Round-4 rotation: (a) the 14 queries the r3 window skipped lead
+    # (11 r2-green; flagship_extract was rows-only pre-r4 and
+    # minhash_candidates/dedup_pipeline had r2 rows — all three are
+    # selfcheck-exact now), (b) then every query whose code changed
+    # this round (flagship_extract/full_report now EXACT via the stats
+    # sidecar, media_features with JPEG/GIF/MP4, the extraction-path
+    # and dedup/similarity/pdf changes, token_index_search NEW),
+    # (c) then r3-greens. FIFTEEN queries fall past the window
+    # (orders_semi_join..rollup_daily) — untouched analytics over
+    # orders/events/documents, all green in r3.
     return {
         # --- (a) r3-unevaluated, green in CORRECTNESS_r02 ---
         "asof_join": q_asof_join,

@@ -866,10 +866,11 @@ def is_pdf(raw: Union[str, bytes, None]) -> bool:
         return False
     head = raw[:1024]
     if isinstance(head, str):
-        # same strip set as the bytes path (incl. NUL): a latin-1-decoded
-        # binary payload with leading \x00 must sniff identically
-        return head.lstrip("\x00\t\n\x0c\r ").startswith("%PDF-")
-    return head.lstrip(b"\x00\t\n\x0c\r ").startswith(b"%PDF-")
+        # strip ALL python whitespace (incl. \x0b and unicode spaces —
+        # the pre-r4 reach) PLUS NUL, so a latin-1-decoded binary
+        # payload with leading \x00 sniffs identically to its bytes twin
+        return re.sub(r"^[\s\x00]+", "", head).startswith("%PDF-")
+    return head.lstrip(b"\x00\t\n\x0b\x0c\r ").startswith(b"%PDF-")
 
 
 def extract_pdf(raw: Union[str, bytes]) -> PdfResult:
