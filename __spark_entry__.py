@@ -18,9 +18,12 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-# word/sentence regexes shared by Spark and DuckDB sides (ASCII-equivalent
-# semantics in Java regex and RE2)
-WORD_PAT = r"\b\w+\b"
+# word/sentence regexes shared by Spark and DuckDB sides. WORD_PAT is
+# the engine-stable unicode word-run class (functions/wordchars.py):
+# identical match sets in Java regex, RE2, and Python \w+ — the r4
+# VERDICT's bare-\b defect fix. TOKEN_PAT stays deliberately ASCII-\w
+# (Java == RE2 char-for-char; see token_count_col docstring).
+WORD_PAT = r"[\p{L}\p{N}_]+"
 SENT_PAT = r"[.!?]+(?:\s+|$)"
 TOKEN_PAT = r"\w+|[^\w\s]"
 
@@ -1159,16 +1162,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # DuckDB oracles
 # ---------------------------------------------------------------------------
 
+# WS_CLASS: Python's \s set spelled as explicit \x{...} ranges — RE2's
+# bare \s is ASCII-only, which would diverge from the Python pipeline
+# (and the new WS_CLASS Spark columns) on e.g. U+3000 in CJK text
+from readability_scanner_spark.functions.wordchars import WS_CLASS as _WSC  # noqa: E402
+
 _WORDS_SQL = f"len(regexp_extract_all(text, '{WORD_PAT}'))"
 _SENTS_SQL = (
-    "len(list_filter(regexp_split_to_array(trim(regexp_replace(text, '\\s+', ' ', 'g')), "
+    f"len(list_filter(regexp_split_to_array(trim(regexp_replace(text, '{_WSC}+', ' ', 'g')), "
     f"'{SENT_PAT}'), x -> trim(x) != ''))"
 )
 _PARAS_SQL = (
-    "len(list_filter(regexp_split_to_array(text, '\\n\\s*\\n|\\r\\n\\s*\\r\\n'), "
-    "x -> trim(x) != ''))"
+    f"len(list_filter(regexp_split_to_array(text, '\\n{_WSC}*\\n|\\r\\n{_WSC}*\\r\\n'), "
+    f"x -> regexp_replace(x, '{_WSC}', '', 'g') != ''))"
 )
-_CHARS_SQL = "length(regexp_replace(text, '\\s', '', 'g'))"
+_CHARS_SQL = f"length(regexp_replace(text, '{_WSC}', '', 'g'))"
 
 _CL_SQL = (
     "CASE WHEN {w} > 0 THEN greatest(0.0588 * ({c}::DOUBLE / {w}) * 100 "
@@ -1551,22 +1559,24 @@ def _daily_topics_oracle() -> str:
 
 def _lang_quality_oracle() -> str:
     """lang_quality oracle prefix (the scored CTE): generated from the
-    SAME marker-word constants the operator compiles its combined regex
-    from, so the alternation literal and per-language membership lists
-    can never drift from the Spark side."""
-    from readability_scanner_spark.operators.textquality import _LANG_MARKERS
+    SAME marker-word lists the operator compiles its regexes from, so
+    the per-language membership lists can never drift from the Spark
+    side. Boundary semantics: the Spark side counts lookaround-bounded
+    marker words (whole [\\p{{L}}\\p{{N}}_]+ runs); RE2 has no
+    lookarounds, so this side counts word runs that ARE a marker —
+    equal by construction (tests/test_word_unicode.py pins it on
+    accented-adjacency rows where \\b forms diverge)."""
+    from readability_scanner_spark.operators.textquality import _LANG_WORDS
 
-    # DuckDB single-quoted strings keep backslashes literal — the \b in
-    # the patterns passes through verbatim (the \\b neighbors below are
-    # PYTHON escapes that land as \b too)
     per_lang = ",\n                ".join(
-        f"len(regexp_extract_all(lower(text), '{_LANG_MARKERS[lang]}')) AS hit_{lang}"
+        "len(list_filter(regexp_extract_all(lower(text), '[\\p{L}\\p{N}_]+'), "
+        f"""x -> list_contains([{", ".join(f"'{w}'" for w in _LANG_WORDS[lang])}], x))) AS hit_{lang}"""
         for lang in ("en", "de", "fr", "es")
     )
     return f"""
             WITH scored AS (
               SELECT doc_id, text,
-                greatest(len(regexp_extract_all(text, '\\b\\w+\\b')), 1) AS words,
+                greatest(len(regexp_extract_all(text, '[\\p{{L}}\\p{{N}}_]+')), 1) AS words,
                 greatest(len(regexp_extract_all(text, '[.!?]')), 1) AS sentences,
                 length(text) AS n_chars,
                 greatest(length(text), 1) AS n_chars1,
@@ -1584,11 +1594,13 @@ def _text_quality_filters_oracle() -> str:
     cannot drift; repetition math mirrors repetition_signals shape."""
     from readability_scanner_spark.operators.textquality import PII_PATTERNS
 
+    # triples carry a Java form and an RE2 form per pattern (same match
+    # set: ASCII lookarounds there == \b-next-to-digit here)
     redacted = "text"
-    for pattern, repl in PII_PATTERNS:
-        redacted = f"regexp_replace({redacted}, '{pattern}', '{repl}', 'g')"
+    for _, re2_pat, repl in PII_PATTERNS:
+        redacted = f"regexp_replace({redacted}, '{re2_pat}', '{repl}', 'g')"
     hits = " + ".join(
-        f"len(regexp_extract_all(text, '{pattern}'))" for pattern, _ in PII_PATTERNS
+        f"len(regexp_extract_all(text, '{re2_pat}'))" for _, re2_pat, _ in PII_PATTERNS
     )
     return f"""
         WITH toks AS (
@@ -1852,16 +1864,16 @@ def oracle_sql() -> dict[str, str]:
             FROM read_parquet('/tmp/rss_fullreport_stats_{os.path.basename(os.path.normpath(_oracle_sf_dir()))}_{_SIDECAR_VER}.parquet/*.parquet')
             ORDER BY doc_id
         """,
-        "full_report_sql": """
+        "full_report_sql": f"""
             WITH norm AS (
-              SELECT source AS grp, trim(regexp_replace(text, '\\s+', ' ', 'g')) AS t
+              SELECT source AS grp, trim(regexp_replace(text, '{_WSC}+', ' ', 'g')) AS t
               FROM documents
             ), st AS (
               SELECT grp,
-                greatest(len(regexp_extract_all(t, '\\b\\w+\\b')), 1) AS w,
+                greatest(len(regexp_extract_all(t, '[\\p{{L}}\\p{{N}}_]+')), 1) AS w,
                 greatest(len(list_filter(
                   regexp_split_to_array(t, '[.!?]+(?:\\s+|$)'), x -> trim(x) != '')), 1) AS s,
-                length(regexp_replace(t, '\\s', '', 'g')) AS c
+                length(regexp_replace(t, '{_WSC}', '', 'g')) AS c
               FROM norm WHERE t != ''
             ), scored AS (
               -- python expression shapes (functions/formulas.py:72-103):
@@ -2032,7 +2044,7 @@ def oracle_sql() -> dict[str, str]:
               SELECT doc_id, {w} AS w, {s} AS s, {p} AS p, {c} AS c FROM documents
             )
         """,
-        "doc_previews": """
+        "doc_previews": f"""
             SELECT doc_id,
               CASE WHEN length(norm) <= 80 THEN norm
                    ELSE CASE WHEN strpos(cut, ' ') > 0
@@ -2041,7 +2053,7 @@ def oracle_sql() -> dict[str, str]:
               END AS preview
             FROM (
               SELECT doc_id, norm, norm[1:80] AS cut FROM (
-                SELECT doc_id, trim(regexp_replace(text, '\\s+', ' ', 'g')) AS norm
+                SELECT doc_id, trim(regexp_replace(text, '{_WSC}+', ' ', 'g')) AS norm
                 FROM documents
               )
             )

@@ -4,7 +4,7 @@ Semantics match the reference exactly
 (news-scanner/readability/text_stats.py:27-201):
   - sentences: split on [.!?]+ followed by whitespace/EOS, drop empties
   - paragraphs: split on blank lines
-  - words: \\b\\w+\\b matches
+  - words: \\w+ runs (== the reference's \\b\\w+\\b under Python re)
   - characters: length excluding all whitespace
   - syllables: per-word pinned estimator (functions/syllables.py)
   - complex words: words with >= 3 syllables
@@ -27,7 +27,11 @@ from readability_scanner_spark.functions.syllables import estimate_syllables
 _WS_RUN = re.compile(r"\s+")
 _SENTENCE_SPLIT = re.compile(r"[.!?]+(?:\s+|$)")
 _PARAGRAPH_SPLIT = re.compile(r"\n\s*\n|\r\n\s*\r\n")
-_WORD = re.compile(r"\b\w+\b")
+# Python \w+ runs == [\p{L}\p{N}_]+ runs exactly (codepoint sweep, see
+# functions/wordchars.py); the reference's \b asserts (text_stats.py:60)
+# are redundant around a greedy \w+ in Python — identical match set —
+# and dropping them keeps this the literal twin of the JVM/DuckDB form.
+_WORD = re.compile(r"\w+")
 _ANY_WS = re.compile(r"\s")
 
 

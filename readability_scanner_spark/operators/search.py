@@ -18,13 +18,13 @@ from pyspark.sql import functions as F
 
 _TOKEN = re.compile(r"[^\w\s]")
 
-# THE word-character set, single source of truth: _term_pattern's
+# THE word-character set (single source: functions/wordchars.py —
+# re-exported here for the existing search API): _term_pattern's
 # lookarounds exclude exactly these on both ends, WORD_RUN extracts
 # runs of exactly these, and every DuckDB search oracle repeats the
 # same class as '[\\p{L}\\p{N}_]+' (string literal there — keep them
 # in sync; tests/test_search_unicode.py pins the equivalence).
-WORD_CHARS = r"\p{L}\p{N}_"
-WORD_RUN = rf"[{WORD_CHARS}]+"
+from readability_scanner_spark.functions.wordchars import WORD_CHARS, WORD_RUN  # noqa: E402
 
 
 def _terms(query: str) -> list[str]:

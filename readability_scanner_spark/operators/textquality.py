@@ -10,6 +10,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from readability_scanner_spark.functions.wordchars import WORD_RUN, lookaround
+
 # stopword marker sets per language (heuristic language ID in the classic
 # stopword-density style); 'la' is deliberately in both fr and es
 _LANG_WORDS = {
@@ -18,8 +20,14 @@ _LANG_WORDS = {
     "fr": ("le", "la", "les", "et", "est", "une", "des", "dans", "pour", "que"),
     "es": ("el", "la", "los", "las", "es", "una", "para", "con", "por", "del"),
 }
-_LANG_MARKERS = {  # kept for single-language callers / docs
-    lang: r"\b(" + "|".join(ws) + r")\b" for lang, ws in _LANG_WORDS.items()
+# Java-side marker pattern: lookaround word boundaries, NOT \b — a match
+# is then exactly a whole [\p{L}\p{N}_]+ run equal to a marker word, so
+# the DuckDB oracle's token-run membership count (list_filter over
+# WORD_RUN extractions) is equal by construction even next to accented
+# chars ("laïcité" contains no marker: RE2 \b would false-match its
+# 'la', Java \b would not — the r4 divergence family).
+_LANG_MARKERS = {
+    lang: lookaround("(?:" + "|".join(ws) + ")") for lang, ws in _LANG_WORDS.items()
 }
 # NOTE (measured, do not "optimize"): fusing the 4 marker scans into one
 # combined-alternation regexp_extract_all + per-language array filters is
@@ -29,7 +37,7 @@ _LANG_MARKERS = {  # kept for single-language callers / docs
 
 
 def lang_scores(text: Column) -> dict[str, Column]:
-    words = F.greatest(F.regexp_count(text, F.lit(r"\b\w+\b")), F.lit(1))
+    words = F.greatest(F.regexp_count(text, F.lit(WORD_RUN)), F.lit(1))
     return {
         lang: F.regexp_count(F.lower(text), F.lit(pattern)) / words
         for lang, pattern in _LANG_MARKERS.items()
@@ -85,7 +93,7 @@ def quality_score_col(text: Column, cjk_ratio: float = 0.2) -> Column:
     English-only); CJK documents — which have no whitespace-delimited
     stopwords — pass that term instead of flooring at 0.5."""
     n_chars = F.length(text)
-    words = F.greatest(F.regexp_count(text, F.lit(r"\b\w+\b")), F.lit(1))
+    words = F.greatest(F.regexp_count(text, F.lit(WORD_RUN)), F.lit(1))
     sentences = F.greatest(F.regexp_count(text, F.lit(r"[.!?]")), F.lit(1))
     punct_ratio = F.regexp_count(text, F.lit(r"[.,;:!?]")) / words
     best_marker = F.greatest(*lang_scores(text).values())
@@ -104,12 +112,24 @@ def quality_score_col(text: Column, cjk_ratio: float = 0.2) -> Column:
     return F.when(empty, F.lit(0.0)).otherwise(score)
 
 
-# PII patterns (shared literals with the DuckDB oracle; plain character
-# classes so Java regex and RE2 agree)
+# PII patterns as (java_pattern, re2_pattern, replacement) triples.
+# The email pattern is a shared literal (plain ASCII classes, engines
+# agree). The digit-anchored patterns need an ASCII word boundary:
+# RE2's \b IS that next to a digit, but Java's \b is unicode-letter-
+# aware ("电话555-123-4567": Java sees no boundary after 话 and misses
+# the phone; RE2 matches) — so the Java side spells RE2's semantics
+# explicitly as ASCII lookarounds (?<![0-9A-Za-z_]) / (?![0-9A-Za-z_]),
+# equal to RE2 \b-adjacent-to-digit by definition. ASCII boundary is
+# the right scrubbing call: a phone glued to a CJK char is still PII.
+_ASCII_B_L = r"(?<![0-9A-Za-z_])"
+_ASCII_B_R = r"(?![0-9A-Za-z_])"
+_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_PHONE = r"\d{3}[-.]\d{3,4}[-.]\d{4}"
+_IP = r"\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}"
 PII_PATTERNS = (
-    (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "[EMAIL]"),
-    (r"\b\d{3}[-.]\d{3,4}[-.]\d{4}\b", "[PHONE]"),
-    (r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "[IP]"),
+    (_EMAIL, _EMAIL, "[EMAIL]"),
+    (_ASCII_B_L + _PHONE + _ASCII_B_R, rf"\b{_PHONE}\b", "[PHONE]"),
+    (_ASCII_B_L + _IP + _ASCII_B_R, rf"\b{_IP}\b", "[IP]"),
 )
 
 
@@ -119,16 +139,16 @@ def redact_pii_col(text: Column) -> Column:
     (email first — its local part may contain digits a later pattern
     would half-match). Pure regexp_replace chain, whole-stage codegen."""
     out = text
-    for pattern, repl in PII_PATTERNS:
-        out = F.regexp_replace(out, pattern, repl)
+    for java_pat, _, repl in PII_PATTERNS:
+        out = F.regexp_replace(out, java_pat, repl)
     return out
 
 
 def pii_hits_col(text: Column) -> Column:
     """Count of PII matches (pre-redaction), same patterns."""
     total = F.lit(0)
-    for pattern, _ in PII_PATTERNS:
-        total = total + F.regexp_count(text, F.lit(pattern))
+    for java_pat, _, _ in PII_PATTERNS:
+        total = total + F.regexp_count(text, F.lit(java_pat))
     return total.cast("long")
 
 
@@ -169,7 +189,13 @@ def repetition_signals(text: Column, max_bigrams: int = 500) -> dict[str, Column
 def token_count_col(text: Column) -> Column:
     """BPE-ish token estimate: word tokens + standalone punctuation +
     digit runs (whitespace tokenization refined by a regex, the usual
-    cheap proxy for tokenizer budget accounting)."""
+    cheap proxy for tokenizer budget accounting).
+
+    DELIBERATELY ASCII ``\\w`` (unlike the word counters): Java and RE2
+    agree on it char-for-char, and counting each non-ASCII codepoint
+    outside an ASCII word run as its own token ("café" = 2, a CJK char
+    = 1 each) is the right direction for a BPE budget proxy — real
+    tokenizers also split unseen accented/CJK text finer than words."""
     return F.regexp_count(text, F.lit(r"\w+|[^\w\s]")).cast("long")
 
 

@@ -13,7 +13,16 @@ from readability_scanner_spark.functions import textstats as T
 from readability_scanner_spark.sources.fixtures import fixture_classes, make_fixture
 
 SAMPLES = [make_fixture(cls, s) for cls in fixture_classes() for s in (0, 5)]
-PLAIN = [clean_html_content(h) for h in SAMPLES]
+# make_fixture emits pure ASCII — exactly why the r4 \b divergence went
+# unseen. Adversarial non-ASCII rows keep this suite able to catch
+# Python-vs-JVM drift (the full 3-engine pin is test_word_unicode.py).
+ADVERSARIAL = [
+    "café brûlée naïve. data表 and ①items!\n\nsecond ²nd ½ paragraph.",
+    "laïcité le pour la. 日本語のテキストです。under_score one_token",
+    "Mixed: résumé naïveté — em-dash, ellipsis… 电话 10.0.0.1表 end.",
+    "unicode　space. nbsp here.\n　\npara after ws-only line.",
+]
+PLAIN = [clean_html_content(h) for h in SAMPLES] + ADVERSARIAL
 
 
 @pytest.fixture(scope="module")
