@@ -1167,6 +1167,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # (and the new WS_CLASS Spark columns) on e.g. U+3000 in CJK text
 from readability_scanner_spark.functions.wordchars import WS_CLASS as _WSC  # noqa: E402
 
+# dedup tokenizer twin (ASCII word runs + CJK char unigrams) — must stay
+# byte-identical to operators/dedup.py's DEDUP_TOKEN_PY stream
+from readability_scanner_spark.functions.wordchars import DEDUP_TOKEN_RE2 as _TOK  # noqa: E402
+
 _WORDS_SQL = f"len(regexp_extract_all(text, '{WORD_PAT}'))"
 _SENTS_SQL = (
     f"len(list_filter(regexp_split_to_array(trim(regexp_replace(text, '{_WSC}+', ' ', 'g')), "
@@ -1196,7 +1200,7 @@ def _simhash_oracle(max_hamming: int) -> str:
     any pair the pigeonhole bucketing would drop."""
     return f"""
         WITH tok AS (
-          SELECT doc_id, unnest(regexp_extract_all(lower(text), '[0-9a-z_]+')) AS t
+          SELECT doc_id, unnest(regexp_extract_all(lower(text), '{_TOK}')) AS t
           FROM documents
         ), th AS (
           SELECT doc_id, md5_number_lower(t) AS h FROM tok
@@ -1211,7 +1215,13 @@ def _simhash_oracle(max_hamming: int) -> str:
                    AS simhash
           FROM votes GROUP BY doc_id
         ), allsh AS (
-          SELECT d.doc_id, coalesce(s.simhash, 1::UBIGINT << 63) AS simhash
+          -- token-less-doc sentinel (bit 63 only, == the operator's
+          -- -(1<<63) wrapped to unsigned). Spelled as a literal: a
+          -- constant 1::UBIGINT << 63 trips DuckDB's signed-overflow
+          -- check at BIND time, but only once a row actually needs the
+          -- fallback — invisible on all-ASCII corpora, fatal on the
+          -- first doc with zero tokens (found by the multilingual guard)
+          SELECT d.doc_id, coalesce(s.simhash, 9223372036854775808::UBIGINT) AS simhash
           FROM documents d LEFT JOIN sh s USING (doc_id)
         )
         SELECT a.doc_id AS id_a, b.doc_id AS id_b,
@@ -1235,7 +1245,7 @@ def _minhash_oracle(n_hashes: int = 64, bands: int = 16, seed: int = 42) -> str:
     b_list = "[" + ", ".join(str(int(x)) for x in b) + "]"
     return f"""
         WITH tok AS (
-          SELECT doc_id, regexp_extract_all(lower(text), '[0-9a-z_]+') AS t FROM documents
+          SELECT doc_id, regexp_extract_all(lower(text), '{_TOK}') AS t FROM documents
         ), grams AS (
           SELECT doc_id,
             CASE WHEN len(t) >= 3 THEN
@@ -1384,15 +1394,15 @@ def _dedup_pipeline_oracle(threshold: float = 0.5) -> str:
         WITH mh AS ({mh}),
         toksj AS (
           SELECT doc_id,
-            list_filter(string_split_regex(lower(regexp_replace(text, '[^\\w\\s]', ' ', 'g')), '\\s+'),
-                        x -> x != '') AS t
+            regexp_extract_all(lower(text), '{_TOK}') AS t
           FROM documents
         ), gramsj AS (
           SELECT doc_id,
             CASE WHEN len(t) >= 3 THEN
               list_distinct(list_transform(generate_series(1, len(t) - 2),
                                            i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))
-            ELSE [array_to_string(t, ' ')] END AS g
+            WHEN len(t) > 0 THEN [array_to_string(t, ' ')]
+            ELSE [] END AS g
           FROM toksj
         )
         SELECT m.id_a, m.id_b,
@@ -1456,24 +1466,33 @@ def _cdc_oracle(max_doc_id: int = 300, min_shared: int = 2) -> str:
     The min_chunk=64 greedy boundary selection is the recursive CTE
     (one row per doc per chunk). Pairs join on the literal chunk
     SUBSTRING (the operator joins on crc32(chunk) — identical up to hash
-    collisions). Assumes ASCII text (bytes == codepoints), which holds
-    for the driver's sf0.01 documents."""
+    collisions). Operates on the REAL UTF-8 byte stream (hex(encode())
+    sliced two chars per byte), matching the operator's bytes-domain
+    rolling hash on any text — the earlier ord(substr()) form was
+    codepoint-based and silently assumed ASCII, which the multilingual
+    corpus broke."""
     return f"""
         WITH RECURSIVE
         d0 AS (SELECT doc_id, text FROM documents WHERE doc_id < {max_doc_id}),
+        hx AS (
+          SELECT doc_id, hex(encode(text)) AS h, octet_length(encode(text)) AS blen
+          FROM d0
+        ),
         bytes AS (
-          SELECT doc_id, unnest(generate_series(0, length(text) - 1)) AS j
-          FROM d0 WHERE length(text) > 0
+          SELECT doc_id, unnest(generate_series(0, blen - 1)) AS j
+          FROM hx WHERE blen > 0
         ), bv AS (
-          SELECT b.doc_id, b.j, ord(substr(d.text, b.j + 1, 1)) AS v
-          FROM bytes b JOIN d0 d USING (doc_id)
+          SELECT b.doc_id, b.j,
+                 (strpos('0123456789ABCDEF', substr(x.h, 2 * b.j + 1, 1)) * 16
+                  + strpos('0123456789ABCDEF', substr(x.h, 2 * b.j + 2, 1)) - 17) AS v
+          FROM bytes b JOIN hx x USING (doc_id)
         ), cand AS (
           SELECT a.doc_id, a.j AS i
           FROM bv a JOIN bv b ON b.doc_id = a.doc_id AND b.j BETWEEN a.j - 15 AND a.j
           GROUP BY a.doc_id, a.j
           HAVING sum(b.v * CASE WHEN (a.j - b.j) % 2 = 1 THEN 31 ELSE 1 END) % 64 = 0
         ), dl AS (
-          SELECT doc_id, length(text) AS len FROM d0
+          SELECT doc_id, blen AS len FROM hx
         ), bounds AS (
           SELECT d.doc_id, 0::BIGINT AS start,
                  (SELECT min(c.i) FROM cand c WHERE c.doc_id = d.doc_id AND c.i >= 63) AS bend
@@ -1484,10 +1503,12 @@ def _cdc_oracle(max_doc_id: int = 300, min_shared: int = 2) -> str:
                   WHERE c.doc_id = b.doc_id AND c.i >= b.bend + 1 + 63) AS bend
           FROM bounds b WHERE b.bend IS NOT NULL
         ), chunks AS (
+          -- piece identity = its hex slice (2 hex chars per byte):
+          -- byte-equality without ever re-decoding to text
           SELECT b.doc_id,
-                 substr(d.text, b.start + 1,
-                        coalesce(b.bend, dl.len - 1) - b.start + 1) AS piece
-          FROM bounds b JOIN d0 d USING (doc_id) JOIN dl USING (doc_id)
+                 substr(x.h, 2 * b.start + 1,
+                        2 * (coalesce(b.bend, dl.len - 1) - b.start + 1)) AS piece
+          FROM bounds b JOIN hx x USING (doc_id) JOIN dl USING (doc_id)
           WHERE b.start < dl.len OR b.start = 0
         )
         SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS shared_chunks
@@ -1750,8 +1771,11 @@ def oracle_sql() -> dict[str, str]:
               SELECT doc_id, pos, sent FROM (
                 SELECT doc_id,
                        generate_subscripts(arr, 1)::BIGINT AS pos,
+                       -- trim(x, ' '): bare trim() strips UNICODE ws
+                       -- (U+3000 etc.) but the Python side strips only
+                       -- ASCII space — caught by the multilingual corpus
                        trim(regexp_replace(unnest(arr),
-                            '[ \t\n\x0b\x0c\r]+', ' ', 'g')) AS sent
+                            '[ \t\n\x0b\x0c\r]+', ' ', 'g'), ' ') AS sent
                 FROM parts
               ) WHERE sent <> ''
             ),
@@ -2253,18 +2277,18 @@ def oracle_sql() -> dict[str, str]:
             ) WHERE relevance > 0
             ORDER BY relevance DESC, doc_id ASC LIMIT 20
         """,
-        "ngram_jaccard": r"""
+        "ngram_jaccard": f"""
             WITH toks AS (
               SELECT doc_id,
-                list_filter(string_split_regex(lower(regexp_replace(text, '[^\w\s]', ' ', 'g')), '\s+'),
-                            x -> x != '') AS t
+                regexp_extract_all(lower(text), '{_TOK}') AS t
               FROM documents WHERE doc_id < 200
             ), grams AS (
               SELECT doc_id,
                 CASE WHEN len(t) >= 3 THEN
                   list_distinct(list_transform(generate_series(1, len(t) - 2),
                                                i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))
-                ELSE [array_to_string(t, ' ')] END AS g
+                WHEN len(t) > 0 THEN [array_to_string(t, ' ')]
+                ELSE [] END AS g
               FROM toks
             )
             SELECT a.doc_id AS id_a, b.doc_id AS id_b,
@@ -2274,7 +2298,7 @@ def oracle_sql() -> dict[str, str]:
             WHERE len(list_intersect(a.g, b.g))::DOUBLE
                   / len(list_distinct(list_concat(a.g, b.g))) >= 0.5
         """,
-        "lang_quality": _lang_quality_oracle() + """
+        "lang_quality": _lang_quality_oracle() + f"""
             ), ratios AS (
               SELECT *,
                 hit_en::DOUBLE / words AS s_en, hit_de::DOUBLE / words AS s_de,
@@ -2295,7 +2319,10 @@ def oracle_sql() -> dict[str, str]:
                    WHEN s_es >= greatest(s_en, s_de) THEN 'es'
                    WHEN s_en >= s_de THEN 'en'
                    ELSE 'de' END AS lang_guess,
-              CASE WHEN length(trim(coalesce(text, ''))) = 0 THEN 0.0 ELSE
+              -- engine-stable emptiness: remove the unicode WS class and
+              -- test length (DuckDB's bare trim strips unicode ws, Spark's
+              -- F.trim only ASCII space — neither matches the other)
+              CASE WHEN length(regexp_replace(coalesce(text, ''), '{_WSC}', '', 'g')) = 0 THEN 0.0 ELSE
               ((CASE WHEN n_chars BETWEEN 100 AND 50000 THEN 1.0 ELSE 0.3 END)
                    + (CASE WHEN punct_ratio BETWEEN 0.02 AND 0.4 THEN 1.0 ELSE 0.4 END)
                    + (CASE WHEN d_kana >= 0.05 OR d_hangul >= 0.2 OR d_han >= 0.2

@@ -69,6 +69,32 @@ PY_WS_SET = frozenset(
 )
 
 
+# --- dedup tokenizer: ASCII word runs + CJK char unigrams -------------------
+# MinHash/SimHash/Jaccard shingling needs tokens, but Han/kana/hangul
+# text has no spaces to split on — the standard fix (used by Lucene's
+# CJK analyzers and BM25 implementations) is one token per CJK
+# CHARACTER. Without this, every CJK document tokenizes to the empty
+# set and the whole near-dup family degenerates (all CJK docs become
+# mutual "duplicates" of the empty token sequence) — exactly what the
+# round-5 multilingual corpus exposed. Ranges: CJK Unified Ideographs
+# + Extension A, hiragana+katakana (contiguous), hangul syllables.
+# lower() is identity on all of them, so the classes are case-stable.
+_CJK_PAIRS = ((0x3400, 0x4DBF), (0x4E00, 0x9FFF), (0x3040, 0x30FF), (0xAC00, 0xD7AF))
+
+# Java regex class body (literal chars — Python resolves the \u escapes)
+CJK_CHARS = "".join(f"{chr(a)}-{chr(b)}" for a, b in _CJK_PAIRS)
+# RE2 (DuckDB) spelling of the same class
+CJK_CHARS_RE2 = "".join(rf"\x{{{a:04X}}}-\x{{{b:04X}}}" for a, b in _CJK_PAIRS)
+
+# The cross-engine dedup token pattern over LOWERED text: an ASCII word
+# run, or a single CJK char. (ASCII-only for the latin part on purpose:
+# token HASHES must match DuckDB md5_number_lower recomputes, and the
+# unicode-L* class is already covered by WORD_RUN for counting — dedup
+# shingles only need a stable, engine-identical token stream.)
+DEDUP_TOKEN_PY = re.compile(rf"[0-9a-z_]+|[{CJK_CHARS}]")
+DEDUP_TOKEN_RE2 = rf"[0-9a-z_]+|[{CJK_CHARS_RE2}]"
+
+
 def lookaround(inner: str) -> str:
     """Wrap a Java-regex fragment in explicit word-boundary lookarounds
     — the engine-stable replacement for ``\\b…\\b``. Java-side only

@@ -18,9 +18,14 @@ import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-# ASCII word runs — deliberately the same token set as RE2/Java '\w+'
-# (Python's unicode \w would diverge from the DuckDB oracle on CJK text)
-_WORD_RE = re.compile(r"[0-9A-Za-z_]+")
+from readability_scanner_spark.functions.wordchars import CJK_CHARS, DEDUP_TOKEN_PY
+
+# Dedup token stream: ASCII word runs + one token per CJK char (Lucene
+# CJK-analyzer convention — CJK has no spaces to split on; without the
+# char-unigram branch every CJK doc tokenizes to the empty set and the
+# near-dup family degenerates). ASCII (not unicode \w) for the latin
+# part so token hashes match the DuckDB md5_number_lower recompute.
+_WORD_RE = DEDUP_TOKEN_PY
 
 
 def _md5_64(s: str) -> int:
@@ -303,7 +308,10 @@ def ngram_jaccard_pairs(
     union = F.size(F.array_union(F.col("ga"), F.col("gb")))
     return (
         a.join(b, F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", (inter / union).alias("jaccard"))
+        # try_divide: ANSI mode makes bare / THROW when both gram sets
+        # are empty (token-less docs); NULL falls out of the >= filter,
+        # matching the DuckDB oracle's NULL-division semantics
+        .select("id_a", "id_b", F.try_divide(inter, union).alias("jaccard"))
         .where(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", F.round("jaccard", 4).alias("jaccard"))
         .orderBy("id_a", "id_b")
@@ -311,18 +319,31 @@ def ngram_jaccard_pairs(
 
 
 def _grams_col(text_col: str, shingle_n: int):
-    toks = F.split(F.lower(F.regexp_replace(F.col(text_col), r"[^\w\s]", " ")), r"\s+")
+    # JVM twin of _shingles: pad every CJK char into its own token, drop
+    # everything that is neither an ASCII word char nor CJK (this also
+    # eats unicode whitespace like U+3000, which Java \s misses), then
+    # split. Token stream == DEDUP_TOKEN_PY.findall(lower(text)).
+    padded = F.regexp_replace(F.col(text_col), f"([{CJK_CHARS}])", " $1 ")
+    cleaned = F.regexp_replace(padded, rf"[^\w\s{CJK_CHARS}]", " ")
+    toks = F.split(F.lower(cleaned), r"\s+")
     toks = F.filter(toks, lambda x: x != "")
     n_tok = F.size(toks)
-    return F.when(
-        n_tok >= shingle_n,
-        F.array_distinct(
-            F.transform(
-                F.sequence(F.lit(0), n_tok - shingle_n),
-                lambda i: F.concat_ws(" ", F.slice(toks, i + 1, shingle_n)),
-            )
-        ),
-    ).otherwise(F.array(F.concat_ws(" ", toks)))
+    return (
+        F.when(
+            n_tok >= shingle_n,
+            F.array_distinct(
+                F.transform(
+                    F.sequence(F.lit(0), n_tok - shingle_n),
+                    lambda i: F.concat_ws(" ", F.slice(toks, i + 1, shingle_n)),
+                )
+            ),
+        )
+        .when(n_tok > 0, F.array(F.concat_ws(" ", toks)))
+        # zero tokens -> EMPTY set, not [""]: two token-less docs must
+        # not score jaccard 1.0 against each other (and the oracle's
+        # ELSE [] branch + NULL-division filter agree)
+        .otherwise(F.array().cast("array<string>"))
+    )
 
 
 def ngram_jaccard_verify(
@@ -348,7 +369,7 @@ def ngram_jaccard_verify(
     inter = F.size(F.array_intersect(F.col("ga"), F.col("gb")))
     union = F.size(F.array_union(F.col("ga"), F.col("gb")))
     return (
-        joined.select("id_a", "id_b", (inter / union).alias("jaccard"))
+        joined.select("id_a", "id_b", F.try_divide(inter, union).alias("jaccard"))
         .where(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", F.round("jaccard", 4).alias("jaccard"))
         .orderBy("id_a", "id_b")
