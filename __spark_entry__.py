@@ -990,7 +990,9 @@ def q_media_features(spark, sf_dir):
     feature scaled x1000, floor(x+0.5), summed) recomputed by the
     oracle in plain local Python over the same deterministic payloads.
     Covers PNG unfilter, baseline-JPEG huffman+IDCT (r4), WAV PCM16
-    stats, and the crc-fake fallback for video rows."""
+    stats, and REAL MJPEG video-frame decode (r5: sample-table extract +
+    the same T.81 kernel per frame); the crc-fake fallback now only
+    catches hostile bytes and genuinely undecodable codecs (h264/vp9)."""
     from readability_scanner_spark.operators.multimodal import (
         extract_media_features,
         synthetic_media_df,

@@ -59,22 +59,62 @@ def test_media_dimension_dispatch_and_duration():
     png = multimodal.make_png(9, 4, seed=1)
     assert multimodal.parse_media_dimensions(png) == (9, 4)
     assert multimodal.parse_media_dimensions(b"junk" * 10) is None
-    # synthetic video rows: REAL container, REAL parsed duration
+    # synthetic video rows: REAL MJPEG container, REAL parsed duration
     kind, p, w, h = multimodal.synthetic_media_row(5)  # 5 % 3 == 2 -> video
     assert kind == "video"
     pw, ph, pdur = parse_mp4_info(p)
     assert (pw, ph) == (w, h)
-    assert pdur == (5 % 10 + 1) * 1000
+    assert pdur == (2 + 5 % 4) * 1000 // 4  # n_frames / fps=4
 
 
-def test_video_features_stay_marked_fake():
-    """Frame decode is honestly stubbed: video payloads fall to the
-    crc-fake vector (16 entries), while dims/duration are real."""
-    kind, p, _, _ = multimodal.synthetic_media_row(5)
+def test_video_features_are_real_mjpeg_decode():
+    """Synthetic video rows decode for REAL: sample-table extraction +
+    per-frame T.81 decode. Layout: [w, h, ch, n_frames, then per-channel
+    (mean, std)] — and the means must equal a direct per-frame numpy
+    recompute of the extracted JPEG samples."""
+    import numpy as np
+
+    from readability_scanner_spark.operators.jpeg import decode_jpeg
+    from readability_scanner_spark.operators.mp4 import extract_mjpeg_samples
+
+    kind, p, w, h = multimodal.synthetic_media_row(5)
     feats = multimodal._features_dispatch(p)
-    assert feats == multimodal._fake_features(p)
+    assert feats != multimodal._fake_features(p)
+    samples = extract_mjpeg_samples(p)
+    assert feats[:4] == [float(w), float(h), 3.0, float(len(samples))]
+    means = np.vstack(
+        [
+            np.frombuffer(bytes(decode_jpeg(s)[3]), dtype=np.uint8)
+            .reshape(-1, 3)
+            .mean(axis=0)
+            for s in samples
+        ]
+    ).mean(axis=0)
+    assert feats[4] == pytest.approx(float(means[0]) / 255.0)
+    assert feats[6] == pytest.approx(float(means[1]) / 255.0)
+
+
+def test_non_mjpeg_video_still_falls_back_fake():
+    """h264/vp9 territory stays the honest gap: a frame-less plain MP4
+    (no 'jpeg' sample entry) falls back to the marked crc-fake vector,
+    and a truncated-mdat MJPEG decodes only its surviving frames."""
+    plain = make_mp4(224, 168, 7000, seed=5)
+    assert multimodal._features_dispatch(plain) == multimodal._fake_features(plain)
     with pytest.raises(NotImplementedError):
-        multimodal._decode_image(p)
+        multimodal._decode_image(plain)
+
+    from readability_scanner_spark.operators.mp4 import (
+        extract_mjpeg_samples,
+        make_mjpeg_mp4,
+    )
+
+    full = make_mjpeg_mp4(32, 24, 4, fps=4, seed=9)
+    frames = extract_mjpeg_samples(full)
+    assert len(frames) == 4
+    cut = full[: len(full) - len(frames[-1]) - 3]  # kill frame 4 (+3 bytes of 3)
+    feats = multimodal._features_dispatch(cut)
+    assert feats[3] == 2.0  # frames 1-2 survive, decode stays real
+    assert feats != multimodal._fake_features(cut)
 
 
 def test_truncated_tkhd_and_largesize_do_not_throw():

@@ -500,9 +500,47 @@ def test_media_features_deterministic(spark):
         elif kinds[r.media_id] == "audio":  # REAL [sr, ch, n_samples, rms, peak]
             assert len(r.features) == 5 and r.features[0] == 8000.0
             assert 0.0 < r.features[3] <= 1.0
-        else:  # video blobs: marked 16-dim fake (no stdlib codec)
-            assert len(r.features) == 16
+        else:  # video: REAL MJPEG decode [w,h,ch,n_frames,(mean,std)/ch]
+            assert len(r.features) == 4 + 2 * int(r.features[2])
+            assert r.features[0] == float(r.width) and r.features[3] >= 1.0
     assert all(r.n_bytes > 0 for r in a)
+
+
+def test_sampled_frame_stats_decodes_real_frames(spark):
+    """The decoding twin of the sample_frames plan: per sampled ts the
+    nearest MJPEG frame's luma, computed distributed, must equal a local
+    recompute — and non-MJPEG rows contribute nothing (honest gap)."""
+    import numpy as np
+
+    from readability_scanner_spark.operators.jpeg import decode_jpeg
+    from readability_scanner_spark.operators.mp4 import extract_mjpeg_samples
+
+    media = multimodal.synthetic_media_df(spark, 12)
+    got = multimodal.sampled_frame_stats(media, every_ms=250).orderBy(
+        "media_id", "frame_ts_ms"
+    ).collect()
+    assert got, "video rows must yield frames"
+    videos = {
+        r.media_id: (bytes(r.payload), r.duration_ms)
+        for r in media.where("kind = 'video'").collect()
+    }
+    for r in got:
+        payload, duration = videos[r.media_id]
+        samples = extract_mjpeg_samples(payload)
+        fi = min(round(r.frame_ts_ms * len(samples) / duration), len(samples) - 1)
+        assert fi == r.frame_idx
+        w, h, c, px = decode_jpeg(samples[fi])
+        assert (w, h) == (r.width, r.height)
+        luma = float(np.frombuffer(bytes(px), dtype=np.uint8).mean()) / 255.0
+        assert r.mean_luma == pytest.approx(luma)
+    # non-MJPEG video rows are skipped, not fatal
+    from readability_scanner_spark.operators.mp4 import make_mp4
+
+    plain = spark.createDataFrame(
+        [(99, "video", make_mp4(64, 48, 2000), 2000)],
+        "media_id long, kind string, payload binary, duration_ms long",
+    )
+    assert multimodal.sampled_frame_stats(plain, every_ms=500).count() == 0
 
 
 def test_frame_sampling(spark):
