@@ -729,6 +729,23 @@ def q_text_search(spark, sf_dir):
     return text_search(_t(spark, sf_dir, "documents", spread=True), "text", "data table query", "doc_id", limit=20)
 
 
+def q_text_search_mongo_score(spark, sf_dir):
+    """P9 textScore under MongoDB's EXACT scoring constants (r5):
+    fts_spec.cpp _scoreStringV2 — per (field w, term) contribution
+    w * (2 - 2^(1-count)) * (0.5*count/numTokens + 0.5), language
+    'none' (no stemming/stopwords). Replaces approximation with the
+    real formula; reference sort surface article_search_routes.py:52-81."""
+    from readability_scanner_spark.operators.search import text_search_mongo
+
+    return text_search_mongo(
+        _t(spark, sf_dir, "documents", spread=True),
+        {"source": 5.0, "text": 1.0},
+        "data table query",
+        "doc_id",
+        limit=20,
+    )
+
+
 def q_text_search_scored(spark, sf_dir):
     """P9 textScore upgrade: field-weighted saturating-TF relevance
     (source weight 5, text weight 1 — Mongo $text field-weight shape)."""
@@ -1099,6 +1116,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embed_stub": q_embed_stub,
         "text_quality_filters": q_text_quality_filters,
         "text_search_scored": q_text_search_scored,
+        "text_search_mongo_score": q_text_search_mongo_score,
         "flagship_extract": q_flagship_extract,
         # --- (b) changed in round 4 ---
         "media_features": q_media_features,
@@ -1839,6 +1857,38 @@ def oracle_sql() -> dict[str, str]:
                 + (CASE WHEN t1 > 0 THEN 1.0 * (0.5 + 0.5 * t1 / (t1 + 1)) ELSE 0 END)
                 + (CASE WHEN t2 > 0 THEN 1.0 * (0.5 + 0.5 * t2 / (t2 + 1)) ELSE 0 END)
                 + (CASE WHEN t3 > 0 THEN 1.0 * (0.5 + 0.5 * t3 / (t3 + 1)) ELSE 0 END), 4)
+                AS score
+              FROM tf
+            ) WHERE score > 0
+            ORDER BY score DESC, doc_id ASC LIMIT 20
+        """,
+        "text_search_mongo_score": """
+            -- Mongo fts_spec.cpp _scoreStringV2, language 'none':
+            -- per (field weight w, term count c, field token count nt)
+            -- w * (2 - 2^(1-c)) * (0.5*c/nt + 0.5); token-run counts ==
+            -- the Spark lookaround counts (same word-char set). The
+            -- CASE order matches the Spark fold (fields outer, terms
+            -- inner) so float summation order is identical.
+            WITH tf AS (
+              SELECT doc_id,
+                len(regexp_extract_all(lower(source), '[\\p{L}\\p{N}_]+'))::DOUBLE AS sn,
+                len(regexp_extract_all(lower(text), '[\\p{L}\\p{N}_]+'))::DOUBLE AS tn,
+                len(list_filter(regexp_extract_all(lower(source), '[\\p{L}\\p{N}_]+'), x -> x = 'data'))::DOUBLE AS s1,
+                len(list_filter(regexp_extract_all(lower(source), '[\\p{L}\\p{N}_]+'), x -> x = 'table'))::DOUBLE AS s2,
+                len(list_filter(regexp_extract_all(lower(source), '[\\p{L}\\p{N}_]+'), x -> x = 'query'))::DOUBLE AS s3,
+                len(list_filter(regexp_extract_all(lower(text), '[\\p{L}\\p{N}_]+'), x -> x = 'data'))::DOUBLE AS t1,
+                len(list_filter(regexp_extract_all(lower(text), '[\\p{L}\\p{N}_]+'), x -> x = 'table'))::DOUBLE AS t2,
+                len(list_filter(regexp_extract_all(lower(text), '[\\p{L}\\p{N}_]+'), x -> x = 'query'))::DOUBLE AS t3
+              FROM documents
+            )
+            SELECT doc_id, score FROM (
+              SELECT doc_id, round(
+                  (CASE WHEN s1 > 0 THEN (5.0 * (2.0 - power(2.0, 1.0 - s1))) * (0.5 * s1 / sn + 0.5) ELSE 0 END)
+                + (CASE WHEN s2 > 0 THEN (5.0 * (2.0 - power(2.0, 1.0 - s2))) * (0.5 * s2 / sn + 0.5) ELSE 0 END)
+                + (CASE WHEN s3 > 0 THEN (5.0 * (2.0 - power(2.0, 1.0 - s3))) * (0.5 * s3 / sn + 0.5) ELSE 0 END)
+                + (CASE WHEN t1 > 0 THEN (1.0 * (2.0 - power(2.0, 1.0 - t1))) * (0.5 * t1 / tn + 0.5) ELSE 0 END)
+                + (CASE WHEN t2 > 0 THEN (1.0 * (2.0 - power(2.0, 1.0 - t2))) * (0.5 * t2 / tn + 0.5) ELSE 0 END)
+                + (CASE WHEN t3 > 0 THEN (1.0 * (2.0 - power(2.0, 1.0 - t3))) * (0.5 * t3 / tn + 0.5) ELSE 0 END), 4)
                 AS score
               FROM tf
             ) WHERE score > 0

@@ -587,6 +587,120 @@ def connected_components(
     return result
 
 
+def connected_components_star(
+    pairs: DataFrame,
+    src: str,
+    dst: str,
+    max_iterations: int = 50,
+    checkpoint_every: int = 3,
+) -> DataFrame:
+    """Connected components by alternating LARGE-STAR / SMALL-STAR
+    rounds (Kiveris et al., "Connected Components in MapReduce and
+    Beyond", SoCC 2014) — O(log^2 n) rounds INDEPENDENT of graph
+    diameter, vs min-label propagation's O(diameter). The opt-in
+    strategy for adversarial long-chain graphs; for near-dup
+    quasi-cliques min-label's 2-4 cheap rounds win (see
+    connected_components). Same contract: (node, component) with
+    component = min reachable id.
+
+    Per round, both operations are one groupBy + one equi-join on the
+    node key — never a pair product:
+      large-star: every neighbor v > u links to m = min(N(u) ∪ {u})
+      small-star: every neighbor v ≤ u (edges pointed high→low) links
+                  to m = min of that down-neighborhood
+    Fixpoint = the directed high→low edge set stops changing; at that
+    point edges form stars rooted at each component's minimum."""
+    nodes = (
+        pairs.select(F.col(src).alias("node"))
+        .union(pairs.select(F.col(dst).alias("node")))
+        .distinct()
+        .persist()
+    )
+    # directed high→low, self-loops dropped
+    edges = (
+        pairs.select(
+            F.greatest(F.col(src), F.col(dst)).alias("u"),
+            F.least(F.col(src), F.col(dst)).alias("v"),
+        )
+        .where(F.col("u") != F.col("v"))
+        .distinct()
+        .persist()
+    )
+    converged = False
+    prev = edges
+    for it in range(max_iterations):
+        sym = prev.union(prev.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        # large-star: m(u) = min over N(u)∪{u}; rewire strictly-larger
+        # neighbors to m
+        mins = sym.groupBy("u").agg(
+            F.min(F.least(F.col("v"), F.col("u"))).alias("m")
+        )
+        large = (
+            sym.where(F.col("v") > F.col("u"))
+            .join(mins, "u")
+            .select(F.col("v").alias("a"), F.col("m").alias("b"))
+        )
+        e1 = (
+            large.select(
+                F.greatest("a", "b").alias("u"), F.least("a", "b").alias("v")
+            )
+            .where(F.col("u") != F.col("v"))
+            .distinct()
+        )
+        # small-star over the high→low set: m(u) = min(down-nbrs); every
+        # down-neighbor AND u itself link to m
+        mins2 = e1.groupBy("u").agg(F.min("v").alias("m"))
+        small = (
+            e1.join(mins2, "u")
+            .select(F.col("v").alias("a"), F.col("m").alias("b"))
+            .union(mins2.select(F.col("u").alias("a"), F.col("m").alias("b")))
+        )
+        new_edges = (
+            small.select(
+                F.greatest("a", "b").alias("u"), F.least("a", "b").alias("v")
+            )
+            .where(F.col("u") != F.col("v"))
+            .distinct()
+        )
+        if checkpoint_every and (it + 1) % checkpoint_every == 0:
+            new_edges = new_edges.localCheckpoint()
+        else:
+            new_edges = new_edges.persist()
+        # exact fixpoint test: the high→low edge set is canonical, so
+        # equal-count + empty-difference == set equality (two small jobs
+        # per round; the O(log^2 n) round count keeps the total low)
+        same_size = new_edges.count() == prev.count()
+        stable = same_size and new_edges.exceptAll(prev).limit(1).count() == 0
+        if prev is not edges:
+            prev.unpersist()
+        prev = new_edges
+        if stable:
+            converged = True
+            break
+    if not converged:
+        if prev is not edges:
+            prev.unpersist()
+        edges.unpersist()
+        nodes.unpersist()
+        raise RuntimeError(
+            f"connected_components_star did not converge within "
+            f"{max_iterations} iterations"
+        )
+    # at fixpoint every non-root points straight at its component root;
+    # roots (and singletons, if any) label themselves
+    result = (
+        nodes.join(prev.withColumnRenamed("u", "node"), "node", "left")
+        .groupBy("node")
+        .agg(F.min(F.coalesce(F.col("v"), F.col("node"))).alias("component"))
+        .localCheckpoint()
+    )
+    if prev is not edges:
+        prev.unpersist()
+    edges.unpersist()
+    nodes.unpersist()
+    return result
+
+
 def resolve_duplicate_clusters(
     pairs: DataFrame,
     docs: DataFrame,
@@ -594,6 +708,7 @@ def resolve_duplicate_clusters(
     text_col: str,
     src: str = "id_a",
     dst: str = "id_b",
+    strategy: str = "min_label",
 ) -> DataFrame:
     """Pairs → clusters → canonical winner per cluster: the longest text
     wins, ties broken by smallest id (deterministic across partitionings
@@ -602,7 +717,8 @@ def resolve_duplicate_clusters(
     doc; singletons are not duplicates and are left out. Downstream
     "keep one per cluster" is `where(is_canonical)` + anti-join.
     """
-    comps = connected_components(pairs, src, dst)
+    cc = connected_components if strategy == "min_label" else connected_components_star
+    comps = cc(pairs, src, dst)
     scored = comps.join(
         docs.select(
             F.col(id_col).alias("node"), F.length(F.col(text_col)).alias("_tl")

@@ -91,6 +91,55 @@ def text_search_weighted(
     )
 
 
+def mongo_text_score(fields: dict[str, float], query: str) -> Column:
+    """MongoDB's EXACT textScore formula (open-source: mongo/src/mongo/
+    db/fts/fts_spec.cpp, ``FTSSpec::_scoreStringV2``), not the
+    saturating approximation above. Per (field with weight w, query
+    term with ``count`` occurrences among the field's ``numTokens``
+    word tokens):
+
+        freq  = sum_{k=1..count} 1/2^(k-1)  =  2 - 2^(1-count)
+        coeff = 0.5 * count / numTokens + 0.5
+        contribution = w * freq * coeff
+
+    and textScore = sum of contributions over query terms and indexed
+    fields. Tokenization here is the engine's unicode word-run set with
+    no stemming and no stopwords — exactly Mongo's behavior for
+    ``default_language: "none"`` (stemming/stopwords are language
+    processing Mongo also skips for 'none'); for stemmed languages the
+    scores would diverge on inflected terms only. Expression shape is
+    kept identical in the DuckDB oracle (same association order, one
+    pow + one division per term) so the driver hash matches bit-exact."""
+    score = F.lit(0.0)
+    for col_name, weight in fields.items():
+        low = F.lower(F.col(col_name))
+        n_tokens = F.size(F.regexp_extract_all(low, F.lit(WORD_RUN), 0)).cast("double")
+        for t in _terms(query):
+            cnt = F.regexp_count(low, F.lit(_term_pattern(t))).cast("double")
+            freq = F.lit(2.0) - F.pow(F.lit(2.0), F.lit(1.0) - cnt)
+            coeff = F.lit(0.5) * cnt / n_tokens + F.lit(0.5)
+            # cnt > 0 implies n_tokens > 0, so the division in the taken
+            # branch can never hit ANSI divide-by-zero
+            score = score + F.when(
+                cnt > 0, F.lit(float(weight)) * freq * coeff
+            ).otherwise(0.0)
+    return score
+
+
+def text_search_mongo(
+    df: DataFrame, fields: dict[str, float], query: str, id_col: str, limit: int = 20
+) -> DataFrame:
+    """P9 relevance ranking under Mongo's exact textScore constants
+    (article_search_routes.py:52-81 sorts on {$meta: "textScore"})."""
+    return (
+        df.withColumn("score", F.round(mongo_text_score(fields, query), 4))
+        .where(F.col("score") > 0)
+        .select(id_col, "score")
+        .orderBy(F.desc("score"), F.asc(id_col))
+        .limit(limit)
+    )
+
+
 def text_search(
     df: DataFrame, text_col: str, query: str, id_col: str, limit: int = 20, require_all: bool = False
 ) -> DataFrame:
@@ -131,6 +180,62 @@ def build_token_index(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
     return toks.groupBy("token", "doc_id").agg(
         F.count("*").cast("long").alias("tf")
+    )
+
+
+def write_token_index(
+    index: DataFrame, table: str, n_buckets: int = 64, mode: str = "overwrite"
+) -> None:
+    """Materialize the inverted index as a BUCKETED table: hash-bucketed
+    and sorted by token, so a term lookup prunes to its bucket(s)
+    (plan shows ``SelectedBucketsCount: k out of n_buckets``) instead of
+    scanning all postings — the 100 TB layout the build docstring
+    promises, demonstrated rather than described. Bucketing also makes
+    (token, token) self/maintenance joins shuffle-free."""
+    (
+        index.write.bucketBy(n_buckets, "token")
+        .sortBy("token")
+        .mode(mode)
+        .format("parquet")
+        .saveAsTable(table)
+    )
+
+
+def append_to_token_index(
+    spark, table: str, new_docs: DataFrame, id_col: str, text_col: str
+) -> None:
+    """Incremental index maintenance for APPEND-ONLY corpora: tokenize
+    only the new documents and insert their postings into the bucketed
+    table. (token, doc_id) stays unique because new doc_ids are disjoint
+    from indexed ones; insertInto preserves the table's bucket spec, so
+    queries keep pruning. For updated/deleted docs, rebuild the affected
+    doc_ids' postings via an anti-join first — not needed for the
+    append-only transcript corpus this engine targets."""
+    build_token_index(new_docs, id_col, text_col).write.insertInto(table)
+
+
+def search_bucketed_index(spark, table: str, query: str, limit: int = 20) -> DataFrame:
+    """search_token_index against the bucketed on-disk table, with the
+    term filter expressed as an IN list on the bucket column so Spark's
+    bucket pruning applies before any IO.
+
+    Planner caveat (tests/test_bucketed_index.py pins it): with
+    ``spark.sql.sources.bucketing.autoBucketedScan.enabled`` at its
+    default ``true``, Spark keeps the bucketed scan only when it saves a
+    later shuffle — this aggregation shuffles on doc_id, not token, so
+    the planner silently downgrades to a plain scan and bucket PRUNING
+    is lost with it. Set that conf ``false`` (or aggregate by token) for
+    the pruned ``SelectedBucketsCount: k out of n`` read."""
+    terms = _terms(query)
+    index = spark.table(table)
+    if not terms:
+        return search_token_index(index, query, limit)
+    pruned = index.where(F.col("token").isin(terms))
+    return (
+        pruned.groupBy("doc_id")
+        .agg(F.sum("tf").cast("long").alias("relevance"))
+        .orderBy(F.desc("relevance"), F.asc("doc_id"))
+        .limit(limit)
     )
 
 

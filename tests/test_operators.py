@@ -249,6 +249,68 @@ def test_connected_components_nonconvergence_raises(spark):
         dedup.connected_components(chain, "id_a", "id_b", max_iterations=2)
 
 
+def test_connected_components_star_matches_min_label(spark):
+    """The large-star/small-star strategy (O(log^2 n) rounds, diameter-
+    independent) must produce EXACTLY min-label's components on every
+    graph shape — including the long chain where min-label needs O(n)
+    rounds and a shuffled node order."""
+    import random
+
+    cases = [
+        # long chain: diameter 40 — the adversarial case the strategy is for
+        [(i, i + 1) for i in range(1, 41)],
+        # chain + cycle + pair (the shapes test's graph)
+        [(1, 2), (2, 3), (3, 4), (4, 5), (10, 11), (11, 12), (12, 10), (20, 21)],
+        # random graph, seeded
+        [(random.Random(7).randrange(50), random.Random(7 + i).randrange(50))
+         for i in range(60)],
+    ]
+    for pairs in cases:
+        pairs = [(a, b) for a, b in pairs if a != b]
+        edges = spark.createDataFrame(pairs, "id_a long, id_b long")
+        star = {
+            r.node: r.component
+            for r in dedup.connected_components_star(edges, "id_a", "id_b").collect()
+        }
+        label = {
+            r.node: r.component
+            for r in dedup.connected_components(edges, "id_a", "id_b").collect()
+        }
+        assert star == label
+    # on the 40-chain, min-label at 8 rounds fails while star converges
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(1, 41)], "id_a long, id_b long"
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        dedup.connected_components(chain, "id_a", "id_b", max_iterations=8)
+    got = dedup.connected_components_star(chain, "id_a", "id_b", max_iterations=8)
+    assert {r.component for r in got.collect()} == {1}
+
+
+def test_resolve_clusters_strategy_param(spark):
+    """resolve_duplicate_clusters(strategy='star') must pick identical
+    canonical winners."""
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11)], "id_a long, id_b long"
+    )
+    docs = spark.createDataFrame(
+        [(i, "x" * (10 + i)) for i in (1, 2, 3, 10, 11, 99)],
+        "doc_id long, text string",
+    )
+    a = sorted(
+        map(tuple, dedup.resolve_duplicate_clusters(pairs, docs, "doc_id", "text").collect())
+    )
+    b = sorted(
+        map(
+            tuple,
+            dedup.resolve_duplicate_clusters(
+                pairs, docs, "doc_id", "text", strategy="star"
+            ).collect(),
+        )
+    )
+    assert a == b and len(a) == 5
+
+
 def test_resolve_duplicate_clusters_canonical(spark):
     docs = spark.createDataFrame(
         [(1, "short"), (2, "the longest text wins here"), (3, "mid text"),
