@@ -961,6 +961,12 @@ def _fullreport_sidecar(spark, sf_dir: str, force: bool = False) -> str:
 
     for stale in _glob.glob(f"{final}.__tmp*__") + _glob.glob(f"{final}.__old*__"):
         shutil.rmtree(stale, ignore_errors=True)
+    # sweep sidecars built by PRIOR code versions too (ADVICE r4: the
+    # version hash is in the path, so every extraction-code change
+    # would otherwise strand a full per-doc table in /tmp forever)
+    for old_ver in _glob.glob(f"/tmp/rss_fullreport_stats_{name}_v*.parquet"):
+        if os.path.basename(old_ver) != os.path.basename(final):
+            shutil.rmtree(old_ver, ignore_errors=True)
     staging = f"{final}.__tmp{_uuid.uuid4().hex}__"
     # doc_id (= turn_idx, the documents key) makes the sidecar per-doc
     # addressable — flagship_extract hash-compares the LIVE pipeline's
@@ -968,9 +974,11 @@ def _fullreport_sidecar(spark, sf_dir: str, force: bool = False) -> str:
     scored.select(
         F.col("turn_idx").alias("doc_id"), "conv_id", "parse_failed", *A1_METRICS
     ).coalesce(4).write.mode("overwrite").parquet(staging)
-    # atomic-ish swap (ADVICE r3): rename the old table aside FIRST so a
-    # concurrent reader never sees a missing/partial directory, then drop
-    # the aside copy
+    # near-atomic swap (ADVICE r3/r4): rename the old table aside, then
+    # the staging dir in. POSIX cannot replace a DIRECTORY atomically,
+    # so between the two renames the path is briefly absent — a reader
+    # landing in that microsecond window should retry once (the driver's
+    # single-process flow never does; noted for concurrent deployments)
     aside = f"{final}.__old{_uuid.uuid4().hex}__"
     if os.path.exists(final):
         os.rename(final, aside)
@@ -1091,75 +1099,20 @@ def q_extractive_summary(spark, sf_dir):
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDER MATTERS: the driver evaluates the FIRST 50 entries only.
-    # Round-4 rotation: (a) the 14 queries the r3 window skipped lead
-    # (11 r2-green; flagship_extract was rows-only pre-r4 and
-    # minhash_candidates/dedup_pipeline had r2 rows — all three are
-    # selfcheck-exact now), (b) then every query whose code changed
-    # this round (flagship_extract/full_report now EXACT via the stats
-    # sidecar, media_features with JPEG/GIF/MP4, the extraction-path
-    # and dedup/similarity/pdf changes, token_index_search NEW),
-    # (c) then r3-greens. FIFTEEN queries fall past the window
-    # (orders_semi_join..rollup_daily) — untouched analytics over
-    # orders/events/documents, all green in r3.
+    # Round-5 rotation: (a) the 15 queries the r4 window skipped lead
+    # (all green in CORRECTNESS_r03, code untouched since), (b) then
+    # every query whose code or oracle changed since the r4 evaluation —
+    # that includes the post-judging unicode-hardening commit (words/ws
+    # classes: sql_text_stats, lang_quality, full_report*, doc_previews,
+    # search family, and the stats-sidecar version bump behind
+    # flagship_extract/full_report_agg) AND the r5 work (CJK dedup
+    # tokenizer + bytes-domain CDC oracle, MJPEG media_features, NEW
+    # text_search_mongo_score, similarity cap probe), (c) then stable
+    # greens that share modules with (b). SIXTEEN queries fall past the
+    # window (session_stats..broadcast_lookup_join) — all hash-green in
+    # CORRECTNESS_r04 and untouched since.
     return {
-        # --- (a) r3-unevaluated, green in CORRECTNESS_r02 ---
-        "asof_join": q_asof_join,
-        "range_join": q_range_join,
-        "minhash_candidates": q_minhash_candidates,
-        "dedup_pipeline": q_dedup_pipeline,
-        "session_stats": q_session_stats,
-        "session_windows": q_session_windows,
-        "rolling_mean": q_rolling_mean,
-        "stratified_sample": q_stratified_sample,
-        "balanced_classes": q_balanced_classes,
-        "status_flow": q_status_flow,
-        "embed_stub": q_embed_stub,
-        "text_quality_filters": q_text_quality_filters,
-        "text_search_scored": q_text_search_scored,
-        "text_search_mongo_score": q_text_search_mongo_score,
-        "flagship_extract": q_flagship_extract,
-        # --- (b) changed in round 4 ---
-        "media_features": q_media_features,
-        "full_report": q_full_report,  # exact since r4 (sidecar oracle)
-        "full_report_agg": q_full_report_agg,
-        "full_report_sql": q_full_report_sql,
-        "dedup_clusters": q_dedup_clusters,
-        "similar_pairs": q_similar_pairs,
-        "pdf_roundtrip": q_pdf_roundtrip,
-        # --- (c) green in CORRECTNESS_r03 ---
-        "extractive_summary": q_extractive_summary,
-        "simhash_near_dups": q_simhash_near_dups,
-        "ngram_jaccard": q_ngram_jaccard,
-        "lsh_ann_pairs": q_lsh_ann_pairs,
-        "ivf_knn": q_ivf_knn,
-        "cdc_overlap": q_cdc_overlap,
-        "greedy_topics": q_greedy_topics,
-        "daily_topics": q_daily_topics,
-        "readability_by_source": q_readability_by_source,
-        "word_topk": q_word_topk,
-        "sql_text_stats": q_sql_text_stats,
-        "lang_quality": q_lang_quality,
-        "text_search": q_text_search,
-        "exact_dedup": q_exact_dedup,
-        "doc_previews": q_doc_previews,
-        "embed_prep": q_embed_prep,
-        "knn_topk": q_knn_topk,
-        "event_type_breakdown": q_event_type_breakdown,
-        "orders_grand_agg": q_orders_grand_agg,
-        "embedding_size_groups": q_embedding_size_groups,
-        "orders_by_priority": q_orders_by_priority,
-        "collected_rows_per_flag": q_collected_rows_per_flag,
-        "event_conditional_counts": q_event_conditional_counts,
-        "events_validation_agg": q_events_validation_agg,
-        "describe_n_chars": q_describe_n_chars,
-        "success_ratio": q_success_ratio,
-        "broadcast_lookup_join": q_broadcast_lookup_join,
-        # changed this round (boundary pattern + oracle) — must stay in
-        # the evaluated window
-        "regex_filter_counts": q_regex_filter_counts,
-        # NEW in r4: the inverted-index FTS scale path
-        "token_index_search": q_token_index_search,
-        # --- past the 50-query window: untouched, green in r3 ---
+        # --- (a) r4-unevaluated, green in CORRECTNESS_r03 ---
         "orders_semi_join": q_orders_semi_join,
         "latest_order_per_customer": q_latest_order_per_customer,
         "orders_with_part": q_orders_with_part,
@@ -1175,6 +1128,61 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "revenue_by_region": q_revenue_by_region,
         "cube_report": q_cube_report,
         "rollup_daily": q_rollup_daily,
+        # --- (b) changed since the r4 evaluation ---
+        "text_search_mongo_score": q_text_search_mongo_score,  # NEW r5
+        "media_features": q_media_features,  # r5: real MJPEG frame decode
+        "minhash_candidates": q_minhash_candidates,  # r5: CJK tokenizer
+        "dedup_pipeline": q_dedup_pipeline,
+        "simhash_near_dups": q_simhash_near_dups,
+        "ngram_jaccard": q_ngram_jaccard,
+        "cdc_overlap": q_cdc_overlap,  # r5: bytes-domain oracle
+        "dedup_clusters": q_dedup_clusters,
+        "similar_pairs": q_similar_pairs,  # r5: bounded cap probe
+        "exact_dedup": q_exact_dedup,
+        "sql_text_stats": q_sql_text_stats,  # unicode-hardened classes
+        "lang_quality": q_lang_quality,
+        "text_quality_filters": q_text_quality_filters,
+        "full_report_sql": q_full_report_sql,
+        "doc_previews": q_doc_previews,
+        "word_topk": q_word_topk,
+        "regex_filter_counts": q_regex_filter_counts,
+        "text_search": q_text_search,
+        "text_search_scored": q_text_search_scored,
+        "token_index_search": q_token_index_search,
+        "extractive_summary": q_extractive_summary,  # r5: trim oracle fix
+        "flagship_extract": q_flagship_extract,  # sidecar version bump
+        "full_report": q_full_report,
+        "full_report_agg": q_full_report_agg,
+        # --- (c) stable greens sharing modules with (b) ---
+        "knn_topk": q_knn_topk,
+        "lsh_ann_pairs": q_lsh_ann_pairs,
+        "ivf_knn": q_ivf_knn,
+        "greedy_topics": q_greedy_topics,
+        "daily_topics": q_daily_topics,
+        "readability_by_source": q_readability_by_source,
+        "embed_prep": q_embed_prep,
+        "pdf_roundtrip": q_pdf_roundtrip,
+        "asof_join": q_asof_join,
+        "range_join": q_range_join,
+        "describe_n_chars": q_describe_n_chars,
+        # --- past the 50-query window: hash-green in CORRECTNESS_r04,
+        # untouched since ---
+        "session_stats": q_session_stats,
+        "session_windows": q_session_windows,
+        "rolling_mean": q_rolling_mean,
+        "stratified_sample": q_stratified_sample,
+        "balanced_classes": q_balanced_classes,
+        "status_flow": q_status_flow,
+        "embed_stub": q_embed_stub,
+        "event_type_breakdown": q_event_type_breakdown,
+        "orders_grand_agg": q_orders_grand_agg,
+        "embedding_size_groups": q_embedding_size_groups,
+        "orders_by_priority": q_orders_by_priority,
+        "collected_rows_per_flag": q_collected_rows_per_flag,
+        "event_conditional_counts": q_event_conditional_counts,
+        "events_validation_agg": q_events_validation_agg,
+        "success_ratio": q_success_ratio,
+        "broadcast_lookup_join": q_broadcast_lookup_join,
     }
 
 

@@ -26,6 +26,15 @@ from readability_scanner_spark.functions.wordchars import CJK_CHARS, DEDUP_TOKEN
 # near-dup family degenerates). ASCII (not unicode \w) for the latin
 # part so token hashes match the DuckDB md5_number_lower recompute.
 _WORD_RE = DEDUP_TOKEN_PY
+# the CJK alternation costs ~17% on pure-ASCII text (measured); ASCII
+# docs take the plain-run regex instead — identical matches there (the
+# CJK branch cannot fire), and str.isascii() is a C-speed scan
+_ASCII_RUN_RE = re.compile(r"[0-9a-z_]+")
+
+
+def _tokens(text: str) -> list[str]:
+    low = (text or "").lower()
+    return (_ASCII_RUN_RE if low.isascii() else _WORD_RE).findall(low)
 
 
 def _md5_64(s: str) -> int:
@@ -67,7 +76,7 @@ def dedup_by_key(df: DataFrame, key: str, order_col: str) -> DataFrame:
 # --- shingling helpers (shared by minhash / jaccard) --------------------------------
 
 def _shingles(text: str, n: int = 3) -> set[str]:
-    words = _WORD_RE.findall((text or "").lower())
+    words = _tokens(text)
     if len(words) < n:
         return {" ".join(words)} if words else set()
     return {" ".join(words[i : i + n]) for i in range(len(words) - n + 1)}
@@ -203,7 +212,7 @@ def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 64) -> DataFr
         for pdf in batches:
             out = []
             for text in pdf[text_col]:
-                toks = _WORD_RE.findall((text or "").lower())
+                toks = _tokens(text)
                 if not toks:
                     out.append(np.int64(-(1 << 63)))
                     continue

@@ -61,10 +61,13 @@ def similarity_pairs(
     scale; pass ``max_rows=None`` only when the caller already bounded
     the input. The scale path is lsh_bucketed_pairs/embedding_near_dups."""
     if max_rows is not None:
-        n = vectors.count()
+        # limit(cap+1).count(): the probe job stops materializing the
+        # input lineage after cap+1 rows instead of scanning it all
+        # (ADVICE r4) — enough to answer "over the cap?" either way
+        n = vectors.limit(max_rows + 1).count()
         if n > max_rows:
             raise ValueError(
-                f"all-pairs similarity refused: {n} rows > cap {max_rows} "
+                f"all-pairs similarity refused: > cap {max_rows} rows "
                 "(quadratic nested-loop plan); use lsh_bucketed_pairs / "
                 "embedding_near_dups at scale, or raise max_rows explicitly"
             )
