@@ -1131,6 +1131,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- (b) changed since the r4 evaluation ---
         "text_search_mongo_score": q_text_search_mongo_score,  # NEW r5
         "media_features": q_media_features,  # r5: real MJPEG frame decode
+        "frame_stats": q_frame_stats,  # NEW r5: per-tick frame sampling
         "minhash_candidates": q_minhash_candidates,  # r5: CJK tokenizer
         "dedup_pipeline": q_dedup_pipeline,
         "simhash_near_dups": q_simhash_near_dups,
@@ -1706,6 +1707,85 @@ def _sidecar_report_sql() -> str:
         """
 
 
+def q_frame_stats(spark, sf_dir):
+    """Per-sampled-timestamp MJPEG frame decode (r5): the decoding twin
+    of the sample_frames plan — nearest stored frame per 500 ms tick,
+    luma stats from REAL T.81 decode, payload crossing Arrow once per
+    media row. Driver-verified against a local recompute of the same
+    deterministic payloads (graft extension; no reference analog)."""
+    from readability_scanner_spark.operators.multimodal import (
+        sampled_frame_stats,
+        synthetic_media_df,
+    )
+
+    _ensure_package_on_workers(spark)
+    # luma_q: the double quantized to 1e-6 as an integer — worker-side
+    # numpy/BLAS reduction order can move the raw mean by one ulp vs the
+    # oracle's local recompute (same scheme as media_features' feat_q)
+    return (
+        sampled_frame_stats(synthetic_media_df(spark, 60), every_ms=500)
+        .select(
+            "media_id",
+            "frame_idx",
+            "frame_ts_ms",
+            "width",
+            "height",
+            F.floor(F.col("mean_luma") * 1e6 + F.lit(0.5)).cast("long").alias("luma_q"),
+        )
+        .orderBy("media_id", "frame_ts_ms")
+    )
+
+
+def _frame_stats_oracle(n: int = 60, seed: int = 42, every_ms: int = 500) -> str:
+    """sampled_frame_stats oracle: the synthetic MJPEG payloads are a
+    pure deterministic formula, so the expected rows (frame choice per
+    tick + decoded luma) are recomputed here in plain local Python and
+    embedded as literals; the driver then verifies the DISTRIBUTED side
+    (Arrow binary transfer, python-side explode, per-frame decode in
+    Spark workers) reproduces them. repr(float) round-trips, so the
+    luma is quantized to a 1e-6 integer on both sides (raw doubles can
+    differ by one ulp between the worker's and the driver's numpy/BLAS
+    reduction order — same lesson as media_features' feat_q)."""
+    import math
+
+    import numpy as np
+
+    from readability_scanner_spark.operators.jpeg import decode_jpeg
+    from readability_scanner_spark.operators.mp4 import (
+        extract_mjpeg_samples,
+        parse_mp4_info,
+    )
+    from readability_scanner_spark.operators.multimodal import synthetic_media_row
+
+    rows = []
+    for i in range(n):
+        kind, payload, _w, _h = synthetic_media_row(i, seed)
+        if kind != "video":
+            continue
+        duration = parse_mp4_info(payload)[2]
+        samples = extract_mjpeg_samples(payload, max_frames=32)
+        if not samples or not duration:
+            continue
+        decoded = {}
+        for k in range(max(duration // every_ms, 1)):
+            ts = k * every_ms
+            fi = min(int(round(ts * len(samples) / duration)), len(samples) - 1)
+            if fi not in decoded:
+                w, h, c, px = decode_jpeg(samples[fi])
+                arr = np.frombuffer(bytes(px), dtype=np.uint8)
+                decoded[fi] = (w, h, float(arr.mean()) / 255.0)
+            w, h, luma = decoded[fi]
+            luma_q = int(math.floor(luma * 1e6 + 0.5))
+            rows.append(f"({i}, {fi}, {ts}, {w}, {h}, {luma_q})")
+    return (
+        "SELECT media_id::BIGINT AS media_id, frame_idx::INTEGER AS frame_idx, "
+        "frame_ts_ms::BIGINT AS frame_ts_ms, width::INTEGER AS width, "
+        "height::INTEGER AS height, luma_q::BIGINT AS luma_q FROM (VALUES "
+        + ", ".join(rows)
+        + ") t(media_id, frame_idx, frame_ts_ms, width, height, luma_q)"
+    )
+
+
 def _media_oracle(n: int = 100, seed: int = 42) -> str:
     """media_features oracle: the synthetic payload generator is a pure
     deterministic formula, so the expected (n_bytes, crc32) rows are
@@ -1764,6 +1844,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_pipeline": _dedup_pipeline_oracle(threshold=0.5),
         "dedup_clusters": _dedup_clusters_oracle(threshold=0.5),
         "media_features": _media_oracle(n=100, seed=42),
+        "frame_stats": _frame_stats_oracle(n=60, seed=42, every_ms=500),
         "pdf_roundtrip": """
             -- recompute the ascii-projection + whitespace normalization
             -- the Spark side applies BEFORE writing each doc as a PDF;
