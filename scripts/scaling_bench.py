@@ -25,6 +25,7 @@ import subprocess
 import sys
 import time
 
+HAND_MARKER = "## Run history"
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
@@ -129,6 +130,15 @@ def main() -> None:
 
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
     path = os.path.join(REPO, "BENCH", "BASELINE.md")
+    # everything from the hand-maintained marker down survives the
+    # regeneration (run history, calm-window tables, soak reports — the
+    # r5 run learned this the hard way by clobbering them)
+    hand = ""
+    if os.path.exists(path):
+        prior = open(path).read()
+        idx = prior.find(HAND_MARKER)
+        if idx >= 0:
+            hand = prior[idx:]
     r416 = results["4->16"]
     r832 = results["8->32"]
     with open(path, "w") as fh:
@@ -200,6 +210,8 @@ the engine):
             "(news-scanner/config.py:43-44), i.e. O(10) articles/sec on a "
             "single node vs the numbers above.\n"
         )
+        if hand:
+            fh.write("\n" + hand)
     print(json.dumps({
         "4->16": {"median": r416["median"], "median_norm": r416["median_norm"],
                    "best": r416["best"],
