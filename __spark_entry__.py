@@ -22,10 +22,12 @@ from pyspark.sql import functions as F
 # the engine-stable unicode word-run class (functions/wordchars.py):
 # identical match sets in Java regex, RE2, and Python \w+ — the r4
 # VERDICT's bare-\b defect fix. TOKEN_PAT stays deliberately ASCII-\w
-# (Java == RE2 char-for-char; see token_count_col docstring).
+# but spells the ws exclusion as an EXPLICIT class: Java's \s contains
+# U+000B (vertical tab), RE2's does not — bare [^\w\s] diverges on a
+# VT (r5 review find; see token_count_col docstring).
 WORD_PAT = r"[\p{L}\p{N}_]+"
 SENT_PAT = r"[.!?]+(?:\s+|$)"
-TOKEN_PAT = r"\w+|[^\w\s]"
+TOKEN_PAT = r"\w+|[^\w \t\n\x0B\f\r]"
 
 
 _PKG_SHIPPED: set[str] = set()
@@ -1108,9 +1110,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # flagship_extract/full_report_agg) AND the r5 work (CJK dedup
     # tokenizer + bytes-domain CDC oracle, MJPEG media_features, NEW
     # text_search_mongo_score, similarity cap probe), (c) then stable
-    # greens that share modules with (b). SIXTEEN queries fall past the
-    # window (session_stats..broadcast_lookup_join) — all hash-green in
-    # CORRECTNESS_r04 and untouched since.
+    # greens that share modules with (b). SEVENTEEN queries fall past
+    # the window (describe_n_chars..broadcast_lookup_join) — all
+    # hash-green in CORRECTNESS_r04 and untouched since.
     return {
         # --- (a) r4-unevaluated, green in CORRECTNESS_r03 ---
         "orders_semi_join": q_orders_semi_join,
@@ -1165,9 +1167,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pdf_roundtrip": q_pdf_roundtrip,
         "asof_join": q_asof_join,
         "range_join": q_range_join,
-        "describe_n_chars": q_describe_n_chars,
         # --- past the 50-query window: hash-green in CORRECTNESS_r04,
         # untouched since ---
+        "describe_n_chars": q_describe_n_chars,
         "session_stats": q_session_stats,
         "session_windows": q_session_windows,
         "rolling_mean": q_rolling_mean,
@@ -1196,8 +1198,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # (and the new WS_CLASS Spark columns) on e.g. U+3000 in CJK text
 from readability_scanner_spark.functions.wordchars import WS_CLASS as _WSC  # noqa: E402
 
-# dedup tokenizer twin (ASCII word runs + CJK char unigrams) — must stay
-# byte-identical to operators/dedup.py's DEDUP_TOKEN_PY stream
+# dedup tokenizer twin (ASCII word runs + CJK char unigrams), applied
+# extract-then-lower on BOTH sides — must stay byte-identical to
+# operators/dedup.py's _tokens stream (lower() of a pure-ASCII token is
+# engine-identical; lowering the whole string first is not: İ/U+212A)
 from readability_scanner_spark.functions.wordchars import DEDUP_TOKEN_RE2 as _TOK  # noqa: E402
 
 _WORDS_SQL = f"len(regexp_extract_all(text, '{WORD_PAT}'))"
@@ -1229,7 +1233,7 @@ def _simhash_oracle(max_hamming: int) -> str:
     any pair the pigeonhole bucketing would drop."""
     return f"""
         WITH tok AS (
-          SELECT doc_id, unnest(regexp_extract_all(lower(text), '{_TOK}')) AS t
+          SELECT doc_id, lower(unnest(regexp_extract_all(text, '{_TOK}'))) AS t
           FROM documents
         ), th AS (
           SELECT doc_id, md5_number_lower(t) AS h FROM tok
@@ -1274,7 +1278,7 @@ def _minhash_oracle(n_hashes: int = 64, bands: int = 16, seed: int = 42) -> str:
     b_list = "[" + ", ".join(str(int(x)) for x in b) + "]"
     return f"""
         WITH tok AS (
-          SELECT doc_id, regexp_extract_all(lower(text), '{_TOK}') AS t FROM documents
+          SELECT doc_id, list_transform(regexp_extract_all(text, '{_TOK}'), x -> lower(x)) AS t FROM documents
         ), grams AS (
           SELECT doc_id,
             CASE WHEN len(t) >= 3 THEN
@@ -1423,7 +1427,7 @@ def _dedup_pipeline_oracle(threshold: float = 0.5) -> str:
         WITH mh AS ({mh}),
         toksj AS (
           SELECT doc_id,
-            regexp_extract_all(lower(text), '{_TOK}') AS t
+            list_transform(regexp_extract_all(text, '{_TOK}'), x -> lower(x)) AS t
           FROM documents
         ), gramsj AS (
           SELECT doc_id,
@@ -1635,7 +1639,7 @@ def _lang_quality_oracle() -> str:
                 len(regexp_extract_all(text, '[가-힣]')) AS hit_hangul,
                 len(regexp_extract_all(text, '[一-鿿]')) AS hit_han,
                 len(regexp_extract_all(text, '[.,;:!?]')) AS puncts,
-                len(regexp_extract_all(text, '\\w+|[^\\w\\s]')) AS n_tokens
+                len(regexp_extract_all(text, '\\w+|[^\\w \\t\\n\\x0B\\f\\r]')) AS n_tokens
               FROM documents"""
 
 
@@ -1655,7 +1659,7 @@ def _text_quality_filters_oracle() -> str:
     return f"""
         WITH toks AS (
           SELECT doc_id, text,
-            list_filter(string_split_regex(lower(text), '\\s+'), x -> x != '') AS t
+            list_filter(string_split_regex(lower(text), '{_WSC}+'), x -> x != '') AS t
           FROM documents
         ), bi_t AS (
           SELECT doc_id, text, t,
@@ -1960,8 +1964,10 @@ def oracle_sql() -> dict[str, str]:
             -- inner) so float summation order is identical.
             WITH tf AS (
               SELECT doc_id,
-                len(regexp_extract_all(lower(source), '[\\p{L}\\p{N}_]+'))::DOUBLE AS sn,
-                len(regexp_extract_all(lower(text), '[\\p{L}\\p{N}_]+'))::DOUBLE AS tn,
+                -- raw-text run counts: case folding İ/U+212A mints
+                -- runs differently per engine (see mongo_text_score)
+                len(regexp_extract_all(source, '[\\p{L}\\p{N}_]+'))::DOUBLE AS sn,
+                len(regexp_extract_all(text, '[\\p{L}\\p{N}_]+'))::DOUBLE AS tn,
                 len(list_filter(regexp_extract_all(lower(source), '[\\p{L}\\p{N}_]+'), x -> x = 'data'))::DOUBLE AS s1,
                 len(list_filter(regexp_extract_all(lower(source), '[\\p{L}\\p{N}_]+'), x -> x = 'table'))::DOUBLE AS s2,
                 len(list_filter(regexp_extract_all(lower(source), '[\\p{L}\\p{N}_]+'), x -> x = 'query'))::DOUBLE AS s3,
@@ -2421,7 +2427,7 @@ def oracle_sql() -> dict[str, str]:
         "ngram_jaccard": f"""
             WITH toks AS (
               SELECT doc_id,
-                regexp_extract_all(lower(text), '{_TOK}') AS t
+                list_transform(regexp_extract_all(text, '{_TOK}'), x -> lower(x)) AS t
               FROM documents WHERE doc_id < 200
             ), grams AS (
               SELECT doc_id,

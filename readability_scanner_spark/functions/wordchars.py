@@ -86,13 +86,20 @@ CJK_CHARS = "".join(f"{chr(a)}-{chr(b)}" for a, b in _CJK_PAIRS)
 # RE2 (DuckDB) spelling of the same class
 CJK_CHARS_RE2 = "".join(rf"\x{{{a:04X}}}-\x{{{b:04X}}}" for a, b in _CJK_PAIRS)
 
-# The cross-engine dedup token pattern over LOWERED text: an ASCII word
-# run, or a single CJK char. (ASCII-only for the latin part on purpose:
-# token HASHES must match DuckDB md5_number_lower recomputes, and the
-# unicode-L* class is already covered by WORD_RUN for counting — dedup
-# shingles only need a stable, engine-identical token stream.)
-DEDUP_TOKEN_PY = re.compile(rf"[0-9a-z_]+|[{CJK_CHARS}]")
-DEDUP_TOKEN_RE2 = rf"[0-9a-z_]+|[{CJK_CHARS_RE2}]"
+# The cross-engine dedup token pattern over the RAW text: an ASCII word
+# run (either case), or a single CJK char; callers lowercase each
+# extracted token AFTERWARDS. Extract-then-lower is load-bearing:
+# lowering the whole string first lets full-string case folding mint
+# ASCII letters from non-ASCII codepoints (İ U+0130 → 'i' + combining
+# dot in Python/Java but bare 'i' in DuckDB; KELVIN U+212A → 'k'),
+# and the three engines fold them DIFFERENTLY — İstanbul tokenized
+# three ways was a round-5 review find. Extracting from the raw text
+# first means every latin token is pure ASCII before it is lowered
+# (ASCII folding is engine-identical) and non-ASCII non-CJK codepoints
+# are uniformly separators. (ASCII-only for the latin class on purpose:
+# token HASHES must match DuckDB md5_number_lower recomputes.)
+DEDUP_TOKEN_PY = re.compile(rf"[0-9A-Za-z_]+|[{CJK_CHARS}]")
+DEDUP_TOKEN_RE2 = rf"[0-9A-Za-z_]+|[{CJK_CHARS_RE2}]"
 
 
 def lookaround(inner: str) -> str:

@@ -33,8 +33,15 @@ _ASCII_RUN_RE = re.compile(r"[0-9a-z_]+")
 
 
 def _tokens(text: str) -> list[str]:
-    low = (text or "").lower()
-    return (_ASCII_RUN_RE if low.isascii() else _WORD_RE).findall(low)
+    """Extract-then-lower (see wordchars.DEDUP_TOKEN_PY): tokens come
+    off the RAW text, then each latin run — pure ASCII by construction —
+    is lowered. Lowering the whole string first would let full-string
+    case folding mint ASCII from non-ASCII (İ/KELVIN), which the three
+    engines fold differently."""
+    t = text or ""
+    if t.isascii():
+        return _ASCII_RUN_RE.findall(t.lower())
+    return [tok.lower() for tok in _WORD_RE.findall(t)]
 
 
 def _md5_64(s: str) -> int:
@@ -190,8 +197,10 @@ def minhash_lsh_candidates(
 def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 64) -> DataFrame:
     """64-bit SimHash per document (token-hash sign voting). Token hash is
     md5-low64 (= DuckDB md5_number_lower) so a brute-force SQL oracle can
-    recompute identical simhash values; tokens are ASCII word runs over
-    the lowered text (same set as RE2 '[0-9a-z_]+')."""
+    recompute identical simhash values; tokens are the CJK-aware dedup
+    stream (_tokens: ASCII word runs + one token per CJK char, extracted
+    raw then lowered — wordchars.DEDUP_TOKEN_PY, oracle twin
+    DEDUP_TOKEN_RE2 + per-token lower())."""
 
     shifts = np.arange(bits, dtype=np.uint64)
 

@@ -113,7 +113,13 @@ def mongo_text_score(fields: dict[str, float], query: str) -> Column:
     score = F.lit(0.0)
     for col_name, weight in fields.items():
         low = F.lower(F.col(col_name))
-        n_tokens = F.size(F.regexp_extract_all(low, F.lit(WORD_RUN), 0)).cast("double")
+        # numTokens over the RAW text: full-string case folding can mint
+        # or merge word runs differently per engine (İ U+0130 lowers to
+        # 'i'+combining-mark in Java — TWO runs — but plain 'i' in
+        # DuckDB); run counts on the unfolded text agree everywhere
+        n_tokens = F.size(
+            F.regexp_extract_all(F.col(col_name), F.lit(WORD_RUN), 0)
+        ).cast("double")
         for t in _terms(query):
             cnt = F.regexp_count(low, F.lit(_term_pattern(t))).cast("double")
             freq = F.lit(2.0) - F.pow(F.lit(2.0), F.lit(1.0) - cnt)
@@ -243,7 +249,10 @@ def search_token_index(index: DataFrame, query: str, limit: int = 20) -> DataFra
     """Query the inverted index: broadcast the (tiny) term list against
     the postings, sum tf per doc, top-k. Shuffles only the matching
     postings' partial sums — independent of corpus size."""
-    terms = _terms(query)
+    # dedup repeated terms: the bucketed path's isin() matches each
+    # posting once, and Mongo's $text dedups terms too — without this a
+    # query like "data data" double-counts through the join (r5 review)
+    terms = list(dict.fromkeys(_terms(query)))
     spark = index.sparkSession
     if not terms:
         # schema must track the index's actual doc_id type (string ids

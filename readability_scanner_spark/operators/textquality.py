@@ -10,7 +10,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from readability_scanner_spark.functions.wordchars import WORD_RUN, lookaround
+from readability_scanner_spark.functions.wordchars import WS_CLASS, WS_RUN, WORD_RUN, lookaround
 
 # stopword marker sets per language (heuristic language ID in the classic
 # stopword-density style); 'la' is deliberately in both fr and es
@@ -107,8 +107,15 @@ def quality_score_col(text: Column, cjk_ratio: float = 0.2) -> Column:
     asl_ok = F.when(words / sentences <= 60, 1.0).otherwise(0.5)
     score = (length_ok + punct_ok + stop_ok + wordlen_ok + asl_ok) / F.lit(5.0)
     # content-free rows score hard zero: the word/sentence floors would
-    # otherwise give empty/null text 0.52 — ABOVE a 0.5 quality cut
-    empty = F.coalesce(F.length(F.trim(text)), F.lit(0)) == 0
+    # otherwise give empty/null text 0.52 — ABOVE a 0.5 quality cut.
+    # Emptiness = nothing left after removing the UNICODE ws class (r5
+    # review find: F.trim strips only ASCII space, so '\n\n' or U+3000
+    # scored 0.64 on Spark while the oracle's WS_CLASS removal scored
+    # 0.0 — divergent on the first whitespace-only document)
+    empty = (
+        F.coalesce(F.length(F.regexp_replace(text, F.lit(WS_CLASS), F.lit(""))), F.lit(0))
+        == 0
+    )
     return F.when(empty, F.lit(0.0)).otherwise(score)
 
 
@@ -131,6 +138,13 @@ PII_PATTERNS = (
     (_ASCII_B_L + _PHONE + _ASCII_B_R, rf"\b{_PHONE}\b", "[PHONE]"),
     (_ASCII_B_L + _IP + _ASCII_B_R, rf"\b{_IP}\b", "[IP]"),
 )
+# The RE2 \b above is legitimate ONLY because the patterns start and end
+# on digit atoms (\b next to a digit == the ASCII boundary the Java side
+# spells out; RE2 has no lookarounds to spell it directly). Guard that
+# precondition so an edit to _PHONE/_IP that breaks it fails at import,
+# not as a silent oracle divergence (r5 review):
+assert _PHONE.startswith("\\d") and _PHONE.endswith("{4}")
+assert _IP.startswith("\\d") and _IP.endswith("{1,3}")
 
 
 def redact_pii_col(text: Column) -> Column:
@@ -162,7 +176,11 @@ def repetition_signals(text: Column, max_bigrams: int = 500) -> dict[str, Column
       distinct x occurrences inside one row (bounded by the cap), no
       shuffle — per-document cost is capped regardless of corpus size.
     """
-    toks = F.filter(F.split(F.lower(text), r"\s+"), lambda x: x != "")
+    # WS_RUN, not Java \s: Java's class contains U+000B and misses
+    # U+3000 — both present in real corpora, both cross-engine traps
+    # (r5 review/corpus find). The unicode class splits identically in
+    # Java and RE2 and matches Python's \s.
+    toks = F.filter(F.split(F.lower(text), WS_RUN), lambda x: x != "")
     n = F.size(toks)
     dup_word = F.when(
         n > 0, 1.0 - F.size(F.array_distinct(toks)) / n.cast("double")
@@ -195,15 +213,18 @@ def token_count_col(text: Column) -> Column:
     agree on it char-for-char, and counting each non-ASCII codepoint
     outside an ASCII word run as its own token ("café" = 2, a CJK char
     = 1 each) is the right direction for a BPE budget proxy — real
-    tokenizers also split unseen accented/CJK text finer than words."""
-    return F.regexp_count(text, F.lit(r"\w+|[^\w\s]")).cast("long")
+    tokenizers also split unseen accented/CJK text finer than words.
+    The ws exclusion is an EXPLICIT ASCII class, not ``\\s``: Java's
+    ``\\s`` contains U+000B (vertical tab) and RE2's does not, so the
+    bare form diverges on a VT (r5 review find)."""
+    return F.regexp_count(text, F.lit(r"\w+|[^\w \t\n\x0B\f\r]")).cast("long")
 
 
 def fingerprint_col(text: Column, k: int = 8) -> Column:
     """Rolling-hash document fingerprint: xxhash64 of each k-word window,
     min value wins (winnowing-lite, stable under small edits at the
     document tail)."""
-    toks = F.filter(F.split(F.lower(text), r"\s+"), lambda x: x != "")
+    toks = F.filter(F.split(F.lower(text), WS_RUN), lambda x: x != "")
     n = F.size(toks)
     windows = F.when(
         n >= k,

@@ -78,6 +78,8 @@ _TRAPS = (
     "laïcité le pour la",
     "电话555-123-4567 and 10.0.0.1表",
     "under_score stays one_token",
+    "İstanbul DATA and KELVINKSIGN units",  # engine-divergent case folds
+    "verticaltabbetween tokens",  # Java-vs-RE2 \s differs on VT
     "unicode　space and nbsp here",
     "line separator inside",
 )
@@ -112,6 +114,11 @@ def make_document(doc_id: int, seed: int = 42) -> dict:
             body += "\n\n" + bank[1] + "."
     if doc_id % 7 == 3:
         body = "　" + body + " "  # unicode-ws padding at edges
+    if doc_id % 97 == 95:
+        # whitespace-only document (unicode ws incl. U+3000): exercises
+        # every emptiness guard (quality_score hard zero, jaccard
+        # token-less exclusion, simhash sentinel)
+        body = "\n　 \t\n"
     return {
         "doc_id": doc_id,
         "text": body,

@@ -25,44 +25,39 @@ from __future__ import annotations
 
 import argparse
 import json
-import multiprocessing as mp
 import os
 import subprocess
 import sys
 import time
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, os.path.join(REPO, "scripts"))
 
-
-def _burn(n: int) -> int:
-    x = 0
-    for i in range(n):
-        x += i * i % 7
-    return x
+from scaling_bench import hardware_ceiling  # noqa: E402  (shared burn probe)
 
 
 def probe() -> dict:
-    out = {}
-    for procs in (1, 16, 32):
-        with mp.Pool(procs) as pool:
-            t0 = time.time()
-            pool.map(_burn, [2_000_000] * procs)
-            out[procs] = procs / (time.time() - t0)
-    return {
-        "p16": round(out[16] / (16 * out[1]), 3),
-        "p32": round(out[32] / (32 * out[1]), 3),
-    }
+    # ONE probe implementation repo-wide (r5 review: a parallel _burn
+    # with different constants here could drift from the numbers
+    # scaling_bench/calm_scaling report for the same host state)
+    eff, _raw = hardware_ceiling(proc_counts=(1, 16, 32))
+    return {"p16": eff[16], "p32": eff[32]}
 
 
 def run_bench() -> dict | None:
     env = dict(os.environ, SPARK_GRAFT_CPUS="32")
-    out = subprocess.run(
-        [sys.executable, os.path.join(REPO, "bench.py")],
-        env=env,
-        capture_output=True,
-        text=True,
-        timeout=1800,
-    )
+    try:
+        out = subprocess.run(
+            [sys.executable, os.path.join(REPO, "bench.py")],
+            env=env,
+            capture_output=True,
+            text=True,
+            timeout=1800,
+        )
+    except subprocess.TimeoutExpired:
+        # a steal-wedged bench is the very condition this loop hunts
+        # around — skip the capture, keep hunting (r5 review)
+        return None
     for line in out.stdout.splitlines():
         if line.startswith("{"):
             return json.loads(line)

@@ -41,25 +41,40 @@ ADV = [
     "mixed 漢字 and words",
     "",                              # empty
     "!!! ... ???",                   # punctuation-only → zero tokens
+    "İstanbul DATA",                 # U+0130: full-string lower() mints
+    #   'i'+combining differently per engine — extract-then-lower must
+    #   make all three engines agree on ['stanbul', 'data']
+    "KELVINKSIGN Mixed",        # U+212A lower()s to ASCII 'k'
 ]
 
 
 def test_cjk_tokens_are_char_unigrams():
-    toks = DEDUP_TOKEN_PY.findall("data表 and 日本語".lower())
-    assert toks == ["data", "表", "and", "日", "本", "語"]
+    from readability_scanner_spark.operators.dedup import _tokens
+
+    assert _tokens("data表 and 日本語") == ["data", "表", "and", "日", "本", "語"]
     # hangul and kana likewise one char per token
-    assert DEDUP_TOKEN_PY.findall("한국어 テキスト") == list("한국어") + list("テキスト")
+    assert _tokens("한국어 テキスト") == list("한국어") + list("テキスト")
     # punctuation-only → no tokens (NOT [''])
-    assert DEDUP_TOKEN_PY.findall("!!! ... ???") == []
+    assert _tokens("!!! ... ???") == []
+    # extract-then-lower: İ (U+0130) is a separator in the RAW text, so
+    # no engine ever sees its engine-divergent case folding
+    assert _tokens("İstanbul DATA") == ["stanbul", "data"]
+    assert _tokens("KELVINKSIGN") == ["kelvin", "sign"]
 
 
 def test_py_and_re2_token_streams_identical():
+    from readability_scanner_spark.operators.dedup import _tokens
+
     con = duckdb.connect()
     for text in ADV:
+        # extract on RAW text, lower per token — the oracle form all
+        # four dedup oracles use (İ/U+212A would diverge if either side
+        # lowered the whole string first)
         got = con.execute(
-            "SELECT regexp_extract_all(lower(?), ?)", [text, DEDUP_TOKEN_RE2]
+            "SELECT list_transform(regexp_extract_all(?, ?), x -> lower(x))",
+            [text, DEDUP_TOKEN_RE2],
         ).fetchone()[0]
-        assert got == DEDUP_TOKEN_PY.findall(text.lower()), text
+        assert got == _tokens(text), text
 
 
 def test_jvm_grams_match_python_shingles(spark):
