@@ -41,6 +41,12 @@ def main() -> None:
             time.sleep(25)
             continue
         probe4, raw4 = hardware_ceiling(proc_counts=(1, 4))
+        if probe4[4] < 0.85:
+            # a stealed 4-core leg INFLATES raw efficiency (the r4
+            # 0.988 and r5 1.121 samples); only run on a symmetric calm
+            print(f"skip: p4={probe4[4]} asymmetric window", flush=True)
+            time.sleep(25)
+            continue
         r_n = run_bench(4, "0-3", args.convs)
         probe16b, raw16b = hardware_ceiling(proc_counts=(1, 16))
         r_n4 = run_bench(16, "0-15", args.convs)
