@@ -1099,6 +1099,52 @@ def q_extractive_summary(spark, sf_dir):
     return summarize_docs(docs, "doc_id", "text").orderBy("doc_id")
 
 
+def q_kmv_distinct_users(spark, sf_dir):
+    """KMV distinct-count sketch (graft extension, r5): per event type,
+    the k=64 minimum md5-low64 hashes estimate distinct users. The
+    sketch is a deterministic function of the data (JVM-side hash ==
+    DuckDB md5_number_lower), so the oracle recomputes the IDENTICAL
+    estimate — the approximate answer itself is hash-verified, unlike
+    approx_count_distinct's engine-private HLL."""
+    from readability_scanner_spark.operators.sketches import kmv_distinct
+
+    ev = _t(spark, sf_dir, "events")
+    return kmv_distinct(ev, ["event_type"], F.col("user_id").cast("string"), k=64).orderBy(
+        "event_type"
+    )
+
+
+def q_weighted_sample(spark, sf_dir):
+    """Deterministic weighted sampling (graft extension, r5): per
+    language keep the 20 docs with the smallest integer priority
+    h63 // n_chars — selection odds grow with document length, and the
+    integer arithmetic is bit-exact across Spark/DuckDB/Python (the
+    Efraimidis-Spirakis exponential transform is dropped deliberately:
+    ln/pow differ by ULPs between JVM and libm)."""
+    from readability_scanner_spark.operators.sketches import weighted_priority_sample
+
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        weighted_priority_sample(docs, ["lang"], "doc_id", F.col("n_chars"), 20, salt=7)
+        .select("lang", "doc_id", "n_chars", "priority")
+        .orderBy("lang", "priority", "doc_id")
+    )
+
+
+def q_zorder_keys(spark, sf_dir):
+    """Z-order (Morton) clustering key (graft extension, r5): interleave
+    user_id with days-since-2024-01-01 via pure JVM bitwise ops — the
+    layout column behind operators/layout.write_zordered, whose per-file
+    min/max bounding boxes make predicates on EITHER dimension skip
+    files (demonstrated end-to-end in tests/test_layout.py). The oracle
+    recomputes the identical mask ladder in SQL."""
+    from readability_scanner_spark.operators.layout import zorder_key
+
+    ev = _t(spark, sf_dir, "events")
+    day = F.datediff(F.to_date("ts"), F.lit("2024-01-01"))
+    return ev.select("event_id", zorder_key(F.col("user_id"), day)).orderBy("event_id")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDER MATTERS: the driver evaluates the FIRST 50 entries only.
     # Round-5 rotation: (a) the 15 queries the r4 window skipped lead
@@ -1163,12 +1209,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "greedy_topics": q_greedy_topics,
         "daily_topics": q_daily_topics,
         "readability_by_source": q_readability_by_source,
-        "embed_prep": q_embed_prep,
         "pdf_roundtrip": q_pdf_roundtrip,
-        "asof_join": q_asof_join,
-        "range_join": q_range_join,
+        # new-in-r5 graft extensions (sketches.py / layout.py) — unproven
+        # queries stay inside the evaluated window; the three slots they
+        # take came from r4-hash-green queries whose modules are
+        # untouched since that evaluation (embed_prep, asof_join,
+        # range_join — now past the window)
+        "kmv_distinct_users": q_kmv_distinct_users,
+        "weighted_sample": q_weighted_sample,
+        "zorder_keys": q_zorder_keys,
         # --- past the 50-query window: hash-green in CORRECTNESS_r04,
         # untouched since ---
+        "embed_prep": q_embed_prep,
+        "asof_join": q_asof_join,
+        "range_join": q_range_join,
         "describe_n_chars": q_describe_n_chars,
         "session_stats": q_session_stats,
         "session_windows": q_session_windows,
@@ -1203,6 +1257,14 @@ from readability_scanner_spark.functions.wordchars import WS_CLASS as _WSC  # no
 # operators/dedup.py's _tokens stream (lower() of a pure-ASCII token is
 # engine-identical; lowering the whole string first is not: İ/U+212A)
 from readability_scanner_spark.functions.wordchars import DEDUP_TOKEN_RE2 as _TOK  # noqa: E402
+
+# KMV estimate constant (k-1)*2^64 for k=64: exactly representable as a
+# double (63 has 6 significand bits), repr round-trips into DuckDB's
+# float parser, and F.lit uses the same value — one shared literal
+from readability_scanner_spark.operators.layout import zorder_key_sql  # noqa: E402
+from readability_scanner_spark.operators.sketches import kmv_estimate_const as _kmv_c  # noqa: E402
+
+_KMV_C = repr(_kmv_c(64))
 
 _WORDS_SQL = f"len(regexp_extract_all(text, '{WORD_PAT}'))"
 _SENTS_SQL = (
@@ -2480,5 +2542,54 @@ def oracle_sql() -> dict[str, str]:
                     ) / 5.0 END AS quality_score,
               n_tokens
             FROM ratios
+        """,
+        "kmv_distinct_users": f"""
+            -- KMV sketch recompute: md5_number_lower == the Spark side's
+            -- JVM md5-low64 (conv of reversed hex pairs); the estimate
+            -- constant (k-1)*2^64 is the exactly-representable double
+            -- {_KMV_C}, and the single divide is expression-shape
+            -- identical, so even the APPROXIMATE branch hashes equal
+            WITH d AS (
+              SELECT DISTINCT event_type,
+                     md5_number_lower(CAST(user_id AS VARCHAR)) AS h
+              FROM events WHERE user_id IS NOT NULL
+            ),
+            r AS (
+              SELECT event_type, h,
+                     row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn
+              FROM d
+            )
+            SELECT event_type, CAST(count(*) AS BIGINT) AS n_kept,
+                   CASE WHEN count(*) < 64 THEN CAST(count(*) AS DOUBLE)
+                        ELSE round({_KMV_C} / CAST(max(h) AS DOUBLE), 4) END
+                     AS est_distinct
+            FROM r WHERE rn <= 64 GROUP BY event_type ORDER BY event_type
+        """,
+        "weighted_sample": """
+            -- deterministic weighted sample: integer priority h63 // w
+            -- (63-bit hash fold spelled as an explicit literal — DuckDB
+            -- binds 1::UBIGINT << 63 to a signed-overflow error)
+            WITH h AS (
+              SELECT lang, doc_id, n_chars,
+                     CAST(md5_number_lower(CAST(doc_id AS VARCHAR) || ':7')
+                          % 9223372036854775808 AS BIGINT) AS h63,
+                     greatest(n_chars, 1) AS w
+              FROM documents
+            ),
+            p AS (SELECT lang, doc_id, n_chars, h63 // w AS priority, h63 FROM h),
+            r AS (
+              SELECT *, row_number() OVER (
+                PARTITION BY lang ORDER BY priority, h63, doc_id) AS rn
+              FROM p
+            )
+            SELECT lang, doc_id, n_chars, priority
+            FROM r WHERE rn <= 20 ORDER BY lang, priority, doc_id
+        """,
+        "zorder_keys": f"""
+            -- Morton-2D key: the identical magic-number spread ladder
+            -- over (user_id, days since 2024-01-01), BIGINT << and &
+            SELECT event_id,
+                   {zorder_key_sql("user_id", "date_diff('day', DATE '2024-01-01', CAST(ts AS DATE))")} AS zkey
+            FROM events ORDER BY event_id
         """,
     }

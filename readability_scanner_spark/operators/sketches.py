@@ -1,0 +1,194 @@
+"""Deterministic cardinality sketches + weighted sampling for curation
+audits at 10^12-row scale.
+
+Two operators a 100 TB training-data pipeline runs constantly:
+
+- :func:`kmv_distinct` — KMV (k-minimum-values) distinct-count
+  estimation (Bar-Yossef et al. 2002; Beyer et al. SIGMOD'07). Hash
+  every value into [0, 2^64), keep the k smallest DISTINCT hashes per
+  group; with fewer than k distinct values the count is exact, else
+  ``E = (k-1) * 2^64 / h_(k)`` estimates the cardinality with relative
+  error ~ 1/sqrt(k-2). Unlike ``approx_count_distinct`` (HLL++, an
+  engine-private sketch), every step here is a deterministic function
+  of the data through the cross-engine md5-low64 hash — a DuckDB
+  oracle recomputes the IDENTICAL estimate via ``md5_number_lower``,
+  so even the *approximate* answer is hash-verifiable.
+
+- :func:`weighted_priority_sample` — deterministic weighted sampling:
+  per stratum keep the n rows with the smallest integer priority
+  ``h // w`` (h = 63-bit content hash of the row id, w = integer
+  weight). The exponential-race / Efraimidis–Spirakis scheme orders by
+  ``-ln(u)/w`` (selection odds exactly proportional to w); we drop the
+  transcendental transform — ``u/w`` keeps the odds weight-
+  proportional to first order for n << stratum size — because integer
+  ``h // w`` is bit-exact across Spark, DuckDB, and Python, while
+  ``ln``/``pow`` differ by ULPs between JVM and libm (the float-parity
+  rule this repo's oracles live by). Stable across partitionings,
+  cluster layouts, and engines.
+
+Reference surface: none (graft extensions — the reference has no
+cardinality estimation or weighted sampling; these back the
+vocabulary/user-cardinality audits and importance-sampled exports of a
+large-scale curation pipeline).
+"""
+
+from __future__ import annotations
+
+from decimal import Decimal
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+# 2^63 as an exact DECIMAL literal (pmod modulus for the 63-bit hash;
+# a plain int literal overflows the py4j Long marshalling).
+_TWO_63 = Decimal(1 << 63)
+
+
+def md5_low64(col: Column) -> Column:
+    """Low 64 bits of md5(utf8(col)) as DECIMAL(20,0), computed entirely
+    JVM-side (no Python workers): equals DuckDB's ``md5_number_lower``
+    and Python ``int.from_bytes(md5(s).digest()[8:], 'little')`` — the
+    repo's one cross-engine hash (operators/dedup.py:_md5_64). The
+    little-endian byte order means hex pairs 31..17 (bytes 15..8)
+    reversed, then parsed base-16 by ``conv`` (unsigned 64-bit safe)."""
+    hexc = F.md5(col.cast("binary"))
+    rev = F.concat(*[F.substring(hexc, 2 * i + 1, 2) for i in range(15, 7, -1)])
+    return F.conv(rev, 16, 10).cast("decimal(20,0)")
+
+
+def kmv_estimate_const(k: int) -> float:
+    """(k-1) * 2^64 as the exact double both engines fold to: k-1 has
+    <= ~20 significand bits, so the product is exactly representable
+    and ``repr()`` of this value round-trips into DuckDB's parser."""
+    return float((k - 1) * (1 << 64))
+
+
+def kmv_sketch(
+    df: DataFrame, group_cols: list[str], value: Column, k: int = 64
+) -> DataFrame:
+    """Per-group KMV sketch: ``*group_cols, kmv (array<decimal(20,0)>)``
+    — the sorted k smallest distinct hashes. The sketch is MERGEABLE
+    (:func:`kmv_merge`): KMV(A ∪ B) == re-top-k of KMV(A) ∪ KMV(B)
+    exactly, which is what lets a 100 TB pipeline keep one small sketch
+    per partition/day and combine them for any rollup without
+    re-scanning data. Same two-stage scale shape as
+    :func:`kmv_distinct`; the collect_list is bounded by k."""
+    hashed = (
+        df.select(*group_cols, md5_low64(value).alias("h"))
+        .where(F.col("h").isNotNull())
+        .distinct()
+    )
+    w = Window.partitionBy(*group_cols).orderBy("h")
+    kept = hashed.withColumn("_rn", F.row_number().over(w)).where(F.col("_rn") <= k)
+    return kept.groupBy(*group_cols).agg(F.sort_array(F.collect_list("h")).alias("kmv"))
+
+
+def kmv_merge(sketches: DataFrame, group_cols: list[str], k: int = 64) -> DataFrame:
+    """Combine sketch rows sharing a group key (e.g. one sketch per day,
+    rolled up monthly): explode, dedup, re-take the k smallest. Exactly
+    equals the sketch of the unioned raw data."""
+    exploded = sketches.select(*group_cols, F.explode("kmv").alias("h")).distinct()
+    w = Window.partitionBy(*group_cols).orderBy("h")
+    kept = exploded.withColumn("_rn", F.row_number().over(w)).where(F.col("_rn") <= k)
+    return kept.groupBy(*group_cols).agg(F.sort_array(F.collect_list("h")).alias("kmv"))
+
+
+def kmv_estimate(sketch: DataFrame, group_cols: list[str], k: int = 64) -> DataFrame:
+    """Distinct-count estimate from a sketch row — identical output
+    contract to :func:`kmv_distinct` (n_kept, est_distinct)."""
+    return sketch.select(
+        *group_cols,
+        F.size("kmv").cast("long").alias("n_kept"),
+        F.when(F.size("kmv") < k, F.size("kmv").cast("double"))
+        .otherwise(
+            F.round(
+                # try_element_at: ANSI element_at THROWS when size < k,
+                # and the unexercised when-branch must stay safe
+                F.lit(kmv_estimate_const(k))
+                / F.try_element_at("kmv", F.lit(k)).cast("double"),
+                4,
+            )
+        )
+        .alias("est_distinct"),
+    )
+
+
+def kmv_distinct(
+    df: DataFrame, group_cols: list[str], value: Column, k: int = 64
+) -> DataFrame:
+    """Per-group KMV distinct estimate of ``value``.
+
+    Output: ``*group_cols, n_kept (bigint), est_distinct (double)``.
+    ``n_kept = min(distinct, k)``; ``est_distinct`` is the exact count
+    when the group has < k distinct values, else the KMV estimate
+    rounded to 4 decimals (one double divide, expression-shape
+    identical to the oracle, so bit-stable).
+
+    Scale shape: stage 1 is ``groupBy(group, h)`` — a map-side-combined
+    dedup, so the shuffle carries at most the DISTINCT (group, hash)
+    pairs, not the rows. Stage 2 windows on the group key only
+    (row_number over the hash order, spilling sort) and keeps k rows
+    per group; the final agg reuses stage 2's partitioning. Nulls are
+    dropped (COUNT DISTINCT semantics)."""
+    hashed = (
+        df.select(*group_cols, md5_low64(value).alias("h"))
+        .where(F.col("h").isNotNull())
+        .distinct()
+    )
+    w = Window.partitionBy(*group_cols).orderBy("h")
+    kept = hashed.withColumn("_rn", F.row_number().over(w)).where(F.col("_rn") <= k)
+    return (
+        kept.groupBy(*group_cols)
+        .agg(F.count("*").alias("n_kept"), F.max("h").alias("_kth"))
+        .select(
+            *group_cols,
+            "n_kept",
+            F.when(F.col("n_kept") < k, F.col("n_kept").cast("double"))
+            .otherwise(
+                F.round(F.lit(kmv_estimate_const(k)) / F.col("_kth").cast("double"), 4)
+            )
+            .alias("est_distinct"),
+        )
+    )
+
+
+def sample_hash63(id_col: Column, salt: int = 0) -> Column:
+    """63-bit non-negative content hash of an id (+ salt) as BIGINT:
+    md5-low64 mod 2^63. Salt-distinct hashes give independent samples;
+    the mod-2^63 fold keeps every later comparison in signed-64 range
+    on both engines (DuckDB's ``%`` on UBIGINT and Spark's ``pmod`` on
+    DECIMAL(20,0) agree on non-negative operands)."""
+    payload = F.concat_ws(":", id_col.cast("string"), F.lit(str(salt)))
+    return F.pmod(md5_low64(payload), F.lit(_TWO_63)).cast("long")
+
+
+def weighted_priority_sample(
+    df: DataFrame,
+    strata_cols: list[str],
+    id_col: str,
+    weight: Column,
+    n_per_stratum: int,
+    salt: int = 0,
+) -> DataFrame:
+    """Keep the ``n_per_stratum`` rows with the smallest ``priority =
+    h63 // max(w, 1)`` per stratum (ties broken by h63 then id — total
+    order, so the selected set is unique). Higher weight => smaller
+    priority => higher selection odds. Adds ``priority`` (bigint) to
+    the surviving rows.
+
+    Scale shape: one shuffle on the strata key; the per-stratum
+    row_number is a spilling window sort. For tiny n against huge
+    strata a pre-filter on ``h63 < threshold`` would bound the sort —
+    left to callers who know their weight ceiling."""
+    w_int = F.greatest(weight.cast("long"), F.lit(1))
+    out = (
+        df.withColumn("_h63", sample_hash63(F.col(id_col), salt))
+        .withColumn("_w", w_int)
+        .withColumn("priority", F.expr("_h63 div _w"))
+    )
+    win = Window.partitionBy(*strata_cols).orderBy("priority", "_h63", id_col)
+    return (
+        out.withColumn("_rn", F.row_number().over(win))
+        .where(F.col("_rn") <= n_per_stratum)
+        .drop("_rn", "_h63", "_w")
+    )
