@@ -1261,7 +1261,7 @@ from readability_scanner_spark.functions.wordchars import DEDUP_TOKEN_RE2 as _TO
 # KMV estimate constant (k-1)*2^64 for k=64: exactly representable as a
 # double (63 has 6 significand bits), repr round-trips into DuckDB's
 # float parser, and F.lit uses the same value — one shared literal
-from readability_scanner_spark.operators.layout import zorder_key_sql  # noqa: E402
+from readability_scanner_spark.operators.layout import zorder_key_select  # noqa: E402
 from readability_scanner_spark.operators.sketches import kmv_estimate_const as _kmv_c  # noqa: E402
 
 _KMV_C = repr(_kmv_c(64))
@@ -2574,7 +2574,7 @@ def oracle_sql() -> dict[str, str]:
                      CAST(md5_number_lower(CAST(doc_id AS VARCHAR) || ':7')
                           % 9223372036854775808 AS BIGINT) AS h63,
                      greatest(n_chars, 1) AS w
-              FROM documents
+              FROM documents WHERE doc_id IS NOT NULL
             ),
             p AS (SELECT lang, doc_id, n_chars, h63 // w AS priority, h63 FROM h),
             r AS (
@@ -2587,9 +2587,15 @@ def oracle_sql() -> dict[str, str]:
         """,
         "zorder_keys": f"""
             -- Morton-2D key: the identical magic-number spread ladder
-            -- over (user_id, days since 2024-01-01), BIGINT << and &
-            SELECT event_id,
-                   {zorder_key_sql("user_id", "date_diff('day', DATE '2024-01-01', CAST(ts AS DATE))")} AS zkey
-            FROM events ORDER BY event_id
+            -- over (user_id, days since 2024-01-01), BIGINT << and &,
+            -- spelled as the linear-size nested-SELECT chain (one
+            -- _zx/_zy binding per mask level) rather than the
+            -- exponentially-duplicated single expression
+            SELECT event_id, zkey FROM ({zorder_key_select(
+                "events",
+                "user_id",
+                "date_diff('day', DATE '2024-01-01', CAST(ts AS DATE))",
+                ["event_id"],
+            )}) ORDER BY event_id
         """,
     }

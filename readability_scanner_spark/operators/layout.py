@@ -66,16 +66,47 @@ def zorder_key(x: Column, y: Column) -> Column:
 
 def zorder_key_sql(x: str, y: str) -> str:
     """DuckDB spelling of :func:`zorder_key` over column expressions —
-    the exact same mask ladder, for oracles and for engines that want
-    to verify a layout written by this module."""
+    the exact same mask ladder, for engines that want to verify a
+    layout written by this module. NOTE each ladder step embeds the
+    previous expression twice, so the text doubles per level (2^5
+    copies of the folded input) — fine for a one-off check (DuckDB
+    CSEs it), but oracles and anything generated should prefer
+    :func:`zorder_key_select`, which is linear-size."""
 
     def spread(expr: str) -> str:
-        e = f"(({expr}) % {_DIM_MOD} + {_DIM_MOD}) % {_DIM_MOD}"
+        # CAST matches the Spark side's .cast("long"): narrow (INT32)
+        # inputs would overflow DuckDB's typed << at shift 16
+        e = f"((CAST({expr} AS BIGINT)) % {_DIM_MOD} + {_DIM_MOD}) % {_DIM_MOD}"
         for shift, mask in _SPREAD_MASKS:
             e = f"((({e}) | (({e}) << {shift})) & {mask})"
         return e
 
     return f"({spread(x)} | ({spread(y)} << 1))"
+
+
+def zorder_key_select(
+    source: str, x: str, y: str, keep: Sequence[str], out_alias: str = "zkey"
+) -> str:
+    """Linear-size SQL for :func:`zorder_key`: a chain of nested
+    SELECTs, one per mask level, each binding the running ``_zx``/
+    ``_zy`` ONCE from the previous level (vs :func:`zorder_key_sql`'s
+    single expression that doubles in size per level). ``source`` is a
+    table name or parenthesised subquery; ``x``/``y`` are evaluated
+    only in the innermost level, so they may reference any ``source``
+    column; ``keep`` columns are threaded through to the final SELECT
+    alongside ``out_alias``. Result-identical to the expression form
+    (pinned in tests)."""
+    cols = ", ".join(keep)
+    q = (  # CAST: see zorder_key_sql — parity with Spark's .cast("long")
+        f"SELECT {cols}, ((CAST({x} AS BIGINT)) % {_DIM_MOD} + {_DIM_MOD}) % {_DIM_MOD} AS _zx,"
+        f" ((CAST({y} AS BIGINT)) % {_DIM_MOD} + {_DIM_MOD}) % {_DIM_MOD} AS _zy FROM {source}"
+    )
+    for shift, mask in _SPREAD_MASKS:
+        q = (
+            f"SELECT {cols}, ((_zx | (_zx << {shift})) & {mask}) AS _zx,"
+            f" ((_zy | (_zy << {shift})) & {mask}) AS _zy FROM ({q})"
+        )
+    return f"SELECT {cols}, (_zx | (_zy << 1)) AS {out_alias} FROM ({q})"
 
 
 def write_zordered(
@@ -104,17 +135,22 @@ def file_stats_manifest(
     parquet FOOTERS only (no data pages), one task per file — the
     distributed shape that still works when a 100 TB table has millions
     of files. Output: file (string), n_rows (bigint), then
-    ``<col>_min``/``<col>_max`` (bigint) per requested column."""
-    import glob as _glob
-    import os
+    ``<col>_min``/``<col>_max`` (bigint) per requested column.
 
+    File listing goes through Spark's Hadoop-FS reader
+    (``inputFiles()``), so any scheme the session can read is listed
+    correctly; the footer reads themselves use pyarrow, which in this
+    build resolves local paths (``file:`` URIs are localised below) —
+    on an object store, point pyarrow at the matching filesystem."""
     import pandas as pd
 
-    files = sorted(_glob.glob(os.path.join(path, "*.parquet")))
+    files = sorted(spark.read.parquet(path).inputFiles())
     cols = list(stat_cols)
 
-    schema_parts = ", ".join(f"{c}_min long, {c}_max long" for c in cols)
-    out_schema = f"file string, n_rows long, {schema_parts}"
+    out_schema = ", ".join(
+        ["file string", "n_rows long"]
+        + [f"{c}_min long, {c}_max long" for c in cols]
+    )
 
     def read_footers(batches: Iterable[pd.DataFrame]) -> Iterable[pd.DataFrame]:
         import pyarrow.parquet as pq
@@ -122,7 +158,12 @@ def file_stats_manifest(
         for pdf in batches:
             recs = []
             for fp in pdf["file"]:
-                md = pq.read_metadata(fp)
+                local = fp
+                if local.startswith("file:"):
+                    local = local[5:]
+                    while local.startswith("//"):
+                        local = local[1:]
+                md = pq.read_metadata(local)
                 name_to_idx = {md.schema.column(i).name: i for i in range(md.num_columns)}
                 rec: dict = {"file": fp, "n_rows": md.num_rows}
                 for c in cols:

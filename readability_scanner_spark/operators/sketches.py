@@ -63,6 +63,21 @@ def kmv_estimate_const(k: int) -> float:
     return float((k - 1) * (1 << 64))
 
 
+def _k_smallest(hashed: DataFrame, group_cols: list[str], k: int) -> DataFrame:
+    """Shared tail of every KMV entry point: from distinct
+    ``(*group_cols, h)`` rows, keep the k smallest hashes per group
+    (row_number over the hash order — a spilling window sort keyed on
+    the group only)."""
+    w = Window.partitionBy(*group_cols).orderBy("h")
+    return hashed.withColumn("_rn", F.row_number().over(w)).where(F.col("_rn") <= k)
+
+
+def _agg_sketch(kept: DataFrame, group_cols: list[str]) -> DataFrame:
+    return kept.groupBy(*group_cols).agg(
+        F.sort_array(F.collect_list("h")).alias("kmv")
+    )
+
+
 def kmv_sketch(
     df: DataFrame, group_cols: list[str], value: Column, k: int = 64
 ) -> DataFrame:
@@ -78,9 +93,7 @@ def kmv_sketch(
         .where(F.col("h").isNotNull())
         .distinct()
     )
-    w = Window.partitionBy(*group_cols).orderBy("h")
-    kept = hashed.withColumn("_rn", F.row_number().over(w)).where(F.col("_rn") <= k)
-    return kept.groupBy(*group_cols).agg(F.sort_array(F.collect_list("h")).alias("kmv"))
+    return _agg_sketch(_k_smallest(hashed, group_cols, k), group_cols)
 
 
 def kmv_merge(sketches: DataFrame, group_cols: list[str], k: int = 64) -> DataFrame:
@@ -88,9 +101,7 @@ def kmv_merge(sketches: DataFrame, group_cols: list[str], k: int = 64) -> DataFr
     rolled up monthly): explode, dedup, re-take the k smallest. Exactly
     equals the sketch of the unioned raw data."""
     exploded = sketches.select(*group_cols, F.explode("kmv").alias("h")).distinct()
-    w = Window.partitionBy(*group_cols).orderBy("h")
-    kept = exploded.withColumn("_rn", F.row_number().over(w)).where(F.col("_rn") <= k)
-    return kept.groupBy(*group_cols).agg(F.sort_array(F.collect_list("h")).alias("kmv"))
+    return _agg_sketch(_k_smallest(exploded, group_cols, k), group_cols)
 
 
 def kmv_estimate(sketch: DataFrame, group_cols: list[str], k: int = 64) -> DataFrame:
@@ -135,8 +146,7 @@ def kmv_distinct(
         .where(F.col("h").isNotNull())
         .distinct()
     )
-    w = Window.partitionBy(*group_cols).orderBy("h")
-    kept = hashed.withColumn("_rn", F.row_number().over(w)).where(F.col("_rn") <= k)
+    kept = _k_smallest(hashed, group_cols, k)
     return (
         kept.groupBy(*group_cols)
         .agg(F.count("*").alias("n_kept"), F.max("h").alias("_kth"))
@@ -174,7 +184,12 @@ def weighted_priority_sample(
     h63 // max(w, 1)`` per stratum (ties broken by h63 then id — total
     order, so the selected set is unique). Higher weight => smaller
     priority => higher selection odds. Adds ``priority`` (bigint) to
-    the surviving rows.
+    the surviving rows. NULL-id rows are dropped up front: a NULL id
+    has no content hash (concat_ws would silently fold it onto the
+    hash-of-salt, colliding every NULL row onto one priority, while a
+    NULL-propagating oracle would sort them NULLS LAST — two wrong
+    answers that also disagree), same null semantics as
+    :func:`kmv_distinct`.
 
     Scale shape: one shuffle on the strata key; the per-stratum
     row_number is a spilling window sort. For tiny n against huge
@@ -182,7 +197,8 @@ def weighted_priority_sample(
     left to callers who know their weight ceiling."""
     w_int = F.greatest(weight.cast("long"), F.lit(1))
     out = (
-        df.withColumn("_h63", sample_hash63(F.col(id_col), salt))
+        df.where(F.col(id_col).isNotNull())
+        .withColumn("_h63", sample_hash63(F.col(id_col), salt))
         .withColumn("_w", w_int)
         .withColumn("priority", F.expr("_h63 div _w"))
     )

@@ -93,3 +93,41 @@ def test_prune_keeps_files_with_missing_stats(spark):
     )
     files = prune_files(man, {"x": (100, 200)})
     assert files == ["f2"]  # no stats -> conservatively kept; others skipped
+
+
+def test_manifest_empty_stat_cols(spark, zordered_path):
+    # a row-count-only manifest is legitimate (and the DDL must not
+    # end in a trailing comma)
+    man = file_stats_manifest(spark, zordered_path, [])
+    rows = man.collect()
+    assert len(rows) == 16
+    assert sum(r["n_rows"] for r in rows) == 64 * 64 * 4
+    assert man.columns == ["file", "n_rows"]
+
+
+def test_zorder_key_select_equals_expression_form():
+    # the linear nested-SELECT chain must be result-identical to the
+    # exponentially-duplicated single expression, incl. negative and
+    # boundary inputs
+    duckdb = pytest.importorskip("duckdb")
+    from readability_scanner_spark.operators.layout import (
+        zorder_key_select,
+        zorder_key_sql,
+    )
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE pts AS SELECT * FROM (VALUES "
+        "(1, 0, 0), (2, 1, 0), (3, 0, 1), (4, 5, 3), "
+        "(5, 1073741823, 1073741823), (6, 12345, 67890), (7, -3, 7), "
+        "(8, -1073741824, -1)) t(i, x, y)"
+    )
+    expr = con.execute(
+        f"SELECT i, {zorder_key_sql('x', 'y')} AS zkey FROM pts ORDER BY i"
+    ).fetchall()
+    linear = con.execute(
+        f"SELECT i, zkey FROM ({zorder_key_select('pts', 'x', 'y', ['i'])}) ORDER BY i"
+    ).fetchall()
+    assert expr == linear
+    for _, z in expr:
+        assert 0 <= z < 1 << 62

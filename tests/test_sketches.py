@@ -190,3 +190,15 @@ def test_kmv_estimate_small_sketch_no_ansi_throw(spark):
     sk = kmv_sketch(df, ["g"], F.col("v"), k=64)
     (row,) = kmv_estimate(sk, ["g"], k=64).collect()
     assert (row["n_kept"], row["est_distinct"]) == (1, 1.0)
+
+
+def test_weighted_sample_drops_null_ids(spark):
+    # a NULL id has no content hash: concat_ws would fold it onto the
+    # hash-of-salt (every NULL row colliding on one priority) while a
+    # NULL-propagating oracle sorts it NULLS LAST — so NULL ids are
+    # excluded up front, matching kmv_distinct's null semantics
+    rows = [("a", "d1", 10), ("a", None, 1_000_000), ("a", "d2", 10), ("b", None, 5)]
+    df = spark.createDataFrame(rows, "s string, id string, w long")
+    out = weighted_priority_sample(df, ["s"], "id", F.col("w"), 10, salt=7).collect()
+    assert sorted(r["id"] for r in out) == ["d1", "d2"]
+    assert all(r["priority"] is not None for r in out)
