@@ -1145,6 +1145,35 @@ def q_zorder_keys(spark, sf_dir):
     return ev.select("event_id", zorder_key(F.col("user_id"), day)).orderBy("event_id")
 
 
+def q_cms_heavy_hitters(spark, sf_dir):
+    """Count-min sketch heavy hitters (graft extension, r5): a 4x1024
+    CMS of word_topk-style space-split token frequencies, then point
+    estimates (min over rows) for every distinct token; report tokens
+    whose ESTIMATE clears the threshold alongside their exact counts —
+    est >= exact always (CMS never underestimates), and both columns
+    hash-verify because the md5-low64 bucket hashes make the sketch a
+    pure function of the corpus. Scale shape: distinct-token shuffle
+    (map-side combined) -> constant-size sketch -> broadcast lookup."""
+    from readability_scanner_spark.operators.sketches import cms_estimate, cms_sketch
+
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(F.explode(F.split(F.col("text"), " ")).alias("tok")).where(
+        F.col("tok") != ""
+    )
+    sketch = cms_sketch(toks, "tok", depth=4, width=1024)
+    exact = toks.groupBy(F.col("tok").alias("token")).agg(
+        F.count("*").cast("long").alias("exact_count")
+    )
+    est = cms_estimate(sketch, toks.select(F.col("tok")), "tok", depth=4, width=1024)
+    return (
+        est.join(exact, "token")
+        .where(F.col("est_count") >= 50)
+        .select("token", "est_count", "exact_count")
+        .orderBy(F.desc("est_count"), F.asc("token"))
+        .limit(20)
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDER MATTERS: the driver evaluates the FIRST 50 entries only.
     # Round-5 rotation: (a) the 15 queries the r4 window skipped lead
@@ -1208,18 +1237,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_knn": q_ivf_knn,
         "greedy_topics": q_greedy_topics,
         "daily_topics": q_daily_topics,
-        "readability_by_source": q_readability_by_source,
         "pdf_roundtrip": q_pdf_roundtrip,
         # new-in-r5 graft extensions (sketches.py / layout.py) — unproven
-        # queries stay inside the evaluated window; the three slots they
+        # queries stay inside the evaluated window; the four slots they
         # take came from r4-hash-green queries whose modules are
         # untouched since that evaluation (embed_prep, asof_join,
-        # range_join — now past the window)
+        # range_join, readability_by_source — now past the window)
         "kmv_distinct_users": q_kmv_distinct_users,
         "weighted_sample": q_weighted_sample,
         "zorder_keys": q_zorder_keys,
+        "cms_heavy_hitters": q_cms_heavy_hitters,
         # --- past the 50-query window: hash-green in CORRECTNESS_r04,
         # untouched since ---
+        "readability_by_source": q_readability_by_source,
         "embed_prep": q_embed_prep,
         "asof_join": q_asof_join,
         "range_join": q_range_join,
@@ -2597,5 +2627,37 @@ def oracle_sql() -> dict[str, str]:
                 "date_diff('day', DATE '2024-01-01', CAST(ts AS DATE))",
                 ["event_id"],
             )}) ORDER BY event_id
+        """,
+        "cms_heavy_hitters": """
+            -- count-min sketch recompute: identical 4x1024 sketch from
+            -- md5_number_lower("r:token") % 1024 bucket hashes, point
+            -- estimate = min over the 4 rows. DuckDB SUM -> HUGEINT and
+            -- md5_number_lower -> UBIGINT, so every aggregate/hash is
+            -- cast ::BIGINT (the driver-hash gotcha)
+            WITH toks AS (
+              SELECT t FROM (
+                SELECT unnest(string_split(text, ' ')) AS t FROM documents
+              ) u WHERE t != ''
+            ),
+            tc AS (SELECT t, CAST(count(*) AS BIGINT) AS c FROM toks GROUP BY t),
+            fanned AS (
+              SELECT t, c, CAST(r.range AS INT) AS r,
+                     CAST(md5_number_lower(CAST(r.range AS VARCHAR) || ':' || t)
+                          % 1024 AS INT) AS bucket
+              FROM tc CROSS JOIN range(4) r
+            ),
+            sketch AS (
+              SELECT r, bucket, CAST(sum(c) AS BIGINT) AS cnt
+              FROM fanned GROUP BY r, bucket
+            ),
+            est AS (
+              SELECT f.t AS token, CAST(min(s.cnt) AS BIGINT) AS est_count
+              FROM fanned f JOIN sketch s ON f.r = s.r AND f.bucket = s.bucket
+              GROUP BY f.t
+            )
+            SELECT e.token, e.est_count, tc.c AS exact_count
+            FROM est e JOIN tc ON e.token = tc.t
+            WHERE e.est_count >= 50
+            ORDER BY e.est_count DESC, e.token ASC LIMIT 20
         """,
     }

@@ -14,6 +14,14 @@ Two operators a 100 TB training-data pipeline runs constantly:
   oracle recomputes the IDENTICAL estimate via ``md5_number_lower``,
   so even the *approximate* answer is hash-verifiable.
 
+- :func:`cms_sketch` / :func:`cms_estimate` — count-min sketch
+  (Cormode & Muthukrishnan 2005) for token/heavy-hitter frequency
+  estimation in constant space: depth×width counters, point estimate =
+  min over rows. Merges element-wise (:func:`cms_merge`). Same
+  determinism argument as KMV: md5-low64 bucket hashes make the sketch
+  itself a pure function of the data, so the DuckDB oracle recomputes
+  identical estimates.
+
 - :func:`weighted_priority_sample` — deterministic weighted sampling:
   per stratum keep the n rows with the smallest integer priority
   ``h // w`` (h = 63-bit content hash of the row id, w = integer
@@ -159,6 +167,74 @@ def kmv_distinct(
             )
             .alias("est_distinct"),
         )
+    )
+
+
+def cms_sketch(
+    tokens: DataFrame, token_col: str, depth: int = 4, width: int = 1024
+) -> DataFrame:
+    """Count-min sketch (Cormode & Muthukrishnan 2005) of token
+    frequencies: ``r (int), bucket (int), cnt (bigint)`` — ``depth``
+    rows of ``width`` counters, ``cnt[r][h_r(t)] = Σ count(t)``.
+    Like :func:`kmv_sketch`, every step is a deterministic function of
+    the data (md5-low64 bucket hashes), so a DuckDB oracle recomputes
+    the IDENTICAL sketch and estimates — unlike engine-private
+    ``count_min_sketch``, the approximate answer is hash-verifiable.
+
+    Scale shape: stage 1 is a map-side-combined ``groupBy(token)`` (the
+    shuffle carries distinct tokens, not occurrences), stage 2 fans
+    each distinct token out ``depth`` ways and re-aggregates into at
+    most ``depth*width`` cells — the sketch is CONSTANT-size however
+    large the corpus, which is the whole point: at 100 TB the sketch
+    broadcasts while an exact frequency table would not."""
+    tc = tokens.groupBy(F.col(token_col).alias("t")).agg(
+        F.count("*").cast("long").alias("c")
+    )
+    fanned = tc.select(
+        "t", "c", F.explode(F.array(*[F.lit(r) for r in range(depth)])).alias("r")
+    )
+    return (
+        fanned.select("r", _cms_bucket(F.col("r"), F.col("t"), width).alias("bucket"), "c")
+        .groupBy("r", "bucket")
+        .agg(F.sum("c").cast("long").alias("cnt"))
+    )
+
+
+def _cms_bucket(r: Column, token: Column, width: int) -> Column:
+    """Row-r bucket of a token: md5_low64("r:token") % width. r is a
+    single small integer (never contains ':'), so the payload is
+    prefix-unambiguous whatever the token contains."""
+    return F.pmod(
+        md5_low64(F.concat_ws(":", r.cast("string"), token)), F.lit(width)
+    ).cast("int")
+
+
+def cms_merge(sketches: DataFrame) -> DataFrame:
+    """Combine sketch tables built over disjoint corpus slices (one per
+    partition/day): CMS cells add element-wise, so the merge is a
+    union + sum — exactly equals the sketch of the unioned corpus."""
+    return sketches.groupBy("r", "bucket").agg(F.sum("cnt").cast("long").alias("cnt"))
+
+
+def cms_estimate(
+    sketch: DataFrame,
+    candidates: DataFrame,
+    token_col: str,
+    depth: int = 4,
+    width: int = 1024,
+) -> DataFrame:
+    """Point estimates for candidate tokens: ``token, est_count`` with
+    ``est = min over r of cnt[r][h_r(token)]`` — an overestimate of the
+    true count, never an underestimate (pinned in tests). The sketch
+    side is at most ``depth*width`` rows, so the join broadcasts; an
+    absent cell means the candidate never hashed there → counts 0."""
+    cand = candidates.select(F.col(token_col).alias("token")).distinct()
+    fanned = cand.select(
+        "token", F.explode(F.array(*[F.lit(r) for r in range(depth)])).alias("r")
+    ).select("token", "r", _cms_bucket(F.col("r"), F.col("token"), width).alias("bucket"))
+    joined = fanned.join(F.broadcast(sketch), ["r", "bucket"], "left")
+    return joined.groupBy("token").agg(
+        F.min(F.coalesce(F.col("cnt"), F.lit(0))).cast("long").alias("est_count")
     )
 
 

@@ -202,3 +202,74 @@ def test_weighted_sample_drops_null_ids(spark):
     out = weighted_priority_sample(df, ["s"], "id", F.col("w"), 10, salt=7).collect()
     assert sorted(r["id"] for r in out) == ["d1", "d2"]
     assert all(r["priority"] is not None for r in out)
+
+
+# --- count-min sketch -------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def cms_tokens(spark):
+    # skewed corpus: 'alpha' x200, 'beta' x40, 120 singletons
+    rows = (
+        [("alpha",)] * 200
+        + [("beta",)] * 40
+        + [(f"rare{i}",) for i in range(120)]
+    )
+    return spark.createDataFrame(rows, "tok string")
+
+
+def test_cms_never_underestimates_and_is_exact_when_wide(spark, cms_tokens):
+    from readability_scanner_spark.operators.sketches import cms_estimate, cms_sketch
+
+    sk = cms_sketch(cms_tokens, "tok", depth=4, width=2048)
+    est = {
+        r["token"]: r["est_count"]
+        for r in cms_estimate(sk, cms_tokens, "tok", depth=4, width=2048).collect()
+    }
+    exact = {
+        r["tok"]: r["c"]
+        for r in cms_tokens.groupBy("tok").agg(F.count("*").alias("c")).collect()
+    }
+    assert set(est) == set(exact)
+    for t, c in exact.items():
+        assert est[t] >= c, t  # CMS property: never an underestimate
+    # 122 distinct tokens in 4x2048 cells: collisions vanishingly rare,
+    # and min-over-rows needs only ONE clean row per token
+    assert est["alpha"] == 200 and est["beta"] == 40
+
+
+def test_cms_overestimates_under_forced_collisions(spark, cms_tokens):
+    from readability_scanner_spark.operators.sketches import cms_estimate, cms_sketch
+
+    # width 4: 122 tokens into 4 buckets per row — every cell collides
+    sk = cms_sketch(cms_tokens, "tok", depth=2, width=4)
+    est = {
+        r["token"]: r["est_count"]
+        for r in cms_estimate(sk, cms_tokens, "tok", depth=2, width=4).collect()
+    }
+    assert est["alpha"] >= 200
+    assert any(est[f"rare{i}"] > 1 for i in range(120))  # collisions visible
+
+
+def test_cms_merge_equals_union_sketch(spark, cms_tokens):
+    from readability_scanner_spark.operators.sketches import cms_merge, cms_sketch
+
+    a = cms_tokens.where(F.col("tok").startswith("rare"))
+    b = cms_tokens.where(~F.col("tok").startswith("rare"))
+    direct = cms_sketch(cms_tokens, "tok", depth=4, width=256)
+    merged = cms_merge(cms_sketch(a, "tok", depth=4, width=256).union(
+        cms_sketch(b, "tok", depth=4, width=256)
+    ))
+    d = {(r["r"], r["bucket"]): r["cnt"] for r in direct.collect()}
+    m = {(r["r"], r["bucket"]): r["cnt"] for r in merged.collect()}
+    assert d == m
+
+
+def test_cms_absent_candidate_estimates_small(spark, cms_tokens):
+    from readability_scanner_spark.operators.sketches import cms_estimate, cms_sketch
+
+    sk = cms_sketch(cms_tokens, "tok", depth=4, width=2048)
+    cand = spark.createDataFrame([("never-seen-token",)], "tok string")
+    (row,) = cms_estimate(sk, cand, "tok", depth=4, width=2048).collect()
+    # absent token: min over rows includes empty cells (coalesce->0)
+    assert row["est_count"] == 0
