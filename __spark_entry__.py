@@ -1174,6 +1174,48 @@ def q_cms_heavy_hitters(spark, sf_dir):
     )
 
 
+def q_decontaminate(spark, sf_dir):
+    """Benchmark decontamination (graft extension, r5): treat docs with
+    doc_id % 11 == 0 as the held-out eval suite, flag every other doc
+    sharing a 4-token shingle with it (n=4 because the synthetic docs
+    are short; the published recipes use 13-grams on real text — the
+    operator takes n). Scale shape: the benchmark gram-hash set
+    BROADCASTS (plan-asserted in tests), the corpus side joins map-side
+    with no shuffle; per-doc grams dedup before the explode-join.
+    hit_ratio is the unrounded int/int double quotient (expression-shape
+    identical in the oracle)."""
+    from readability_scanner_spark.operators.decontam import decontaminate
+
+    docs = _t(spark, sf_dir, "documents")
+    bench = docs.where(F.col("doc_id") % 11 == 0)
+    cand = docs.where(F.col("doc_id") % 11 != 0)
+    return decontaminate(cand, bench, "doc_id", "text", n=4)
+
+
+def q_dataset_split(spark, sf_dir):
+    """Deterministic train/val/test assignment (graft extension, r5):
+    md5-low64("salt:doc_id") % 10000 buckets -> 80/10/10 cumulative
+    ranges. Per-row output so the driver hash certifies EVERY
+    assignment, not a distribution summary; content-addressed, so the
+    split survives any repartitioning of a 100 TB corpus (the property
+    that prevents eval leakage between runs)."""
+    from readability_scanner_spark.operators.sampling import split_assign
+    from readability_scanner_spark.operators.sketches import md5_low64
+
+    docs = _t(spark, sf_dir, "documents")
+    bucket = F.pmod(
+        md5_low64(F.concat_ws(":", F.lit("3"), F.col("doc_id").cast("string"))),
+        F.lit(10_000),
+    ).cast("long")
+    return docs.select(
+        "doc_id",
+        bucket.alias("bucket"),
+        split_assign(
+            F.col("doc_id"), [("train", 8000), ("val", 1000), ("test", 1000)], salt=3
+        ),
+    ).orderBy("doc_id")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDER MATTERS: the driver evaluates the FIRST 50 entries only.
     # Round-5 rotation: (a) the 15 queries the r4 window skipped lead
@@ -1236,19 +1278,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lsh_ann_pairs": q_lsh_ann_pairs,
         "ivf_knn": q_ivf_knn,
         "greedy_topics": q_greedy_topics,
-        "daily_topics": q_daily_topics,
-        "pdf_roundtrip": q_pdf_roundtrip,
-        # new-in-r5 graft extensions (sketches.py / layout.py) — unproven
-        # queries stay inside the evaluated window; the four slots they
-        # take came from r4-hash-green queries whose modules are
-        # untouched since that evaluation (embed_prep, asof_join,
-        # range_join, readability_by_source — now past the window)
+        # new-in-r5 graft extensions (sketches.py / layout.py /
+        # decontam.py / sampling.split_assign) — unproven queries stay
+        # inside the evaluated window; the six slots they take came
+        # from r4-hash-green queries whose query fn AND oracle are
+        # byte-identical since that evaluation (embed_prep, asof_join,
+        # range_join, readability_by_source, daily_topics,
+        # pdf_roundtrip — now past the window)
         "kmv_distinct_users": q_kmv_distinct_users,
         "weighted_sample": q_weighted_sample,
         "zorder_keys": q_zorder_keys,
         "cms_heavy_hitters": q_cms_heavy_hitters,
+        "decontaminate": q_decontaminate,
+        "dataset_split": q_dataset_split,
         # --- past the 50-query window: hash-green in CORRECTNESS_r04,
         # untouched since ---
+        "daily_topics": q_daily_topics,
+        "pdf_roundtrip": q_pdf_roundtrip,
         "readability_by_source": q_readability_by_source,
         "embed_prep": q_embed_prep,
         "asof_join": q_asof_join,
@@ -2659,5 +2705,55 @@ def oracle_sql() -> dict[str, str]:
             FROM est e JOIN tc ON e.token = tc.t
             WHERE e.est_count >= 50
             ORDER BY e.est_count DESC, e.token ASC LIMIT 20
+        """,
+        "decontaminate": """
+            -- benchmark decontamination twin: identical 4-token shingles
+            -- (space-split, per-doc distinct) joined on md5_number_lower
+            -- gram hashes (same hash domain as the Spark side, so even a
+            -- collision would match identically). hit_ratio is the same
+            -- unrounded int/int double quotient.
+            WITH toks AS (
+              SELECT doc_id,
+                     list_filter(string_split(text, ' '), t -> t != '') AS ts
+              FROM documents
+            ),
+            gsets AS (
+              SELECT doc_id,
+                     list_distinct(list_transform(
+                       range(1, greatest(len(ts) - 3, 0) + 1),
+                       i -> md5_number_lower(array_to_string(
+                              ts[CAST(i AS INT):CAST(i AS INT)+3], ' '))
+                     )) AS gs
+              FROM toks
+            ),
+            grams AS (SELECT doc_id, unnest(gs) AS gh FROM gsets),
+            bench AS (SELECT DISTINCT gh FROM grams WHERE doc_id % 11 = 0),
+            cand AS (SELECT doc_id, gh FROM grams WHERE doc_id % 11 != 0),
+            hits AS (
+              SELECT doc_id, CAST(count(*) AS BIGINT) AS hit_grams
+              FROM cand JOIN bench USING (gh) GROUP BY doc_id
+            ),
+            totals AS (
+              SELECT doc_id, CAST(len(gs) AS BIGINT) AS total_grams
+              FROM gsets WHERE doc_id % 11 != 0
+            )
+            SELECT h.doc_id, t.total_grams, h.hit_grams,
+                   CAST(h.hit_grams AS DOUBLE) / CAST(t.total_grams AS DOUBLE)
+                     AS hit_ratio
+            FROM hits h JOIN totals t USING (doc_id)
+            ORDER BY hit_grams DESC, doc_id ASC
+        """,
+        "dataset_split": """
+            -- deterministic 80/10/10 split twin: md5_number_lower of
+            -- 'salt:id' mod 10000 -> cumulative integer thresholds
+            SELECT doc_id,
+                   CAST(md5_number_lower('3:' || CAST(doc_id AS VARCHAR))
+                        % 10000 AS BIGINT) AS bucket,
+                   CASE WHEN md5_number_lower('3:' || CAST(doc_id AS VARCHAR))
+                             % 10000 < 8000 THEN 'train'
+                        WHEN md5_number_lower('3:' || CAST(doc_id AS VARCHAR))
+                             % 10000 < 9000 THEN 'val'
+                        ELSE 'test' END AS split
+            FROM documents ORDER BY doc_id
         """,
     }

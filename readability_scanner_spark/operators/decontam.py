@@ -1,0 +1,133 @@
+"""Benchmark decontamination: n-gram overlap against an eval set.
+
+The canonical pre-training hygiene op (GPT-3 appendix C / The Pile):
+before training, drop or flag any document sharing a long-enough token
+n-gram with a held-out benchmark, so eval numbers measure generalization
+rather than memorization. The reference has no analog (graft extension,
+same family as operators/dedup.py); semantics follow the published
+recipe: tokenize, form all n-token shingles, and mark a document
+contaminated if ANY shingle also occurs in the benchmark corpus.
+
+Scale shape (the part that matters at 100 TB):
+
+- The benchmark side is an EVAL SUITE — thousands of documents, at most
+  a few million distinct n-grams. Hashed to 64-bit it broadcasts; the
+  100-TB training side then joins map-side with NO shuffle of the
+  corpus at all. ``.explain`` shows BroadcastHashJoin; pinned in
+  tests/test_decontam.py.
+- Document grams are de-duplicated per doc BEFORE the join (a doc
+  repeating a benchmark phrase counts once), and the per-doc aggregate
+  is a map-side-combinable count.
+- Everything is JVM expressions (split/transform/slice/explode); no
+  Python workers.
+
+Determinism: grams join on their md5-low64 hash (sketches.md5_low64 ==
+DuckDB ``md5_number_lower``), so the DuckDB oracle reproduces the exact
+match set — collisions included, identically on both engines.
+
+Tokenization is a plain single-space split (the same corpus-contract as
+operators/sketches.cms_sketch): decontamination shingles care about
+exact phrase reuse, so no case folding or unicode word segmentation is
+applied — "The quick" and "the quick" are different 2-gram starts, as
+in the published recipes which decontaminate on raw token sequences.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .sketches import md5_low64
+
+
+def _tokens_col(text_col: Column) -> Column:
+    """Non-empty single-space tokens (split collapses nothing: repeated
+    spaces yield empty strings, filtered here — identical to the oracle's
+    list_filter(string_split(...)))."""
+    return F.filter(F.split(text_col, " "), lambda t: t != "")
+
+
+def ngrams_col(text_col: Column, n: int) -> Column:
+    """All n-token shingles of ``text_col`` as an array of space-joined
+    strings; empty array when the doc has fewer than n tokens.
+
+    The ``when`` guard is load-bearing: Spark's ``sequence(1, m)`` with
+    m < 1 infers a NEGATIVE step and yields a descending sequence (not
+    empty), which would fabricate grams from slice() of short docs."""
+    toks = _tokens_col(text_col)
+    starts = F.sequence(F.lit(1), F.size(toks) - F.lit(n - 1))
+    grams = F.transform(starts, lambda i: F.array_join(F.slice(toks, i, n), " "))
+    return F.when(F.size(toks) >= n, grams).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
+def doc_ngrams(
+    df: DataFrame, id_col: str, text_col: str, n: int = 8
+) -> DataFrame:
+    """``(id, gram_hash)`` — DISTINCT md5-low64 hashes of every n-token
+    shingle per document. array_distinct runs BEFORE explode, so the
+    fan-out never materializes a doc's repeated grams."""
+    return df.select(
+        F.col(id_col),
+        F.explode(F.array_distinct(ngrams_col(F.col(text_col), n))).alias("gram"),
+    ).select(id_col, md5_low64(F.col("gram")).alias("gram_hash"))
+
+
+def benchmark_gram_set(
+    benchmark: DataFrame, text_col: str, n: int = 8
+) -> DataFrame:
+    """The distinct gram-hash set of the eval corpus — the broadcast
+    side. One column ``gram_hash``; size is bounded by the benchmark,
+    never by the training corpus."""
+    return (
+        benchmark.select(
+            F.explode(ngrams_col(F.col(text_col), n)).alias("gram")
+        )
+        .select(md5_low64(F.col("gram")).alias("gram_hash"))
+        .distinct()
+    )
+
+
+def decontaminate(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 8,
+) -> DataFrame:
+    """Per-document contamination report against ``benchmark``:
+    ``id, total_grams, hit_grams, hit_ratio`` for every doc with at
+    least one shingle shared with the eval set (the drop/flag list).
+
+    Plan: doc grams (distinct per doc) -> inner join against the
+    BROADCAST benchmark gram set -> per-doc count; total_grams comes
+    from a separate map-side pass (size of the distinct gram array —
+    no join, no shuffle). hit_ratio is the unrounded double quotient
+    (expression-shape identical to the oracle's)."""
+    grams = doc_ngrams(docs, id_col, text_col, n)
+    bench = benchmark_gram_set(benchmark, text_col, n)
+    hits = (
+        grams.join(F.broadcast(bench), "gram_hash")
+        .groupBy(id_col)
+        .agg(F.count("*").cast("long").alias("hit_grams"))
+    )
+    totals = docs.select(
+        F.col(id_col),
+        F.size(F.array_distinct(ngrams_col(F.col(text_col), n)))
+        .cast("long")
+        .alias("total_grams"),
+    )
+    return (
+        hits.join(totals, id_col)
+        .select(
+            id_col,
+            "total_grams",
+            "hit_grams",
+            (
+                F.col("hit_grams").cast("double")
+                / F.col("total_grams").cast("double")
+            ).alias("hit_ratio"),
+        )
+        .orderBy(F.desc("hit_grams"), F.asc(id_col))
+    )

@@ -49,6 +49,44 @@ def stratified_counts(df: DataFrame, strata_col: str, sampled: DataFrame) -> Dat
     )
 
 
+def split_assign(
+    id_col: Column,
+    splits: list[tuple[str, int]],
+    salt: int = 0,
+    buckets: int = 10_000,
+) -> Column:
+    """Deterministic train/val/test assignment: hash the id into one of
+    ``buckets`` buckets (md5-low64 of ``"salt:id"`` — the cross-engine
+    hash, so DuckDB reproduces the assignment bit-exactly) and map
+    cumulative bucket ranges to split labels. ``splits`` is
+    ``[(label, weight), ...]`` with integer weights summing to
+    ``buckets`` — integer thresholds make the split exact, exhaustive,
+    and disjoint (every bucket maps to exactly one label; no float
+    boundary ambiguity). Content-addressed like everything else in this
+    module: a row keeps its split across reshuffles, re-runs, and
+    engines — the property that stops eval-set leakage when a 100 TB
+    corpus is re-partitioned between runs."""
+    from .sketches import md5_low64
+
+    total = sum(w for _, w in splits)
+    if total != buckets:
+        raise ValueError(f"split weights sum to {total}, expected {buckets}")
+    bucket = F.pmod(
+        md5_low64(F.concat_ws(":", F.lit(str(salt)), id_col.cast("string"))),
+        F.lit(buckets),
+    )
+    expr = None
+    acc = 0
+    for label, w in splits[:-1]:
+        acc += w
+        cond = bucket < F.lit(acc)
+        expr = F.when(cond, label) if expr is None else expr.when(cond, label)
+    last_label = splits[-1][0]
+    return (F.lit(last_label) if expr is None else expr.otherwise(last_label)).alias(
+        "split"
+    )
+
+
 def balance_classes(df: DataFrame, label_col: str, id_col: str, per_class: int) -> DataFrame:
     """Downsample every class to at most ``per_class`` rows,
     deterministically (rank by id within class). The classic

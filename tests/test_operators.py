@@ -841,6 +841,63 @@ def test_stratified_counts_null_stratum(spark):
     assert out["en"] == (5, 0)
 
 
+def test_split_assign_exhaustive_disjoint_and_proportional(spark):
+    from readability_scanner_spark.operators.sampling import split_assign
+
+    docs = spark.createDataFrame([(i,) for i in range(5000)], "doc_id long")
+    out = docs.select(
+        "doc_id",
+        split_assign(F.col("doc_id"), [("train", 8000), ("val", 1000), ("test", 1000)]),
+    )
+    counts = {r["split"]: r["n"] for r in out.groupBy("split").agg(F.count("*").alias("n")).collect()}
+    assert set(counts) == {"train", "val", "test"}  # exhaustive, no nulls
+    assert sum(counts.values()) == 5000  # disjoint (one label per row)
+    assert 0.75 < counts["train"] / 5000 < 0.85
+    assert 0.07 < counts["val"] / 5000 < 0.13
+    # same salt -> identical assignment; different salt -> a different one
+    again = docs.select("doc_id", split_assign(F.col("doc_id"), [("train", 8000), ("val", 1000), ("test", 1000)]))
+    assert out.exceptAll(again).count() == 0
+    other = docs.select("doc_id", split_assign(F.col("doc_id"), [("train", 8000), ("val", 1000), ("test", 1000)], salt=7))
+    assert out.exceptAll(other).count() > 0
+
+
+def test_split_assign_weights_must_sum_to_buckets(spark):
+    import pytest as _pytest
+
+    from readability_scanner_spark.operators.sampling import split_assign
+
+    with _pytest.raises(ValueError):
+        split_assign(F.col("doc_id"), [("train", 9000), ("val", 500)])
+
+
+def test_split_assign_matches_duckdb(spark):
+    import duckdb
+
+    from readability_scanner_spark.operators.sampling import split_assign
+
+    docs = spark.createDataFrame([(i,) for i in range(200)], "doc_id long")
+    got = {
+        r["doc_id"]: r["split"]
+        for r in docs.select(
+            "doc_id", split_assign(F.col("doc_id"), [("train", 8000), ("val", 1000), ("test", 1000)], salt=3)
+        ).collect()
+    }
+    want = dict(
+        duckdb.connect()
+        .execute(
+            """
+            SELECT i, CASE WHEN b < 8000 THEN 'train' WHEN b < 9000 THEN 'val'
+                           ELSE 'test' END
+            FROM (SELECT range AS i,
+                         md5_number_lower('3:' || CAST(range AS VARCHAR)) % 10000 AS b
+                  FROM range(200))
+            """
+        )
+        .fetchall()
+    )
+    assert got == want
+
+
 def test_range_join_self_join_column_collision(spark):
     from readability_scanner_spark.operators.temporal import range_join
 
