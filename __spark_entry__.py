@@ -1156,7 +1156,7 @@ def q_cms_heavy_hitters(spark, sf_dir):
     (map-side combined) -> constant-size sketch -> broadcast lookup."""
     from readability_scanner_spark.operators.sketches import cms_estimate, cms_sketch
 
-    docs = _t(spark, sf_dir, "documents")
+    docs = _t(spark, sf_dir, "documents", spread=True)
     toks = docs.select(F.explode(F.split(F.col("text"), " ")).alias("tok")).where(
         F.col("tok") != ""
     )
@@ -1164,7 +1164,12 @@ def q_cms_heavy_hitters(spark, sf_dir):
     exact = toks.groupBy(F.col("tok").alias("token")).agg(
         F.count("*").cast("long").alias("exact_count")
     )
-    est = cms_estimate(sketch, toks.select(F.col("tok")), "tok", depth=4, width=1024)
+    # candidates = the already-distinct exact table, not the raw token
+    # stream (saves cms_estimate's distinct() a third full aggregation
+    # over the widest intermediate)
+    est = cms_estimate(
+        sketch, exact.select(F.col("token").alias("tok")), "tok", depth=4, width=1024
+    )
     return (
         est.join(exact, "token")
         .where(F.col("est_count") >= 50)
@@ -1186,7 +1191,7 @@ def q_decontaminate(spark, sf_dir):
     identical in the oracle)."""
     from readability_scanner_spark.operators.decontam import decontaminate
 
-    docs = _t(spark, sf_dir, "documents")
+    docs = _t(spark, sf_dir, "documents", spread=True)
     bench = docs.where(F.col("doc_id") % 11 == 0)
     cand = docs.where(F.col("doc_id") % 11 != 0)
     return decontaminate(cand, bench, "doc_id", "text", n=4)
@@ -1199,17 +1204,14 @@ def q_dataset_split(spark, sf_dir):
     assignment, not a distribution summary; content-addressed, so the
     split survives any repartitioning of a 100 TB corpus (the property
     that prevents eval leakage between runs)."""
-    from readability_scanner_spark.operators.sampling import split_assign
-    from readability_scanner_spark.operators.sketches import md5_low64
+    from readability_scanner_spark.operators.sampling import split_assign, split_bucket
 
     docs = _t(spark, sf_dir, "documents")
-    bucket = F.pmod(
-        md5_low64(F.concat_ws(":", F.lit("3"), F.col("doc_id").cast("string"))),
-        F.lit(10_000),
-    ).cast("long")
     return docs.select(
         "doc_id",
-        bucket.alias("bucket"),
+        # same helper split_assign uses internally — bucket and label
+        # cannot desync
+        split_bucket(F.col("doc_id"), salt=3).cast("long").alias("bucket"),
         split_assign(
             F.col("doc_id"), [("train", 8000), ("val", 1000), ("test", 1000)], salt=3
         ),

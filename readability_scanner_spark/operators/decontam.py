@@ -62,16 +62,29 @@ def ngrams_col(text_col: Column, n: int) -> Column:
     )
 
 
+def gram_hash_arr(text_col: Column, n: int) -> Column:
+    """DISTINCT md5-low64 hashes of a document's n-token shingles, as
+    an array. Dedup happens ON THE HASHES (after md5_low64), not on the
+    gram strings: the DuckDB oracle dedups hashes too, so even a 64-bit
+    collision between two distinct grams in one doc resolves identically
+    on both engines (at ~10^10 grams the birthday bound makes collisions
+    expected — string-side dedup would count such a pair as 2 here and
+    1 in the oracle)."""
+    return F.array_distinct(
+        F.transform(ngrams_col(text_col, n), lambda g: md5_low64(g))
+    )
+
+
 def doc_ngrams(
     df: DataFrame, id_col: str, text_col: str, n: int = 8
 ) -> DataFrame:
-    """``(id, gram_hash)`` — DISTINCT md5-low64 hashes of every n-token
-    shingle per document. array_distinct runs BEFORE explode, so the
-    fan-out never materializes a doc's repeated grams."""
+    """``(id, gram_hash)`` — one row per distinct gram hash per
+    document. array_distinct runs BEFORE explode, so the fan-out never
+    materializes a doc's repeated grams."""
     return df.select(
         F.col(id_col),
-        F.explode(F.array_distinct(ngrams_col(F.col(text_col), n))).alias("gram"),
-    ).select(id_col, md5_low64(F.col("gram")).alias("gram_hash"))
+        F.explode(gram_hash_arr(F.col(text_col), n)).alias("gram_hash"),
+    )
 
 
 def benchmark_gram_set(
@@ -82,9 +95,8 @@ def benchmark_gram_set(
     never by the training corpus."""
     return (
         benchmark.select(
-            F.explode(ngrams_col(F.col(text_col), n)).alias("gram")
+            F.explode(gram_hash_arr(F.col(text_col), n)).alias("gram_hash")
         )
-        .select(md5_low64(F.col("gram")).alias("gram_hash"))
         .distinct()
     )
 
@@ -100,26 +112,25 @@ def decontaminate(
     ``id, total_grams, hit_grams, hit_ratio`` for every doc with at
     least one shingle shared with the eval set (the drop/flag list).
 
-    Plan: doc grams (distinct per doc) -> inner join against the
-    BROADCAST benchmark gram set -> per-doc count; total_grams comes
-    from a separate map-side pass (size of the distinct gram array —
-    no join, no shuffle). hit_ratio is the unrounded double quotient
+    Plan: ONE tokenize+shingle pass over the corpus — the distinct
+    gram-hash array is computed once per doc, its size carried through
+    the explode as ``total_grams`` (functionally dependent on the id,
+    so it rides the groupBy key; no second scan, no totals join) ->
+    inner join against the BROADCAST benchmark gram set -> per-doc
+    count. hit_ratio is the unrounded double quotient
     (expression-shape identical to the oracle's)."""
-    grams = doc_ngrams(docs, id_col, text_col, n)
     bench = benchmark_gram_set(benchmark, text_col, n)
-    hits = (
-        grams.join(F.broadcast(bench), "gram_hash")
-        .groupBy(id_col)
-        .agg(F.count("*").cast("long").alias("hit_grams"))
-    )
-    totals = docs.select(
-        F.col(id_col),
-        F.size(F.array_distinct(ngrams_col(F.col(text_col), n)))
-        .cast("long")
-        .alias("total_grams"),
+    grams = docs.select(
+        F.col(id_col), gram_hash_arr(F.col(text_col), n).alias("_grams")
+    ).select(
+        id_col,
+        F.size("_grams").cast("long").alias("total_grams"),
+        F.explode("_grams").alias("gram_hash"),
     )
     return (
-        hits.join(totals, id_col)
+        grams.join(F.broadcast(bench), "gram_hash")
+        .groupBy(id_col, "total_grams")
+        .agg(F.count("*").cast("long").alias("hit_grams"))
         .select(
             id_col,
             "total_grams",

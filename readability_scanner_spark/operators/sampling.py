@@ -49,42 +49,62 @@ def stratified_counts(df: DataFrame, strata_col: str, sampled: DataFrame) -> Dat
     )
 
 
+def split_bucket(id_col: Column, salt: int = 0, buckets: int = 10_000) -> Column:
+    """The split-assignment bucket: md5-low64 of ``"salt:id"`` (the
+    cross-engine hash — DuckDB ``md5_number_lower`` reproduces it
+    bit-exactly) mod ``buckets``. Shared by :func:`split_assign` and
+    any caller that wants to EXPOSE the bucket next to the label (the
+    one expression, so the two can never desync).
+
+    NULL ids hash to NULL (``F.concat`` propagates NULL; ``concat_ws``
+    would silently skip it and fold every NULL id onto hash(salt) —
+    diverging from the NULL-propagating SQL twin ``'s:' || id``)."""
+    from .sketches import md5_low64
+
+    return F.pmod(
+        md5_low64(F.concat(F.lit(f"{salt}:"), id_col.cast("string"))),
+        F.lit(buckets),
+    )
+
+
 def split_assign(
     id_col: Column,
     splits: list[tuple[str, int]],
     salt: int = 0,
     buckets: int = 10_000,
 ) -> Column:
-    """Deterministic train/val/test assignment: hash the id into one of
-    ``buckets`` buckets (md5-low64 of ``"salt:id"`` — the cross-engine
-    hash, so DuckDB reproduces the assignment bit-exactly) and map
-    cumulative bucket ranges to split labels. ``splits`` is
-    ``[(label, weight), ...]`` with integer weights summing to
-    ``buckets`` — integer thresholds make the split exact, exhaustive,
-    and disjoint (every bucket maps to exactly one label; no float
-    boundary ambiguity). Content-addressed like everything else in this
-    module: a row keeps its split across reshuffles, re-runs, and
-    engines — the property that stops eval-set leakage when a 100 TB
-    corpus is re-partitioned between runs."""
-    from .sketches import md5_low64
+    """Deterministic train/val/test assignment: :func:`split_bucket`
+    maps the id into one of ``buckets`` buckets, cumulative bucket
+    ranges map to split labels. ``splits`` is ``[(label, weight), ...]``
+    with positive integer weights summing to ``buckets`` — integer
+    thresholds make the split exact, exhaustive, and disjoint (every
+    bucket maps to exactly one label; no float boundary ambiguity).
+    Content-addressed like everything else in this module: a row keeps
+    its split across reshuffles, re-runs, and engines — the property
+    that stops eval-set leakage when a 100 TB corpus is re-partitioned
+    between runs.
 
+    A NULL id gets a NULL split (explicitly, before the threshold
+    chain — otherwise Spark's NULL-comparison semantics would dump
+    every NULL id into the LAST split while a SQL twin might do the
+    same silently; make the caller decide). Filter or coalesce ids
+    upstream if NULLs are possible."""
     total = sum(w for _, w in splits)
     if total != buckets:
         raise ValueError(f"split weights sum to {total}, expected {buckets}")
-    bucket = F.pmod(
-        md5_low64(F.concat_ws(":", F.lit(str(salt)), id_col.cast("string"))),
-        F.lit(buckets),
-    )
+    if any(w <= 0 for _, w in splits):
+        raise ValueError(f"split weights must be positive: {splits}")
+    bucket = split_bucket(id_col, salt, buckets)
     expr = None
     acc = 0
     for label, w in splits[:-1]:
         acc += w
         cond = bucket < F.lit(acc)
         expr = F.when(cond, label) if expr is None else expr.when(cond, label)
-    last_label = splits[-1][0]
-    return (F.lit(last_label) if expr is None else expr.otherwise(last_label)).alias(
-        "split"
-    )
+    last = F.lit(splits[-1][0]) if expr is None else expr.otherwise(splits[-1][0])
+    return (
+        F.when(id_col.isNull(), F.lit(None).cast("string")).otherwise(last)
+    ).alias("split")
 
 
 def balance_classes(df: DataFrame, label_col: str, id_col: str, per_class: int) -> DataFrame:

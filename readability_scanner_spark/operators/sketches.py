@@ -186,9 +186,16 @@ def cms_sketch(
     each distinct token out ``depth`` ways and re-aggregates into at
     most ``depth*width`` cells — the sketch is CONSTANT-size however
     large the corpus, which is the whole point: at 100 TB the sketch
-    broadcasts while an exact frequency table would not."""
-    tc = tokens.groupBy(F.col(token_col).alias("t")).agg(
-        F.count("*").cast("long").alias("c")
+    broadcasts while an exact frequency table would not.
+
+    NULL tokens are dropped (COUNT-DISTINCT-style, same contract as
+    :func:`kmv_sketch`) — without the filter, concat_ws would silently
+    fold every NULL onto the md5("r") bucket while the NULL-propagating
+    oracle expression drops them, a cross-engine divergence."""
+    tc = (
+        tokens.where(F.col(token_col).isNotNull())
+        .groupBy(F.col(token_col).alias("t"))
+        .agg(F.count("*").cast("long").alias("c"))
     )
     fanned = tc.select(
         "t", "c", F.explode(F.array(*[F.lit(r) for r in range(depth)])).alias("r")
@@ -227,8 +234,35 @@ def cms_estimate(
     ``est = min over r of cnt[r][h_r(token)]`` — an overestimate of the
     true count, never an underestimate (pinned in tests). The sketch
     side is at most ``depth*width`` rows, so the join broadcasts; an
-    absent cell means the candidate never hashed there → counts 0."""
-    cand = candidates.select(F.col(token_col).alias("token")).distinct()
+    absent cell means the candidate never hashed there → counts 0.
+
+    Guard: a depth/width mismatch with how the sketch was built would
+    coalesce missing rows/cells to 0 and SILENTLY underestimate (the
+    one way the never-underestimate guarantee could break). The probe
+    checks the sketch's distinct ``r`` values == ``range(depth)`` and
+    ``max(bucket) < width`` — catching any depth mismatch and a
+    too-small ``width``; a ``width`` LARGER than the build width is
+    undetectable from the sketch alone (buckets just look sparse), so
+    callers own that pairing. The probe aggregates the constant-size
+    sketch (≤ depth*width rows), corpus-size-independent. An empty
+    sketch (empty corpus) is legitimate: every estimate is 0."""
+    probe = sketch.agg(
+        F.collect_set("r").alias("rs"), F.max("bucket").alias("maxb")
+    ).first()
+    rows_present = set(probe["rs"])
+    if rows_present and rows_present != set(range(depth)):
+        raise ValueError(
+            f"sketch rows {sorted(rows_present)} != range({depth}); "
+            "sketch was built with a different depth"
+        )
+    if probe["maxb"] is not None and probe["maxb"] >= width:
+        raise ValueError(
+            f"sketch bucket {probe['maxb']} >= width {width}; "
+            "sketch was built with a larger width"
+        )
+    cand = candidates.where(F.col(token_col).isNotNull()).select(
+        F.col(token_col).alias("token")
+    ).distinct()
     fanned = cand.select(
         "token", F.explode(F.array(*[F.lit(r) for r in range(depth)])).alias("r")
     ).select("token", "r", _cms_bucket(F.col("r"), F.col("token"), width).alias("bucket"))

@@ -868,6 +868,23 @@ def test_split_assign_weights_must_sum_to_buckets(spark):
 
     with _pytest.raises(ValueError):
         split_assign(F.col("doc_id"), [("train", 9000), ("val", 500)])
+    with _pytest.raises(ValueError, match="positive"):
+        split_assign(F.col("doc_id"), [("train", 11000), ("val", -1000)])
+
+
+def test_split_assign_null_id_gets_null_split(spark):
+    from readability_scanner_spark.operators.sampling import split_assign
+
+    df = spark.createDataFrame([(1,), (None,)], "doc_id long")
+    out = {
+        r["doc_id"]: r["split"]
+        for r in df.select(
+            "doc_id",
+            split_assign(F.col("doc_id"), [("train", 8000), ("val", 1000), ("test", 1000)]),
+        ).collect()
+    }
+    assert out[None] is None  # NULL id never lands in a split silently
+    assert out[1] in {"train", "val", "test"}
 
 
 def test_split_assign_matches_duckdb(spark):

@@ -265,6 +265,28 @@ def test_cms_merge_equals_union_sketch(spark, cms_tokens):
     assert d == m
 
 
+def test_cms_estimate_rejects_mismatched_sketch_params(spark, cms_tokens):
+    from readability_scanner_spark.operators.sketches import cms_estimate, cms_sketch
+
+    sk = cms_sketch(cms_tokens, "tok", depth=2, width=4)
+    with pytest.raises(ValueError, match="different depth"):
+        cms_estimate(sk, cms_tokens, "tok", depth=4, width=4).collect()
+    sk_wide = cms_sketch(cms_tokens, "tok", depth=2, width=2048)
+    with pytest.raises(ValueError, match="larger width"):
+        cms_estimate(sk_wide, cms_tokens, "tok", depth=2, width=4).collect()
+
+
+def test_cms_sketch_drops_null_tokens(spark):
+    from readability_scanner_spark.operators.sketches import cms_estimate, cms_sketch
+
+    df = spark.createDataFrame([("a",), (None,), ("a",), (None,)], "tok string")
+    sk = cms_sketch(df, "tok", depth=2, width=64)
+    # only 'a' contributes: every cell holds exactly 2 (never 2+nulls)
+    assert {r["cnt"] for r in sk.collect()} == {2}
+    est = cms_estimate(sk, df, "tok", depth=2, width=64).collect()
+    assert {(r["token"], r["est_count"]) for r in est} == {("a", 2)}
+
+
 def test_cms_absent_candidate_estimates_small(spark, cms_tokens):
     from readability_scanner_spark.operators.sketches import cms_estimate, cms_sketch
 
