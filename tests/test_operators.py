@@ -1073,6 +1073,66 @@ def test_decode_png_rejects_unsupported():
         multimodal.decode_png(bad)
 
 
+@pytest.mark.parametrize("channels", [1, 3, 4])
+def test_encode_png_roundtrips_through_decoder(channels):
+    import random
+
+    rng = random.Random(channels)
+    w, h = 11, 6
+    pixels = bytes(rng.randrange(256) for _ in range(w * h * channels))
+    got = multimodal.decode_png(multimodal.encode_png(w, h, channels, pixels))
+    assert got == (w, h, channels, bytearray(pixels))
+
+
+def test_resize_identity_is_exact_copy():
+    png = multimodal.make_png(8, 5, seed=3)
+    w, h, c, px = multimodal.decode_png(png)
+    rw, rh, rc, rpx = multimodal.resize_pixels(w, h, c, px, 8, 5)
+    # same-size bilinear: every source coordinate lands exactly on a
+    # pixel center -> fx=fy=0 -> byte-exact copy
+    assert (rw, rh, rc) == (8, 5, 3)
+    assert bytes(rpx) == bytes(px)
+
+
+def test_resize_constant_image_stays_constant():
+    px = bytes([123]) * (10 * 7 * 3)
+    for ow, oh in [(3, 2), (20, 15), (1, 1)]:
+        _, _, _, rpx = multimodal.resize_pixels(10, 7, 3, px, ow, oh)
+        assert set(rpx.tolist()) == {123}, (ow, oh)
+
+
+def test_resize_2x_downscale_averages_neighbors():
+    # 2x2 grey image [0, 100 / 200, 50] -> 1x1 center samples all four
+    # corners with equal 0.25 weight -> floor(87.5 + 0.5) = 88
+    px = bytes([0, 100, 200, 50])
+    _, _, _, rpx = multimodal.resize_pixels(2, 2, 1, px, 1, 1)
+    assert rpx.tolist() == [88]
+
+
+def test_resize_image_decodes_jpeg_input():
+    from readability_scanner_spark.operators.jpeg import make_jpeg
+
+    out = multimodal.resize_image(make_jpeg(16, 12, seed=4), 8, 6)
+    assert multimodal.decode_png(out)[:3] == (8, 6, 3)
+
+
+def test_resize_images_dataframe_op(spark):
+    rows = [
+        (1, multimodal.make_png(12, 9, seed=1)),
+        (2, b"not an image at all"),
+        (3, None),
+    ]
+    df = spark.createDataFrame(rows, "media_id long, payload binary")
+    out = {r["media_id"]: r for r in multimodal.resize_images(df, 6, 4).collect()}
+    ok = out[1]
+    assert (ok["width"], ok["height"]) == (12, 9)
+    assert multimodal.decode_png(ok["resized"])[:3] == (6, 4, 3)
+    assert ok["resized_bytes"] == len(ok["resized"]) > 0
+    for bad_id in (2, 3):
+        assert out[bad_id]["resized"] is None
+        assert out[bad_id]["resized_bytes"] == 0
+
+
 def test_features_dispatch_real_for_png_fake_otherwise():
     png = multimodal.make_png(6, 3, seed=1)
     real = multimodal._features_dispatch(png)
