@@ -512,6 +512,84 @@ def wav_audio_stats(payload: bytes) -> list[float]:
     return [float(sample_rate), float(channels), float(n_samples), rms, peak]
 
 
+def resample_wav(payload: bytes, out_rate: int) -> bytes:
+    """Linear-interpolation resample of a PCM16 WAV to ``out_rate`` —
+    the audio twin of :func:`resize_image` (every speech model wants a
+    fixed sample rate, usually 16 kHz). Same determinism contract:
+    half-sample centers, float64 arithmetic, explicit floor(x+0.5) back
+    to int16; re-encoded through :func:`make_wav`'s canonical layout.
+    Raises on non-PCM16 input (callers wrap like resize_images does)."""
+    import numpy as np
+
+    parsed = _parse_wav(payload)
+    if parsed is None:
+        raise ValueError("not a PCM16 WAV")
+    in_rate, channels, n_samples, data_off = parsed
+    if n_samples == 0 or out_rate <= 0:
+        raise ValueError("degenerate WAV or rate")
+    frames = (
+        np.frombuffer(payload, dtype="<i2", count=n_samples * channels, offset=data_off)
+        .reshape(n_samples, channels)
+        .astype(np.float64)
+    )
+    out_n = max(int(n_samples * out_rate // in_rate), 1)
+    # source position of each output sample center, clamped to the grid
+    pos = (np.arange(out_n, dtype=np.float64) + 0.5) * (n_samples / out_n) - 0.5
+    pos = np.clip(pos, 0.0, n_samples - 1.0)
+    i0 = np.floor(pos).astype(np.int64)
+    i1 = np.minimum(i0 + 1, n_samples - 1)
+    frac = (pos - i0)[:, None]
+    out = frames[i0] * (1.0 - frac) + frames[i1] * frac
+    out16 = np.floor(out + 0.5).clip(-32768, 32767).astype("<i2")
+    data = out16.tobytes()
+    byte_rate = out_rate * channels * 2
+    fmt = struct.pack("<HHIIHH", 1, channels, out_rate, byte_rate, channels * 2, 16)
+    body = b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    body += b"data" + struct.pack("<I", len(data)) + data
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def resample_audio(media: DataFrame, out_rate: int) -> DataFrame:
+    """Sample-rate normalization over binary WAV payloads, mapInPandas
+    like resize_images: one Arrow crossing, undecodable/non-PCM16 rows
+    yield NULL (never task-fatal). Output: media_id, in_rate,
+    n_samples (originals), resampled (WAV bytes or NULL),
+    resampled_bytes."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rates, counts, outs = [], [], []
+            for p in pdf["payload"]:
+                try:
+                    info = _parse_wav(p)
+                    if info is None:
+                        raise ValueError("not a PCM16 WAV")
+                    outs.append(resample_wav(p, out_rate))
+                    rates.append(info[0])
+                    counts.append(info[2])
+                except Exception:
+                    outs.append(None)
+                    rates.append(None)
+                    counts.append(None)
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "in_rate": pd.array(rates, dtype="Int32"),
+                    "n_samples": pd.array(counts, dtype="Int64"),
+                    "resampled": outs,
+                    "resampled_bytes": pd.array(
+                        [len(o) if o is not None else 0 for o in outs], dtype="int64"
+                    ),
+                }
+            )
+
+    return media.select("media_id", "payload").mapInPandas(
+        run,
+        schema="media_id long, in_rate int, n_samples long, "
+        "resampled binary, resampled_bytes long",
+    )
+
+
 def _fake_features(payload: bytes, dim: int = 16) -> list[float]:
     """Deterministic fake feature vector (crc-seeded), standing in for a
     real encoder. Marked fake: values carry no semantics, but determinism

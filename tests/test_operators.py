@@ -1133,6 +1133,47 @@ def test_resize_images_dataframe_op(spark):
         assert out[bad_id]["resized_bytes"] == 0
 
 
+def test_resample_wav_identity_and_halving():
+    wav = multimodal.make_wav(400, sample_rate=8000, channels=1, seed=5)
+    same = multimodal.resample_wav(wav, 8000)
+    # identity rate: sample positions land exactly on inputs -> same frames
+    assert multimodal.parse_wav_info(same) == (8000, 1, 400, 50)
+    p_in, p_out = multimodal._parse_wav(wav), multimodal._parse_wav(same)
+    assert wav[p_in[3] : p_in[3] + 800] == same[p_out[3] : p_out[3] + 800]
+    half = multimodal.resample_wav(wav, 4000)
+    assert multimodal.parse_wav_info(half) == (4000, 1, 200, 50)
+
+
+def test_resample_wav_constant_signal_stays_constant():
+    import struct
+
+    frames = struct.pack("<h", 1000) * 300
+    fmt = struct.pack("<HHIIHH", 1, 1, 8000, 16000, 2, 16)
+    body = b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    body += b"data" + struct.pack("<I", len(frames)) + frames
+    wav = b"RIFF" + struct.pack("<I", len(body)) + body
+    out = multimodal.resample_wav(wav, 11025)
+    info = multimodal._parse_wav(out)
+    vals = np.frombuffer(out, dtype="<i2", count=info[2], offset=info[3])
+    assert set(vals.tolist()) == {1000}
+
+
+def test_resample_audio_dataframe_op(spark):
+    rows = [
+        (1, multimodal.make_wav(160, sample_rate=8000, channels=2, seed=2)),
+        (2, b"RIFFgarbage that is not wav"),
+        (3, None),
+    ]
+    df = spark.createDataFrame(rows, "media_id long, payload binary")
+    out = {r["media_id"]: r for r in multimodal.resample_audio(df, 16000).collect()}
+    ok = out[1]
+    assert (ok["in_rate"], ok["n_samples"]) == (8000, 160)
+    assert multimodal.parse_wav_info(ok["resampled"])[:3] == (16000, 2, 320)
+    for bad_id in (2, 3):
+        assert out[bad_id]["resampled"] is None
+        assert out[bad_id]["resampled_bytes"] == 0
+
+
 def test_features_dispatch_real_for_png_fake_otherwise():
     png = multimodal.make_png(6, 3, seed=1)
     real = multimodal._features_dispatch(png)
