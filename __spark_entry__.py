@@ -1165,10 +1165,15 @@ def q_cms_heavy_hitters(spark, sf_dir):
         F.count("*").cast("long").alias("exact_count")
     )
     # candidates = the already-distinct exact table, not the raw token
-    # stream (saves cms_estimate's distinct() a third full aggregation
-    # over the widest intermediate)
+    # stream; assume_distinct skips the redundant third aggregation
+    # over the widest intermediate
     est = cms_estimate(
-        sketch, exact.select(F.col("token").alias("tok")), "tok", depth=4, width=1024
+        sketch,
+        exact.select(F.col("token").alias("tok")),
+        "tok",
+        depth=4,
+        width=1024,
+        assume_distinct=True,
     )
     return (
         est.join(exact, "token")

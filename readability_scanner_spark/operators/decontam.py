@@ -80,11 +80,20 @@ def doc_ngrams(
 ) -> DataFrame:
     """``(id, gram_hash)`` — one row per distinct gram hash per
     document. array_distinct runs BEFORE explode, so the fan-out never
-    materializes a doc's repeated grams."""
+    materializes a doc's repeated grams.
+
+    explode_OUTER, not explode: plain explode makes Catalyst's
+    InferFiltersFromGenerate clone the entire gram-hash expression into
+    a ``size(...) > 0`` filter and push it below any upstream
+    repartition — doubling the most expensive computation in the plan
+    and running the first copy on the unspread scan task. explode_outer
+    infers no such filter; short docs yield one NULL row, dropped by
+    the cheap post-filter on the GENERATED column (which cannot be
+    pushed below the generate)."""
     return df.select(
         F.col(id_col),
-        F.explode(gram_hash_arr(F.col(text_col), n)).alias("gram_hash"),
-    )
+        F.explode_outer(gram_hash_arr(F.col(text_col), n)).alias("gram_hash"),
+    ).where(F.col("gram_hash").isNotNull())
 
 
 def benchmark_gram_set(
@@ -95,8 +104,12 @@ def benchmark_gram_set(
     never by the training corpus."""
     return (
         benchmark.select(
-            F.explode(gram_hash_arr(F.col(text_col), n)).alias("gram_hash")
+            # explode_outer for the same InferFiltersFromGenerate reason
+            # as doc_ngrams; the NULL row from gram-less docs is dropped
+            # by the post-generate filter
+            F.explode_outer(gram_hash_arr(F.col(text_col), n)).alias("gram_hash")
         )
+        .where(F.col("gram_hash").isNotNull())
         .distinct()
     )
 
@@ -120,12 +133,16 @@ def decontaminate(
     count. hit_ratio is the unrounded double quotient
     (expression-shape identical to the oracle's)."""
     bench = benchmark_gram_set(benchmark, text_col, n)
+    # explode_outer: see doc_ngrams — plain explode would let Catalyst
+    # clone the gram-hash expression into a pushed-down size()>0 filter,
+    # computing it twice (once below the spread repartition). The NULL
+    # row a gram-less doc emits can never match the inner join.
     grams = docs.select(
         F.col(id_col), gram_hash_arr(F.col(text_col), n).alias("_grams")
     ).select(
         id_col,
         F.size("_grams").cast("long").alias("total_grams"),
-        F.explode("_grams").alias("gram_hash"),
+        F.explode_outer("_grams").alias("gram_hash"),
     )
     return (
         grams.join(F.broadcast(bench), "gram_hash")

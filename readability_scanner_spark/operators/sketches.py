@@ -229,6 +229,7 @@ def cms_estimate(
     token_col: str,
     depth: int = 4,
     width: int = 1024,
+    assume_distinct: bool = False,
 ) -> DataFrame:
     """Point estimates for candidate tokens: ``token, est_count`` with
     ``est = min over r of cnt[r][h_r(token)]`` — an overestimate of the
@@ -262,7 +263,14 @@ def cms_estimate(
         )
     cand = candidates.where(F.col(token_col).isNotNull()).select(
         F.col(token_col).alias("token")
-    ).distinct()
+    )
+    if not assume_distinct:
+        cand = cand.distinct()
+    # assume_distinct=True skips the dedup shuffle when the caller's
+    # candidates are already unique (e.g. the output of a groupBy on
+    # the token) — duplicates would only waste work, not corrupt
+    # estimates, but at corpus scale that wasted aggregation is a full
+    # extra pass over the widest intermediate
     fanned = cand.select(
         "token", F.explode(F.array(*[F.lit(r) for r in range(depth)])).alias("r")
     ).select("token", "r", _cms_bucket(F.col("r"), F.col("token"), width).alias("bucket"))
