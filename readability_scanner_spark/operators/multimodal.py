@@ -62,6 +62,17 @@ FEATURE_SCHEMA = StructType(
 # 4M ≈ a 1.2MP RGB image ≈ tens of ms. Larger images fall back to the
 # marked fake features — a real codec library replaces the cap.
 PNG_DECODE_MAX_SAMPLES = 4_000_000
+# Real audio tops out at 384 kHz; anything beyond this in a fmt chunk is
+# corrupt-or-hostile (a u32 rate > Int32 max would otherwise crash the
+# resample_audio result batch rather than NULL the row).
+WAV_MAX_SAMPLE_RATE = 1_000_000
+# Output-size bound for resample_wav — the audio twin of
+# PNG_DECODE_MAX_SAMPLES: a WAV claiming a 1 Hz input rate would
+# otherwise demand n_samples*out_rate interpolation temporaries (TB
+# scale from a 10 MB payload), OOM-killing the worker instead of
+# NULLing the row. ~17 min of 16 kHz audio; bump deliberately if a
+# pipeline genuinely resamples longer clips.
+WAV_RESAMPLE_MAX_SAMPLES = 16_000_000
 
 
 def decode_png(payload: bytes) -> tuple[int, int, int, bytearray]:
@@ -291,6 +302,12 @@ def encode_png(width: int, height: int, channels: int, pixels: bytes | bytearray
         raise ValueError(f"unsupported channel count {channels}")
     if len(pixels) != width * height * channels:
         raise ValueError("pixel buffer size does not match dimensions")
+    if width * height * channels > PNG_DECODE_MAX_SAMPLES:
+        # keep the round-trip contract honest: a larger output would
+        # encode fine but decode_png would refuse it, silently dropping
+        # downstream re-decodes (e.g. feature extraction over resized
+        # payloads) to the fallback path
+        raise ValueError("output exceeds PNG_DECODE_MAX_SAMPLES; cannot round-trip")
 
     def chunk(typ: bytes, data: bytes) -> bytes:
         return (
@@ -347,8 +364,10 @@ def resize_pixels(
     y1 = np.minimum(y0 + 1, height - 1)
     fx = (sx - x0)[None, :, None]
     fy = (sy - y0)[:, None, None]
-    top = arr[y0][:, x0] * (1.0 - fx) + arr[y0][:, x1] * fx
-    bot = arr[y1][:, x0] * (1.0 - fx) + arr[y1][:, x1] * fx
+    r0 = arr[y0]  # gather each source-row selection once; arr[y0][:, x0]
+    r1 = arr[y1]  # twice would re-materialize the (out_h, W, C) copy
+    top = r0[:, x0] * (1.0 - fx) + r0[:, x1] * fx
+    bot = r1[:, x0] * (1.0 - fx) + r1[:, x1] * fx
     out = top * (1.0 - fy) + bot * fy
     out8 = np.floor(out + 0.5).clip(0, 255).astype(np.uint8)
     return out_w, out_h, channels, out8.reshape(-1)
@@ -408,29 +427,26 @@ def resize_images(
 
 
 def make_png(width: int, height: int, seed: int = 0) -> bytes:
-    """A structurally complete deterministic RGB PNG (IHDR + zlib IDAT +
-    IEND), stdlib-only — gives the synthetic media table REAL image
-    payloads so the dimension parser is exercised end to end."""
-
-    def chunk(typ: bytes, data: bytes) -> bytes:
-        return (
-            struct.pack(">I", len(data))
-            + typ
-            + data
-            + struct.pack(">I", zlib.crc32(typ + data))
-        )
-
-    ihdr = struct.pack(">IIBBBBB", width, height, 8, 2, 0, 0, 0)
-    raw = b"".join(
-        b"\x00" + bytes((seed + y * 31 + x) % 256 for x in range(3 * width))
+    """A structurally complete deterministic RGB PNG — gives the
+    synthetic media table REAL image payloads so the dimension parser is
+    exercised end to end. Pixel formula + :func:`encode_png` (the single
+    PNG writer; same filter-0/zlib-6 layout as before the refactor)."""
+    pixels = b"".join(
+        bytes((seed + y * 31 + x) % 256 for x in range(3 * width))
         for y in range(height)
     )
-    return (
-        b"\x89PNG\r\n\x1a\n"
-        + chunk(b"IHDR", ihdr)
-        + chunk(b"IDAT", zlib.compress(raw, 6))
-        + chunk(b"IEND", b"")
-    )
+    return encode_png(width, height, 3, pixels)
+
+
+def _wav_container(sample_rate: int, channels: int, frames: bytes) -> bytes:
+    """Canonical RIFF/WAVE PCM16 container around raw frame bytes — the
+    single writer shared by :func:`make_wav` and :func:`resample_wav`
+    so their layouts can never desynchronize."""
+    byte_rate = sample_rate * channels * 2
+    fmt = struct.pack("<HHIIHH", 1, channels, sample_rate, byte_rate, channels * 2, 16)
+    body = b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    body += b"data" + struct.pack("<I", len(frames)) + frames
+    return b"RIFF" + struct.pack("<I", len(body)) + body
 
 
 def make_wav(n_samples: int, sample_rate: int = 8000, channels: int = 1, seed: int = 0) -> bytes:
@@ -442,11 +458,7 @@ def make_wav(n_samples: int, sample_rate: int = 8000, channels: int = 1, seed: i
     for j in range(n_samples * channels):
         v = ((seed * 31 + j * 2654435761) % 65536) - 32768
         frames += struct.pack("<h", v)
-    byte_rate = sample_rate * channels * 2
-    fmt = struct.pack("<HHIIHH", 1, channels, sample_rate, byte_rate, channels * 2, 16)
-    body = b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
-    body += b"data" + struct.pack("<I", len(frames)) + bytes(frames)
-    return b"RIFF" + struct.pack("<I", len(body)) + body
+    return _wav_container(sample_rate, channels, bytes(frames))
 
 
 def _parse_wav(payload: Optional[bytes]) -> Optional[tuple[int, int, int, int]]:
@@ -470,6 +482,12 @@ def _parse_wav(payload: Optional[bytes]) -> Optional[tuple[int, int, int, int]]:
             )
             if fmt_code != 1 or bits != 16:
                 return None  # non-PCM16: honestly out of stdlib scope
+            if not 0 < sample_rate <= WAV_MAX_SAMPLE_RATE:
+                # the u32 field can claim rates far beyond any real
+                # codec (incl. > Int32 max, which would crash the
+                # resample_audio result batch instead of NULLing the
+                # row) — treat as unparseable
+                return None
         elif typ == b"data" and data_off is None:
             # FIRST data chunk wins (the spec allows exactly one);
             # last-wins would let chunk-shaped trailing garbage silently
@@ -512,27 +530,39 @@ def wav_audio_stats(payload: bytes) -> list[float]:
     return [float(sample_rate), float(channels), float(n_samples), rms, peak]
 
 
-def resample_wav(payload: bytes, out_rate: int) -> bytes:
+def resample_wav(
+    payload: bytes,
+    out_rate: int,
+    parsed: Optional[tuple[int, int, int, int]] = None,
+) -> bytes:
     """Linear-interpolation resample of a PCM16 WAV to ``out_rate`` —
     the audio twin of :func:`resize_image` (every speech model wants a
     fixed sample rate, usually 16 kHz). Same determinism contract:
     half-sample centers, float64 arithmetic, explicit floor(x+0.5) back
-    to int16; re-encoded through :func:`make_wav`'s canonical layout.
-    Raises on non-PCM16 input (callers wrap like resize_images does)."""
+    to int16; re-encoded through the shared :func:`_wav_container`
+    layout. Raises on non-PCM16 input or an output exceeding
+    WAV_RESAMPLE_MAX_SAMPLES (callers wrap like resize_images does).
+    ``parsed`` accepts a _parse_wav result the caller already computed,
+    avoiding a second header walk per row."""
     import numpy as np
 
-    parsed = _parse_wav(payload)
+    if parsed is None:
+        parsed = _parse_wav(payload)
     if parsed is None:
         raise ValueError("not a PCM16 WAV")
     in_rate, channels, n_samples, data_off = parsed
     if n_samples == 0 or out_rate <= 0:
         raise ValueError("degenerate WAV or rate")
+    out_n = max(int(n_samples * out_rate // in_rate), 1)
+    if out_n > WAV_RESAMPLE_MAX_SAMPLES:
+        raise ValueError(
+            f"resample output {out_n} samples exceeds WAV_RESAMPLE_MAX_SAMPLES"
+        )
     frames = (
         np.frombuffer(payload, dtype="<i2", count=n_samples * channels, offset=data_off)
         .reshape(n_samples, channels)
         .astype(np.float64)
     )
-    out_n = max(int(n_samples * out_rate // in_rate), 1)
     # source position of each output sample center, clamped to the grid
     pos = (np.arange(out_n, dtype=np.float64) + 0.5) * (n_samples / out_n) - 0.5
     pos = np.clip(pos, 0.0, n_samples - 1.0)
@@ -541,12 +571,7 @@ def resample_wav(payload: bytes, out_rate: int) -> bytes:
     frac = (pos - i0)[:, None]
     out = frames[i0] * (1.0 - frac) + frames[i1] * frac
     out16 = np.floor(out + 0.5).clip(-32768, 32767).astype("<i2")
-    data = out16.tobytes()
-    byte_rate = out_rate * channels * 2
-    fmt = struct.pack("<HHIIHH", 1, channels, out_rate, byte_rate, channels * 2, 16)
-    body = b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
-    body += b"data" + struct.pack("<I", len(data)) + data
-    return b"RIFF" + struct.pack("<I", len(body)) + body
+    return _wav_container(out_rate, channels, out16.tobytes())
 
 
 def resample_audio(media: DataFrame, out_rate: int) -> DataFrame:
@@ -564,7 +589,7 @@ def resample_audio(media: DataFrame, out_rate: int) -> DataFrame:
                     info = _parse_wav(p)
                     if info is None:
                         raise ValueError("not a PCM16 WAV")
-                    outs.append(resample_wav(p, out_rate))
+                    outs.append(resample_wav(p, out_rate, parsed=info))
                     rates.append(info[0])
                     counts.append(info[2])
                 except Exception:

@@ -1174,6 +1174,81 @@ def test_resample_audio_dataframe_op(spark):
         assert out[bad_id]["resampled_bytes"] == 0
 
 
+def test_resample_audio_nulls_row_on_hostile_fmt_rates(spark):
+    """A fmt chunk is attacker-controlled: a u32 sample_rate above Int32
+    max must NULL the row (it would otherwise crash pd.array(...,
+    'Int32') OUTSIDE the per-row try, killing the whole batch), and a
+    1 Hz rate on a non-tiny WAV must NULL the row via the
+    WAV_RESAMPLE_MAX_SAMPLES guard instead of attempting an
+    n_samples*out_rate-sized allocation. (A 1 Hz rate on a TINY wav
+    stays under the cap and legitimately resamples.)"""
+    import struct
+
+    good = multimodal.make_wav(40, sample_rate=8000, seed=1)
+    # 1200 samples * 16000/1 = 19.2M output samples > the 16M cap
+    big = multimodal.make_wav(1200, sample_rate=8000, seed=1)
+
+    def with_rate(wav, rate):
+        # fmt chunk starts at byte 12+8; sample_rate is its third field
+        return wav[:24] + struct.pack("<I", rate) + wav[28:]
+
+    rows = [
+        (1, good),
+        (2, with_rate(good, 3_000_000_000)),
+        (3, with_rate(big, 1)),
+    ]
+    df = spark.createDataFrame(rows, "media_id long, payload binary")
+    out = {r["media_id"]: r for r in multimodal.resample_audio(df, 16000).collect()}
+    assert out[1]["resampled"] is not None
+    for bad_id in (2, 3):
+        assert out[bad_id]["resampled"] is None
+        assert out[bad_id]["in_rate"] is None
+
+
+def test_resample_wav_output_cap():
+    wav = multimodal.make_wav(100, sample_rate=8000)
+    with pytest.raises(ValueError, match="WAV_RESAMPLE_MAX_SAMPLES"):
+        # 100 samples * (1M/8k) = 12.5k — fine; force it with a tiny cap
+        parsed = multimodal._parse_wav(wav)
+        multimodal.resample_wav(
+            wav, multimodal.WAV_MAX_SAMPLE_RATE, parsed=(2, parsed[1], parsed[2], parsed[3])
+        )
+
+
+def test_encode_png_refuses_unroundtrippable_output():
+    """encode_png must raise (not silently emit) an image decode_png
+    would refuse — otherwise downstream re-decodes of resized payloads
+    quietly fall to the fake-features path."""
+    w = multimodal.PNG_DECODE_MAX_SAMPLES  # w*h*c = 3x the cap
+    with pytest.raises(ValueError, match="PNG_DECODE_MAX_SAMPLES"):
+        multimodal.encode_png(w, 1, 3, b"\x00" * (w * 3))
+
+
+def test_make_png_layout_unchanged_by_encode_png_refactor():
+    """make_png is now an encode_png wrapper; the bytes must equal the
+    historical hand-assembled writer (filter 0 per scanline, zlib 6,
+    single IDAT) so fixture digests stay stable."""
+    import struct as _s
+    import zlib as _z
+
+    def chunk(typ, data):
+        return _s.pack(">I", len(data)) + typ + data + _s.pack(">I", _z.crc32(typ + data))
+
+    w, h, seed = 7, 5, 11
+    ihdr = _s.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    raw = b"".join(
+        b"\x00" + bytes((seed + y * 31 + x) % 256 for x in range(3 * w))
+        for y in range(h)
+    )
+    legacy = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", _z.compress(raw, 6))
+        + chunk(b"IEND", b"")
+    )
+    assert multimodal.make_png(w, h, seed=seed) == legacy
+
+
 def test_features_dispatch_real_for_png_fake_otherwise():
     png = multimodal.make_png(6, 3, seed=1)
     real = multimodal._features_dispatch(png)
