@@ -1,0 +1,95 @@
+"""Sequence packing (operators/packing.py): next-fit semantics pinned by
+hand, partitioning invariance (the auditability contract), and the
+bin-capacity / offset-cumsum invariants on a generated corpus."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from readability_scanner_spark.operators.packing import pack_sequences, packing_stats
+
+
+def _pack(spark, rows, seq_len, n_partitions=None):
+    df = spark.createDataFrame(rows, "shard long, doc_id long, n_tokens long")
+    if n_partitions:
+        df = df.repartition(n_partitions)
+    out = pack_sequences(df, "doc_id", "n_tokens", "shard", seq_len)
+    return {r["doc_id"]: (r["bin_id"], r["bin_offset"]) for r in out.collect()}
+
+
+def test_next_fit_hand_pinned(spark):
+    """Every branch of the fold: fits (doc 2), overflow closes bin
+    (doc 3), oversize doc overflows in AND closes out (doc 4), exact
+    fill closes out (doc 6 at 3+11>=10... doc 6 is oversize too), and
+    a post-close doc starts fresh (docs 5, 7)."""
+    rows = [(0, i + 1, t) for i, t in enumerate([4, 4, 4, 10, 3, 11, 2])]
+    got = _pack(spark, rows, seq_len=10)
+    assert got == {
+        1: (0, 0),
+        2: (0, 4),
+        3: (1, 0),
+        4: (2, 0),  # 4+10>10 closes bin 1; 10>=10 closes bin 2 behind it
+        5: (3, 0),
+        6: (4, 0),  # 3+11>10 closes bin 3; oversize occupies bin 4 alone
+        7: (5, 0),
+    }
+
+
+def test_zero_and_null_tokens_pack_in_place(spark):
+    rows = [(0, 1, 5), (0, 2, 0), (0, 3, None), (0, 4, 5)]
+    got = _pack(spark, rows, seq_len=10)
+    # zero/NULL-token docs occupy a slot at the current offset without
+    # advancing it; doc 4 then fills the bin exactly (5+5 >= 10)
+    assert got == {1: (0, 0), 2: (0, 5), 3: (0, 5), 4: (0, 5)}
+
+
+def test_assignment_invariant_under_partitioning(spark):
+    rows = [
+        (d % 5, d, (d * 2654435761) % 300)
+        for d in range(200)
+    ]
+    base = _pack(spark, rows, seq_len=512)
+    for n in (1, 7, 32):
+        assert _pack(spark, rows, seq_len=512, n_partitions=n) == base
+
+
+def test_bin_invariants_hold(spark):
+    """Per (shard, bin): token sum <= seq_len unless the bin holds a
+    single oversize doc; offsets are the exclusive prefix sums of the
+    bin's docs in id order; bin ids are contiguous from 0."""
+    seq_len = 100
+    rows = [
+        (d % 3, d, (d * 48271) % 140)  # some docs exceed seq_len
+        for d in range(150)
+    ]
+    df = spark.createDataFrame(rows, "shard long, doc_id long, n_tokens long")
+    out = pack_sequences(df, "doc_id", "n_tokens", "shard", seq_len).collect()
+    by_bin = {}
+    for r in out:
+        by_bin.setdefault((r["shard"], r["bin_id"]), []).append(r)
+    for (_, _), docs in by_bin.items():
+        docs.sort(key=lambda r: r["doc_id"])
+        run = 0
+        for r in docs:
+            assert r["bin_offset"] == run
+            run += r["n_tokens"]
+        assert run <= seq_len or (len(docs) == 1 and docs[0]["n_tokens"] > seq_len)
+    for shard in {s for s, _ in by_bin}:
+        bins = sorted(b for s, b in by_bin if s == shard)
+        assert bins == list(range(len(bins)))
+
+
+def test_packing_stats(spark):
+    rows = [(0, 1, 6), (0, 2, 6), (0, 3, 4), (1, 4, 10)]
+    df = spark.createDataFrame(rows, "shard long, doc_id long, n_tokens long")
+    packed = pack_sequences(df, "doc_id", "n_tokens", "shard", seq_len=10)
+    stats = {r["shard"]: r for r in packing_stats(packed, seq_len=10).collect()}
+    # shard 0: [6], [6, 4] -> 2 bins, 16 tokens, 16/20
+    assert (stats[0]["n_bins"], stats[0]["total_tokens"]) == (2, 16)
+    assert stats[0]["utilization"] == pytest.approx(0.8)
+    assert (stats[1]["n_bins"], stats[1]["n_docs"], stats[1]["utilization"]) == (1, 1, 1.0)
+
+
+def test_rejects_nonpositive_seq_len(spark):
+    df = spark.createDataFrame([(0, 1, 1)], "shard long, doc_id long, n_tokens long")
+    with pytest.raises(ValueError, match="seq_len"):
+        pack_sequences(df, "doc_id", "n_tokens", "shard", 0)
