@@ -1229,16 +1229,17 @@ def q_pack_sequences(spark, sf_dir):
     shards. Per-doc output so the driver hash certifies every (bin,
     offset) assignment; the oracle replays the same order-dependent
     fold as a recursive CTE carrying (bin, fill) state — the CDC
-    pattern. n_tokens = engine-stable unicode word runs (WORD_PAT),
-    identical by construction to the oracle's regexp_extract_all."""
+    pattern. n_tokens = words_col, the engine's ONE word counter (its
+    WORD_RUN == WORD_PAT == the oracle's _WORDS_SQL class). Shard uses
+    sign-following % on BOTH sides (pmod vs % diverge on negative ids —
+    latent until a generator emits one; review find)."""
+    from readability_scanner_spark.functions.columns import words_col
     from readability_scanner_spark.operators.packing import pack_sequences
 
     docs = _t(spark, sf_dir, "documents", spread=True).select(
         "doc_id",
-        F.pmod(F.col("doc_id"), F.lit(8)).cast("long").alias("shard"),
-        F.coalesce(
-            F.regexp_count(F.col("text"), F.lit(WORD_PAT)), F.lit(0)
-        ).cast("long").alias("n_tokens"),
+        (F.col("doc_id") % 8).cast("long").alias("shard"),
+        words_col(F.col("text")).alias("n_tokens"),
     )
     return pack_sequences(docs, "doc_id", "n_tokens", "shard", seq_len=1024).orderBy(
         "shard", "doc_id"
@@ -2791,25 +2792,27 @@ def oracle_sql() -> dict[str, str]:
                         ELSE 'test' END AS split
             FROM documents ORDER BY doc_id
         """,
-        "pack_sequences": """
+        "pack_sequences": f"""
             -- next-fit sequence packing replayed as a recursive CTE
             -- carrying (bin, fill) state per shard (the CDC/greedy
             -- pattern for order-dependent folds). Inner subquery
             -- computes the ASSIGNED bin/offset for the doc at pos i+1,
             -- outer SELECT advances the carried state (close the bin
-            -- when it reaches capacity). Token counts are unicode word
-            -- runs — the engine-stable WORD_PAT twin.
+            -- when it reaches capacity). Token counts interpolate
+            -- _WORDS_SQL — the same shared constant every word-count
+            -- oracle builds from, so the pair cannot drift. Ordering
+            -- tie-breaks duplicate ids by t, mirroring the operator's
+            -- sort key.
             WITH RECURSIVE
             d AS (
               SELECT doc_id, doc_id % 8 AS shard,
-                     coalesce(len(regexp_extract_all(
-                         text, '[\\p{L}\\p{N}_]+')), 0)::BIGINT AS t
+                     coalesce({_WORDS_SQL}, 0)::BIGINT AS t
               FROM documents
             ),
             ordered AS (
               SELECT shard, doc_id, t,
                      row_number() OVER (PARTITION BY shard
-                                        ORDER BY doc_id) - 1 AS pos
+                                        ORDER BY doc_id, t) - 1 AS pos
               FROM d
             ),
             sn AS (SELECT shard, count(*) AS n FROM ordered GROUP BY shard),

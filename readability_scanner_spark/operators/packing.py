@@ -18,17 +18,25 @@ into model-ready sequences).
 Scale design: packing is inherently sequential WITHIN a bin stream but
 embarrassingly parallel ACROSS shards, so the shard column is the unit
 of parallelism — pick something content-deterministic like
-``hash(doc_id) % N`` with N a few times the executor count.
-``applyInPandas`` hands each shard to one python task as Arrow batches;
-the per-document work is a handful of int64 ops, orders of magnitude
-cheaper than the tokenization that produced ``n_tokens``, so the python
-loop is nowhere near the bottleneck. Assignment depends only on the
-shard's own (id, n_tokens) sequence — NOT on partitioning or
-parallelism — which keeps the output reproducible across cluster
-layouts (the same auditability contract as operators/sampling.py).
+``hash(doc_id) % N`` with N a few times the executor count. The
+physical shape is ``repartition(shard) → sortWithinPartitions(shard,
+id) → mapInPandas`` with the (bin, fill) state carried across Arrow
+batches in the generator — ONE shuffle, and task memory is O(arrow
+batch), NOT O(shard), so a shard may hold billions of rows without a
+single task ever materializing it (the groupBy+applyInPandas
+alternative would). The per-document work is a handful of int64 ops,
+orders of magnitude cheaper than the tokenization that produced
+``n_tokens``. Assignment depends only on the shard's own sorted
+(id, n_tokens) sequence — NOT on partitioning or parallelism — which
+keeps the output reproducible across cluster layouts (the same
+auditability contract as operators/sampling.py). Duplicate ids within
+a shard are tie-broken by n_tokens, so even then the output is a
+deterministic function of the row multiset.
 """
 
 from __future__ import annotations
+
+from typing import Iterator
 
 import pandas as pd
 from pyspark.sql import DataFrame
@@ -47,46 +55,63 @@ def pack_sequences(
     ``shard, doc_id, n_tokens, bin_id, bin_offset`` (all long) —
     ``bin_id`` counts from 0 within each shard, ``bin_offset`` is the
     token position of the document inside its bin. NULL token counts
-    pack as 0 (the document still gets a slot; callers that want NULLs
-    dropped filter first)."""
+    pack as 0 (the document still gets a slot). Rows with a NULL id or
+    shard are excluded — they have no position in any bin stream, and
+    Arrow→pandas would otherwise cast their NaN to INT64_MIN silently
+    (callers that must keep them assign a sentinel shard/id first)."""
     if seq_len <= 0:
         raise ValueError("seq_len must be positive")
 
-    def pack(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values(id_col, kind="mergesort")
-        toks = pdf[ntok_col].fillna(0).to_numpy("int64")
-        bins = []
-        offs = []
+    prepared = (
+        df.select(shard_col, id_col, ntok_col)
+        .where(F.col(id_col).isNotNull() & F.col(shard_col).isNotNull())
+        .repartition(F.col(shard_col))
+        # n_tokens as the duplicate-id tie-break: the sort key is then a
+        # pure function of the row multiset, never of arrival order
+        .sortWithinPartitions(shard_col, id_col, ntok_col)
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # (bin, fill) state rides the generator across Arrow batches —
+        # a partition holds each of its shards contiguously, so a shard
+        # change (or the first row) resets the fold
+        cur_shard = None
         b = 0
         f = 0
-        for t in toks:
-            if f > 0 and f + t > seq_len:
-                b += 1
-                f = 0
-            bins.append(b)
-            offs.append(f)
-            f += int(t)
-            if f >= seq_len:
-                b += 1
-                f = 0
-        return pd.DataFrame(
-            {
-                "shard": pdf[shard_col].to_numpy("int64"),
-                "doc_id": pdf[id_col].to_numpy("int64"),
-                "n_tokens": toks,
-                "bin_id": bins,
-                "bin_offset": offs,
-            }
-        )
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            shards = pdf[shard_col].to_numpy("int64")
+            ids = pdf[id_col].to_numpy("int64")
+            toks = pdf[ntok_col].fillna(0).to_numpy("int64")
+            bins = []
+            offs = []
+            for s, t in zip(shards.tolist(), toks.tolist()):
+                if s != cur_shard:
+                    cur_shard, b, f = s, 0, 0
+                if f > 0 and f + t > seq_len:
+                    b += 1
+                    f = 0
+                bins.append(b)
+                offs.append(f)
+                f += t
+                if f >= seq_len:
+                    b += 1
+                    f = 0
+            yield pd.DataFrame(
+                {
+                    "shard": shards,
+                    "doc_id": ids,
+                    "n_tokens": toks,
+                    "bin_id": bins,
+                    "bin_offset": offs,
+                }
+            )
 
-    return (
-        df.select(shard_col, id_col, ntok_col)
-        .groupBy(shard_col)
-        .applyInPandas(
-            pack,
-            schema="shard long, doc_id long, n_tokens long, "
-            "bin_id long, bin_offset long",
-        )
+    return prepared.mapInPandas(
+        run,
+        schema="shard long, doc_id long, n_tokens long, "
+        "bin_id long, bin_offset long",
     )
 
 

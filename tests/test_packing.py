@@ -78,6 +78,56 @@ def test_bin_invariants_hold(spark):
         assert bins == list(range(len(bins)))
 
 
+def test_null_id_or_shard_rows_excluded(spark):
+    """Arrow→pandas would cast a NULL id/shard's NaN to INT64_MIN
+    silently; the operator excludes such rows instead (documented)."""
+    rows = [(0, 1, 5), (None, 2, 5), (0, None, 5)]
+    df = spark.createDataFrame(rows, "shard long, doc_id long, n_tokens long")
+    out = pack_sequences(df, "doc_id", "n_tokens", "shard", 10).collect()
+    assert [(r["shard"], r["doc_id"]) for r in out] == [(0, 1)]
+
+
+def test_duplicate_ids_tiebreak_deterministically(spark):
+    """Duplicate ids sort by n_tokens on both engines, so the output is
+    a pure function of the row multiset even then."""
+    rows = [(0, 1, 7), (0, 1, 2), (0, 2, 3)]
+    # sorted (id, t): (1,2) -> bin0@0, f=2; (1,7) -> 2+7<=10 bin0@2, f=9;
+    # (2,3) -> 9+3>10 closes -> bin1@0
+    expect = {(0, 1, 2, 0, 0), (0, 1, 7, 0, 2), (0, 2, 3, 1, 0)}
+    for n in (1, 3):
+        df = spark.createDataFrame(
+            rows, "shard long, doc_id long, n_tokens long"
+        ).repartition(n)
+        out = pack_sequences(df, "doc_id", "n_tokens", "shard", 10).collect()
+        got = {
+            (r["shard"], r["doc_id"], r["n_tokens"], r["bin_id"], r["bin_offset"])
+            for r in out
+        }
+        assert got == expect
+
+
+def test_state_survives_arrow_batch_boundaries(spark):
+    """The (bin, fill) fold rides the mapInPandas generator across
+    batches: with maxRecordsPerBatch=7 a 100-row shard spans many Arrow
+    batches and must pack identically to the single-batch run."""
+    rows = [(d % 2, d, 3 + d % 5) for d in range(100)]
+    df = spark.createDataFrame(rows, "shard long, doc_id long, n_tokens long")
+    base = {
+        r["doc_id"]: (r["bin_id"], r["bin_offset"])
+        for r in pack_sequences(df, "doc_id", "n_tokens", "shard", 37).collect()
+    }
+    old = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch")
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "7")
+    try:
+        tiny = {
+            r["doc_id"]: (r["bin_id"], r["bin_offset"])
+            for r in pack_sequences(df, "doc_id", "n_tokens", "shard", 37).collect()
+        }
+    finally:
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", old)
+    assert tiny == base
+
+
 def test_packing_stats(spark):
     rows = [(0, 1, 6), (0, 2, 6), (0, 3, 4), (1, 4, 10)]
     df = spark.createDataFrame(rows, "shard long, doc_id long, n_tokens long")
