@@ -115,6 +115,37 @@ def pack_sequences(
     )
 
 
+def split_windows(packed: DataFrame, seq_len: int) -> DataFrame:
+    """The downstream explode the packing docstring promises: each
+    packed document becomes its ``ceil(n_tokens/seq_len)`` training
+    windows (minimum one, so zero-token docs keep a row). In-bin
+    documents get their single window; the oversize documents that
+    next-fit parked alone in a bin fan out here. Pure JVM
+    sequence+explode — no shuffle, no Python. Output adds
+    ``window_idx`` (0-based) and ``window_len`` (= seq_len except the
+    tail remainder). ``F.sequence`` infers a DESCENDING step when stop
+    < start (sequence(0, -1) == [0, -1]), so the window count is
+    floored at 1 rather than letting a 0-token doc emit a phantom
+    negative window."""
+    if seq_len <= 0:
+        raise ValueError("seq_len must be positive")
+    n_win = F.greatest(
+        F.ceil(F.col("n_tokens") / F.lit(seq_len)).cast("long"), F.lit(1)
+    )
+    return packed.withColumn(
+        "window_idx", F.explode(F.sequence(F.lit(0).cast("long"), n_win - 1))
+    ).withColumn(
+        "window_len",
+        F.greatest(
+            F.least(
+                F.lit(seq_len).cast("long"),
+                F.col("n_tokens") - F.col("window_idx") * F.lit(seq_len),
+            ),
+            F.lit(0).cast("long"),
+        ),
+    )
+
+
 def packing_stats(packed: DataFrame, seq_len: int) -> DataFrame:
     """Audit table over :func:`pack_sequences` output: per shard, the
     bin count, document count, token total, and utilization (token

@@ -5,7 +5,11 @@ bin-capacity / offset-cumsum invariants on a generated corpus."""
 import pytest
 from pyspark.sql import functions as F
 
-from readability_scanner_spark.operators.packing import pack_sequences, packing_stats
+from readability_scanner_spark.operators.packing import (
+    pack_sequences,
+    packing_stats,
+    split_windows,
+)
 
 
 def _pack(spark, rows, seq_len, n_partitions=None):
@@ -139,7 +143,34 @@ def test_packing_stats(spark):
     assert (stats[1]["n_bins"], stats[1]["n_docs"], stats[1]["utilization"]) == (1, 1, 1.0)
 
 
+def test_split_windows(spark):
+    """Oversize doc fans out into ceil(t/L) windows (tail remainder
+    short); in-bin docs get one window; zero-token docs keep one
+    zero-length row (no phantom descending-sequence window)."""
+    rows = [(0, 1, 25), (0, 2, 7), (0, 3, 0), (0, 4, 10)]
+    df = spark.createDataFrame(rows, "shard long, doc_id long, n_tokens long")
+    packed = pack_sequences(df, "doc_id", "n_tokens", "shard", 10)
+    out = split_windows(packed, 10).collect()
+    wins = {}
+    for r in out:
+        wins.setdefault(r["doc_id"], []).append((r["window_idx"], r["window_len"]))
+    for v in wins.values():
+        v.sort()
+    assert wins == {
+        1: [(0, 10), (1, 10), (2, 5)],
+        2: [(0, 7)],
+        3: [(0, 0)],
+        4: [(0, 10)],
+    }
+    # token conservation: window lengths re-sum to each doc's n_tokens
+    for doc_id, v in wins.items():
+        t = {1: 25, 2: 7, 3: 0, 4: 10}[doc_id]
+        assert sum(w for _, w in v) == t
+
+
 def test_rejects_nonpositive_seq_len(spark):
     df = spark.createDataFrame([(0, 1, 1)], "shard long, doc_id long, n_tokens long")
     with pytest.raises(ValueError, match="seq_len"):
         pack_sequences(df, "doc_id", "n_tokens", "shard", 0)
+    with pytest.raises(ValueError, match="seq_len"):
+        split_windows(df.withColumn("n_tokens", F.col("n_tokens")), -1)
