@@ -1223,6 +1223,32 @@ def q_dataset_split(spark, sf_dir):
     ).orderBy("doc_id")
 
 
+def q_bm25_search(spark, sf_dir):
+    """BM25 over the inverted token index (graft extension, late r5):
+    the relevance-quality step past token_index_search's raw tf sum —
+    same tokenizer, same O(matching postings) shape. Every float input
+    is an exact integer aggregate (tf, dl, df, N, total_tokens) and the
+    score is quantized to integer micro-units, so the driver hash
+    certifies the whole idf·saturation arithmetic; k1+1 / 1-b constants
+    are computed once in python and repr-interpolated into the oracle
+    so both engines parse identical doubles."""
+    from readability_scanner_spark.operators.search import (
+        bm25_search,
+        build_token_index,
+        doc_lengths,
+    )
+
+    idx = build_token_index(
+        _t(spark, sf_dir, "documents", spread=True),
+        "doc_id",
+        "text",
+        # raw-run extraction, THEN per-token lower: lower-first lets İ's
+        # 1:N fold split runs on one engine only, skewing dl/avgdl
+        extract_then_lower=True,
+    )
+    return bm25_search(idx, doc_lengths(idx), "data table query", limit=20)
+
+
 def q_pack_sequences(spark, sf_dir):
     """Sequence packing (graft extension, r5): next-fit assignment of
     tokenized documents into fixed 1024-token training windows, 8
@@ -1306,7 +1332,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- (c) stable greens sharing modules with (b) ---
         "knn_topk": q_knn_topk,
         "lsh_ann_pairs": q_lsh_ann_pairs,
-        "ivf_knn": q_ivf_knn,
+        # bm25_search is NEW late-r5; ivf_knn rotates out (hash-green
+        # r4, fn+oracle byte-identical since — the r5 similarity.py edit
+        # touched only similarity_pairs' cap probe)
+        "bm25_search": q_bm25_search,
         # pack_sequences is NEW late-r5 and must sit inside the window;
         # greedy_topics rotates out (hash-green r4, and its
         # greedy_topic_groups machinery is untouched by the r5
@@ -1328,6 +1357,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dataset_split": q_dataset_split,
         # --- past the 50-query window: hash-green in CORRECTNESS_r04,
         # untouched since ---
+        "ivf_knn": q_ivf_knn,
         "greedy_topics": q_greedy_topics,
         "daily_topics": q_daily_topics,
         "pdf_roundtrip": q_pdf_roundtrip,
@@ -2791,6 +2821,57 @@ def oracle_sql() -> dict[str, str]:
                              % 10000 < 9000 THEN 'val'
                         ELSE 'test' END AS split
             FROM documents ORDER BY doc_id
+        """,
+        "bm25_search": f"""
+            -- Okapi BM25 recomputed from scratch: postings (tf) -> doc
+            -- lengths -> corpus stats, all exact BIGINT aggregates; the
+            -- float expression mirrors bm25_search's shape term for
+            -- term (idf ln form, saturation denominator, avgdl as
+            -- total/n then divided into dl). k1+1 and 1-b interpolate
+            -- repr() of the SAME python doubles the Spark side F.lit's.
+            -- Score quantized to integer micro-units (feat_q pattern).
+            WITH toks AS (
+              -- extract raw runs THEN lower each token (mirrors the
+              -- query's extract_then_lower=True): lower-first splits
+              -- İ-type 1:N folds into extra runs on the Java side only
+              SELECT doc_id,
+                     unnest(list_transform(
+                         regexp_extract_all(text, '{WORD_PAT}'),
+                         x -> lower(x))) AS token
+              FROM documents
+            ),
+            postings AS (
+              SELECT token, doc_id, count(*)::BIGINT AS tf
+              FROM toks GROUP BY token, doc_id
+            ),
+            dls AS (
+              SELECT doc_id, sum(tf)::BIGINT AS dl FROM postings GROUP BY doc_id
+            ),
+            stats AS (
+              SELECT count(*)::BIGINT AS n_docs, sum(dl)::BIGINT AS total_tokens
+              FROM dls
+            ),
+            q(token) AS (VALUES ('data'), ('table'), ('query')),
+            matched AS (
+              SELECT p.token, p.doc_id, p.tf FROM postings p JOIN q USING (token)
+            ),
+            dfs AS (
+              SELECT token, count(*)::BIGINT AS df FROM matched GROUP BY token
+            ),
+            contrib AS (
+              SELECT m.doc_id,
+                     ln(((n_docs::DOUBLE - df::DOUBLE + 0.5)
+                         / (df::DOUBLE + 0.5)) + 1.0)
+                     * ((tf::DOUBLE * {1.2 + 1.0!r})
+                        / (tf::DOUBLE + {1.2!r} * ({1.0 - 0.75!r} + {0.75!r}
+                           * (dl::DOUBLE
+                              / (total_tokens::DOUBLE / n_docs::DOUBLE))))) AS c
+              FROM matched m JOIN dls USING (doc_id) JOIN dfs USING (token)
+              CROSS JOIN stats
+            )
+            SELECT doc_id, floor(sum(c) * 1000000.0 + 0.5)::BIGINT AS score_q
+            FROM contrib GROUP BY doc_id
+            ORDER BY score_q DESC, doc_id ASC LIMIT 20
         """,
         "pack_sequences": f"""
             -- next-fit sequence packing replayed as a recursive CTE

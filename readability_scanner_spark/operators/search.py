@@ -164,7 +164,9 @@ def text_search(
     )
 
 
-def build_token_index(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+def build_token_index(
+    df: DataFrame, id_col: str, text_col: str, extract_then_lower: bool = False
+) -> DataFrame:
     """Inverted token index: (token, doc_id, tf) — the scale path for
     P9. The regexp forms above re-scan the corpus per query (fine for
     ad-hoc filters, O(corpus) at 100 TB); a materialized index makes a
@@ -177,12 +179,29 @@ def build_token_index(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     At scale: write with `.write.bucketBy(N, "token")` (or partition by
     a token hash prefix) so each query's term lookups prune to a few
     buckets; the index build is one explode + one aggregation, both
-    map-side combinable."""
+    map-side combinable.
+
+    ``extract_then_lower`` tokenizes the RAW text and lowercases each
+    token afterwards. Lower-FIRST (the default, matching the regexp
+    search family) lets 1:N case folds split runs differently per
+    engine — Spark lowers İ (U+0130) to ``i``+U+0307 (the combining
+    mark breaks the word run) while DuckDB folds it to plain ``i`` —
+    so per-document token TOTALS (BM25's dl/avgdl inputs) disagree on
+    multilingual text. Raw-run extraction agrees everywhere; only the
+    folded CONTENT of a token containing such a codepoint can still
+    differ (it then carries the combining mark and can never collide
+    with a pure-ASCII query term). BM25 uses this fold."""
+    tok_arr = (
+        F.transform(
+            F.regexp_extract_all(F.col(text_col), F.lit(WORD_RUN), 0),
+            F.lower,
+        )
+        if extract_then_lower
+        else F.regexp_extract_all(F.lower(F.col(text_col)), F.lit(WORD_RUN), 0)
+    )
     toks = df.select(
         F.col(id_col).alias("doc_id"),
-        F.explode(
-            F.regexp_extract_all(F.lower(F.col(text_col)), F.lit(WORD_RUN), 0)
-        ).alias("token"),
+        F.explode(tok_arr).alias("token"),
     )
     return toks.groupBy("token", "doc_id").agg(
         F.count("*").cast("long").alias("tf")
@@ -272,5 +291,89 @@ def search_token_index(index: DataFrame, query: str, limit: int = 20) -> DataFra
         .groupBy("doc_id")
         .agg(F.sum("tf").cast("long").alias("relevance"))
         .orderBy(F.desc("relevance"), F.asc("doc_id"))
+        .limit(limit)
+    )
+
+
+def doc_lengths(index: DataFrame) -> DataFrame:
+    """``(doc_id, dl)`` — per-document token totals from the inverted
+    index (every token occurrence sits in exactly one posting, so
+    sum(tf) IS the document length). At scale this is a one-time
+    sidecar next to the index, co-bucketed on doc_id so the BM25 join
+    below is shuffle-free."""
+    return index.groupBy("doc_id").agg(F.sum("tf").cast("long").alias("dl"))
+
+
+def bm25_search(
+    index: DataFrame,
+    doc_lens: DataFrame,
+    query: str,
+    k1: float = 1.2,
+    b: float = 0.75,
+    limit: int = 20,
+) -> DataFrame:
+    """BM25 ranking over the inverted index (Robertson & Spärck Jones;
+    the Okapi formulation every production FTS engine ships) — the
+    relevance-quality step past :func:`search_token_index`'s raw
+    tf sum:
+
+        idf(t)  = ln(((N - df + 0.5) / (df + 0.5)) + 1)
+        score   = Σ_t idf(t) · tf·(k1+1) / (tf + k1·((1-b) + b·dl/avgdl))
+
+    N, avgdl come from ``doc_lens`` (all integer aggregates, so both
+    are exact and order-independent); df(t) is the matched-postings
+    count per term (postings are unique per (token, doc)). Output is
+    ``(doc_id, score_q)`` with the score quantized to integer
+    micro-units (floor(score·1e6 + 0.5)) — the feat_q pattern: every
+    input to the float expression is an exact integer, so the only
+    cross-engine wobble is the final few-term summation order and a
+    potential 1-ulp ln() difference, both far below the quantum
+    (margin pinned in tests). Plan shape: term list and per-term df
+    broadcast, the 1-row stats cross-joined broadcast; the only real
+    shuffle is matched-postings ⋈ doc_lens on doc_id (co-bucket the
+    sidecar with the index to kill it at 100 TB)."""
+    terms = list(dict.fromkeys(_terms(query)))
+    spark = index.sparkSession
+    if not terms:
+        from pyspark.sql.types import LongType, StructField, StructType
+
+        schema = StructType(
+            [
+                StructField("doc_id", index.schema["doc_id"].dataType),
+                StructField("score_q", LongType()),
+            ]
+        )
+        return spark.createDataFrame([], schema)
+    tdf = spark.createDataFrame([(t,) for t in terms], "token string")
+    matched = index.join(F.broadcast(tdf), "token")
+    df_t = matched.groupBy("token").agg(F.count("*").cast("long").alias("df"))
+    stats = doc_lens.agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("dl").cast("long").alias("total_tokens"),
+    )
+    n = F.col("n_docs").cast("double")
+    dfc = F.col("df").cast("double")
+    tf = F.col("tf").cast("double")
+    dl = F.col("dl").cast("double")
+    avgdl = F.col("total_tokens").cast("double") / F.col("n_docs").cast("double")
+    idf = F.log(((n - dfc + F.lit(0.5)) / (dfc + F.lit(0.5))) + F.lit(1.0))
+    # k1+1 and 1-b are computed HERE in python and the oracle
+    # interpolates repr() of these same doubles — both engines then
+    # parse the identical bit pattern rather than re-deriving it
+    contrib = idf * (
+        (tf * F.lit(k1 + 1.0))
+        / (tf + F.lit(k1) * (F.lit(1.0 - b) + F.lit(b) * (dl / avgdl)))
+    )
+    return (
+        matched.join(doc_lens, "doc_id")
+        .join(F.broadcast(df_t), "token")
+        .crossJoin(F.broadcast(stats))
+        .groupBy("doc_id")
+        .agg(
+            F.floor(F.sum(contrib) * F.lit(1e6) + F.lit(0.5))
+            .cast("long")
+            .alias("score_q")
+        )
+        .orderBy(F.desc("score_q"), F.asc("doc_id"))
         .limit(limit)
     )

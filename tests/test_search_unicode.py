@@ -285,3 +285,94 @@ def test_token_index_empty_query_tracks_id_type(spark):
     assert empty.schema["doc_id"].dataType.simpleString() == "string"
     full = search_token_index(idx, "data")
     empty.unionByName(full).collect()  # must not raise a type mismatch
+
+
+def test_bm25_matches_independent_python_recompute(spark, corpus_df):
+    """bm25_search vs a from-scratch python BM25 on the adversarial
+    corpus (extract-then-lower tokenizer twin in python): exact
+    quantized scores, rank order, and the rare-term > common-term
+    property."""
+    import math
+    import re
+
+    from readability_scanner_spark.operators.search import (
+        bm25_search,
+        build_token_index,
+        doc_lengths,
+    )
+
+    rows = {r["doc_id"]: r["text"] for r in corpus_df.collect()}
+    tok = re.compile(r"\w+")  # CPython \w+ == WORD_RUN (module sweep)
+    postings = {}
+    dl = {}
+    for d, text in rows.items():
+        toks = [t.lower() for t in tok.findall(text)]
+        if not toks:
+            continue  # N counts docs IN THE INDEX (doc_lengths semantics)
+        dl[d] = len(toks)
+        for t in toks:
+            postings.setdefault(t, {}).setdefault(d, 0)
+            postings[t][d] += 1
+    n = len(dl)
+    avgdl = sum(dl.values()) / n
+    k1, b = 1.2, 0.75
+
+    def score(d, terms):
+        s = 0.0
+        for t in dict.fromkeys(terms):
+            if t not in postings or d not in postings[t]:
+                continue
+            df_t = len(postings[t])
+            idf = math.log(((n - df_t + 0.5) / (df_t + 0.5)) + 1.0)
+            tf = postings[t][d]
+            s += idf * ((tf * (k1 + 1.0)) / (tf + k1 * ((1.0 - b) + b * (dl[d] / avgdl))))
+        return math.floor(s * 1e6 + 0.5)
+
+    idx = build_token_index(corpus_df, "doc_id", "text", extract_then_lower=True)
+    lens = doc_lengths(idx)
+    for query in ("data query", "data table query", "表"):
+        got = [
+            (r["doc_id"], r["score_q"])
+            for r in bm25_search(idx, lens, query, limit=20).collect()
+        ]
+        terms = re.findall(r"\w+", query.lower())
+        want = sorted(
+            ((d, score(d, terms)) for d in dl if score(d, terms) > 0),
+            key=lambda x: (-x[1], x[0]),
+        )
+        assert got == want, query
+
+
+def test_bm25_rare_term_outweighs_common(spark):
+    """Same tf, same doc length: the doc matching the RARE term must
+    outrank the doc matching the corpus-wide common term — the property
+    the raw tf sum (search_token_index) cannot express."""
+    from readability_scanner_spark.operators.search import (
+        bm25_search,
+        build_token_index,
+        doc_lengths,
+    )
+
+    rows = [(d, "common filler words here") for d in range(10)]
+    rows += [(10, "common alpha filler pad"), (11, "zebra beta filler pad")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    idx = build_token_index(df, "doc_id", "text", extract_then_lower=True)
+    got = {
+        r["doc_id"]: r["score_q"]
+        for r in bm25_search(idx, doc_lengths(idx), "common zebra").collect()
+    }
+    assert got[11] > got[10]  # rare 'zebra' beats ubiquitous 'common'
+
+
+def test_bm25_empty_query_empty_frame(spark):
+    from readability_scanner_spark.operators.search import (
+        bm25_search,
+        build_token_index,
+        doc_lengths,
+    )
+
+    df = spark.createDataFrame([(1, "data here")], "doc_id long, text string")
+    idx = build_token_index(df, "doc_id", "text", extract_then_lower=True)
+    empty = bm25_search(idx, doc_lengths(idx), "!!!")
+    assert empty.count() == 0
+    assert [f.name for f in empty.schema.fields] == ["doc_id", "score_q"]
