@@ -1227,15 +1227,15 @@ def q_bm25_search(spark, sf_dir):
     """BM25 over the inverted token index (graft extension, late r5):
     the relevance-quality step past token_index_search's raw tf sum —
     same tokenizer, same O(matching postings) shape. Every float input
-    is an exact integer aggregate (tf, dl, df, N, total_tokens) and the
-    score is quantized to integer micro-units, so the driver hash
-    certifies the whole idf·saturation arithmetic; k1+1 / 1-b constants
-    are computed once in python and repr-interpolated into the oracle
-    so both engines parse identical doubles."""
+    is an exact integer aggregate (tf, dl, df, N, total_tokens), the
+    term sum is a fixed-order expression, and the score is quantized to
+    integer micro-units, so the driver hash certifies the whole
+    idf·saturation arithmetic; k1+1 / 1-b constants are computed once
+    in python and repr-interpolated into the oracle so both engines
+    parse identical doubles."""
     from readability_scanner_spark.operators.search import (
         bm25_search,
         build_token_index,
-        doc_lengths,
     )
 
     idx = build_token_index(
@@ -1246,7 +1246,7 @@ def q_bm25_search(spark, sf_dir):
         # 1:N fold split runs on one engine only, skewing dl/avgdl
         extract_then_lower=True,
     )
-    return bm25_search(idx, doc_lengths(idx), "data table query", limit=20)
+    return bm25_search(idx, "data table query", limit=20)
 
 
 def q_pack_sequences(spark, sf_dir):
@@ -2823,13 +2823,16 @@ def oracle_sql() -> dict[str, str]:
             FROM documents ORDER BY doc_id
         """,
         "bm25_search": f"""
-            -- Okapi BM25 recomputed from scratch: postings (tf) -> doc
-            -- lengths -> corpus stats, all exact BIGINT aggregates; the
-            -- float expression mirrors bm25_search's shape term for
-            -- term (idf ln form, saturation denominator, avgdl as
-            -- total/n then divided into dl). k1+1 and 1-b interpolate
-            -- repr() of the SAME python doubles the Spark side F.lit's.
-            -- Score quantized to integer micro-units (feat_q pattern).
+            -- Okapi BM25 mirroring bm25_search's per-doc pivot: ONE
+            -- aggregate computes dl and each term's tf (terms are
+            -- literals), one further aggregate the corpus stats
+            -- (N, total tokens, per-term df) — all exact BIGINT; the
+            -- float expression matches the Spark side term for term
+            -- (idf ln form, saturation denominator, avgdl as total/n
+            -- then divided into dl, contributions summed in FIXED term
+            -- order). k1+1 and 1-b interpolate repr() of the SAME
+            -- python doubles the Spark side F.lit's. Score quantized
+            -- to integer micro-units (feat_q pattern).
             WITH toks AS (
               -- extract raw runs THEN lower each token (mirrors the
               -- query's extract_then_lower=True): lower-first splits
@@ -2840,37 +2843,51 @@ def oracle_sql() -> dict[str, str]:
                          x -> lower(x))) AS token
               FROM documents
             ),
-            postings AS (
-              SELECT token, doc_id, count(*)::BIGINT AS tf
-              FROM toks GROUP BY token, doc_id
-            ),
-            dls AS (
-              SELECT doc_id, sum(tf)::BIGINT AS dl FROM postings GROUP BY doc_id
+            per_doc AS (
+              SELECT doc_id, count(*)::BIGINT AS dl,
+                     sum(CASE WHEN token = 'data' THEN 1 ELSE 0 END)::BIGINT AS tf_0,
+                     sum(CASE WHEN token = 'table' THEN 1 ELSE 0 END)::BIGINT AS tf_1,
+                     sum(CASE WHEN token = 'query' THEN 1 ELSE 0 END)::BIGINT AS tf_2
+              FROM toks GROUP BY doc_id
             ),
             stats AS (
-              SELECT count(*)::BIGINT AS n_docs, sum(dl)::BIGINT AS total_tokens
-              FROM dls
-            ),
-            q(token) AS (VALUES ('data'), ('table'), ('query')),
-            matched AS (
-              SELECT p.token, p.doc_id, p.tf FROM postings p JOIN q USING (token)
-            ),
-            dfs AS (
-              SELECT token, count(*)::BIGINT AS df FROM matched GROUP BY token
+              SELECT count(*)::BIGINT AS n_docs, sum(dl)::BIGINT AS total_tokens,
+                     sum(CASE WHEN tf_0 > 0 THEN 1 ELSE 0 END)::BIGINT AS df_0,
+                     sum(CASE WHEN tf_1 > 0 THEN 1 ELSE 0 END)::BIGINT AS df_1,
+                     sum(CASE WHEN tf_2 > 0 THEN 1 ELSE 0 END)::BIGINT AS df_2
+              FROM per_doc
             ),
             contrib AS (
-              SELECT m.doc_id,
-                     ln(((n_docs::DOUBLE - df::DOUBLE + 0.5)
-                         / (df::DOUBLE + 0.5)) + 1.0)
-                     * ((tf::DOUBLE * {1.2 + 1.0!r})
-                        / (tf::DOUBLE + {1.2!r} * ({1.0 - 0.75!r} + {0.75!r}
-                           * (dl::DOUBLE
-                              / (total_tokens::DOUBLE / n_docs::DOUBLE))))) AS c
-              FROM matched m JOIN dls USING (doc_id) JOIN dfs USING (token)
-              CROSS JOIN stats
+              SELECT doc_id,
+                CASE WHEN tf_0 > 0 THEN
+                  ln(((n_docs::DOUBLE - df_0::DOUBLE + 0.5)
+                      / (df_0::DOUBLE + 0.5)) + 1.0)
+                  * ((tf_0::DOUBLE * {1.2 + 1.0!r})
+                     / (tf_0::DOUBLE + {1.2!r} * ({1.0 - 0.75!r} + {0.75!r}
+                        * (dl::DOUBLE
+                           / (total_tokens::DOUBLE / n_docs::DOUBLE)))))
+                ELSE 0.0 END
+                + CASE WHEN tf_1 > 0 THEN
+                  ln(((n_docs::DOUBLE - df_1::DOUBLE + 0.5)
+                      / (df_1::DOUBLE + 0.5)) + 1.0)
+                  * ((tf_1::DOUBLE * {1.2 + 1.0!r})
+                     / (tf_1::DOUBLE + {1.2!r} * ({1.0 - 0.75!r} + {0.75!r}
+                        * (dl::DOUBLE
+                           / (total_tokens::DOUBLE / n_docs::DOUBLE)))))
+                ELSE 0.0 END
+                + CASE WHEN tf_2 > 0 THEN
+                  ln(((n_docs::DOUBLE - df_2::DOUBLE + 0.5)
+                      / (df_2::DOUBLE + 0.5)) + 1.0)
+                  * ((tf_2::DOUBLE * {1.2 + 1.0!r})
+                     / (tf_2::DOUBLE + {1.2!r} * ({1.0 - 0.75!r} + {0.75!r}
+                        * (dl::DOUBLE
+                           / (total_tokens::DOUBLE / n_docs::DOUBLE)))))
+                ELSE 0.0 END AS score
+              FROM per_doc CROSS JOIN stats
+              WHERE tf_0 > 0 OR tf_1 > 0 OR tf_2 > 0
             )
-            SELECT doc_id, floor(sum(c) * 1000000.0 + 0.5)::BIGINT AS score_q
-            FROM contrib GROUP BY doc_id
+            SELECT doc_id, floor(score * 1000000.0 + 0.5)::BIGINT AS score_q
+            FROM contrib
             ORDER BY score_q DESC, doc_id ASC LIMIT 20
         """,
         "pack_sequences": f"""

@@ -129,9 +129,12 @@ def split_windows(packed: DataFrame, seq_len: int) -> DataFrame:
     negative window."""
     if seq_len <= 0:
         raise ValueError("seq_len must be positive")
-    n_win = F.greatest(
-        F.ceil(F.col("n_tokens") / F.lit(seq_len)).cast("long"), F.lit(1)
-    )
+    # coalesce NULL n_tokens to 0 BEFORE the window math: Spark's
+    # greatest/least skip NULL arguments, so a NULL-count row would
+    # otherwise claim one full seq_len window (review find) instead of
+    # one zero-length row
+    toks = F.coalesce(F.col("n_tokens"), F.lit(0).cast("long"))
+    n_win = F.greatest(F.ceil(toks / F.lit(seq_len)), F.lit(1))
     return packed.withColumn(
         "window_idx", F.explode(F.sequence(F.lit(0).cast("long"), n_win - 1))
     ).withColumn(
@@ -139,7 +142,7 @@ def split_windows(packed: DataFrame, seq_len: int) -> DataFrame:
         F.greatest(
             F.least(
                 F.lit(seq_len).cast("long"),
-                F.col("n_tokens") - F.col("window_idx") * F.lit(seq_len),
+                toks - F.col("window_idx") * F.lit(seq_len),
             ),
             F.lit(0).cast("long"),
         ),

@@ -227,7 +227,12 @@ def write_token_index(
 
 
 def append_to_token_index(
-    spark, table: str, new_docs: DataFrame, id_col: str, text_col: str
+    spark,
+    table: str,
+    new_docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    extract_then_lower: bool = False,
 ) -> None:
     """Incremental index maintenance for APPEND-ONLY corpora: tokenize
     only the new documents and insert their postings into the bucketed
@@ -235,8 +240,16 @@ def append_to_token_index(
     from indexed ones; insertInto preserves the table's bucket spec, so
     queries keep pruning. For updated/deleted docs, rebuild the affected
     doc_ids' postings via an anti-join first — not needed for the
-    append-only transcript corpus this engine targets."""
-    build_token_index(new_docs, id_col, text_col).write.insertInto(table)
+    append-only transcript corpus this engine targets.
+
+    ``extract_then_lower`` MUST match the flag the index was built with
+    (review find: appending lower-first postings into an
+    extract-then-lower index silently mixes two tokenizers — dl/tf
+    become inconsistent within one table and BM25 scores go quietly
+    wrong on multilingual text)."""
+    build_token_index(
+        new_docs, id_col, text_col, extract_then_lower=extract_then_lower
+    ).write.insertInto(table)
 
 
 def search_bucketed_index(spark, table: str, query: str, limit: int = 20) -> DataFrame:
@@ -295,18 +308,8 @@ def search_token_index(index: DataFrame, query: str, limit: int = 20) -> DataFra
     )
 
 
-def doc_lengths(index: DataFrame) -> DataFrame:
-    """``(doc_id, dl)`` — per-document token totals from the inverted
-    index (every token occurrence sits in exactly one posting, so
-    sum(tf) IS the document length). At scale this is a one-time
-    sidecar next to the index, co-bucketed on doc_id so the BM25 join
-    below is shuffle-free."""
-    return index.groupBy("doc_id").agg(F.sum("tf").cast("long").alias("dl"))
-
-
 def bm25_search(
     index: DataFrame,
-    doc_lens: DataFrame,
     query: str,
     k1: float = 1.2,
     b: float = 0.75,
@@ -320,18 +323,23 @@ def bm25_search(
         idf(t)  = ln(((N - df + 0.5) / (df + 0.5)) + 1)
         score   = Σ_t idf(t) · tf·(k1+1) / (tf + k1·((1-b) + b·dl/avgdl))
 
-    N, avgdl come from ``doc_lens`` (all integer aggregates, so both
-    are exact and order-independent); df(t) is the matched-postings
-    count per term (postings are unique per (token, doc)). Output is
-    ``(doc_id, score_q)`` with the score quantized to integer
-    micro-units (floor(score·1e6 + 0.5)) — the feat_q pattern: every
-    input to the float expression is an exact integer, so the only
-    cross-engine wobble is the final few-term summation order and a
-    potential 1-ulp ln() difference, both far below the quantum
-    (margin pinned in tests). Plan shape: term list and per-term df
-    broadcast, the 1-row stats cross-joined broadcast; the only real
-    shuffle is matched-postings ⋈ doc_lens on doc_id (co-bucket the
-    sidecar with the index to kill it at 100 TB)."""
+    Plan shape (the first-cut join formulation re-executed the index
+    lineage FOUR times — matched postings, per-term df, doc-length
+    join, corpus stats; review find): query terms are literals, so ONE
+    ``groupBy(doc_id)`` pivot computes dl and every per-term tf
+    together, and the corpus stats (N, total_tokens, per-term df) are
+    one further aggregate over that SAME pivot — two branches sharing
+    an identical subplan, which the planner collapses to a single
+    computation via ``ReusedExchange`` (plan-pinned in tests). The
+    1-row stats cross-joins back as a broadcast; no other join exists.
+    Output is ``(doc_id, score_q)`` quantized to integer micro-units
+    (floor(score·1e6 + 0.5), the feat_q pattern): every float input is
+    an exact integer aggregate and the contribution sum is a
+    FIXED-ORDER expression over the terms (no aggregate summation-order
+    wobble at all), so the only conceivable cross-engine difference is
+    a 1-ulp ln(), far below the quantum. k1+1 / 1-b are computed HERE
+    in python and the oracle interpolates repr() of the same doubles,
+    so both engines parse identical bit patterns."""
     terms = list(dict.fromkeys(_terms(query)))
     spark = index.sparkSession
     if not terms:
@@ -344,35 +352,48 @@ def bm25_search(
             ]
         )
         return spark.createDataFrame([], schema)
-    tdf = spark.createDataFrame([(t,) for t in terms], "token string")
-    matched = index.join(F.broadcast(tdf), "token")
-    df_t = matched.groupBy("token").agg(F.count("*").cast("long").alias("df"))
-    stats = doc_lens.agg(
+    per_doc = index.groupBy("doc_id").agg(
+        F.sum("tf").cast("long").alias("dl"),
+        *[
+            F.sum(F.when(F.col("token") == t, F.col("tf")).otherwise(0))
+            .cast("long")
+            .alias(f"tf_{i}")
+            for i, t in enumerate(terms)
+        ],
+    )
+    stats = per_doc.agg(
         F.count("*").cast("long").alias("n_docs"),
         F.sum("dl").cast("long").alias("total_tokens"),
+        *[
+            F.sum((F.col(f"tf_{i}") > 0).cast("long")).cast("long").alias(f"df_{i}")
+            for i in range(len(terms))
+        ],
     )
     n = F.col("n_docs").cast("double")
-    dfc = F.col("df").cast("double")
-    tf = F.col("tf").cast("double")
     dl = F.col("dl").cast("double")
     avgdl = F.col("total_tokens").cast("double") / F.col("n_docs").cast("double")
-    idf = F.log(((n - dfc + F.lit(0.5)) / (dfc + F.lit(0.5))) + F.lit(1.0))
-    # k1+1 and 1-b are computed HERE in python and the oracle
-    # interpolates repr() of these same doubles — both engines then
-    # parse the identical bit pattern rather than re-deriving it
-    contrib = idf * (
-        (tf * F.lit(k1 + 1.0))
-        / (tf + F.lit(k1) * (F.lit(1.0 - b) + F.lit(b) * (dl / avgdl)))
-    )
+
+    def contrib(i: int) -> Column:
+        tf = F.col(f"tf_{i}").cast("double")
+        dfc = F.col(f"df_{i}").cast("double")
+        idf = F.log(((n - dfc + F.lit(0.5)) / (dfc + F.lit(0.5))) + F.lit(1.0))
+        sat = (tf * F.lit(k1 + 1.0)) / (
+            tf + F.lit(k1) * (F.lit(1.0 - b) + F.lit(b) * (dl / avgdl))
+        )
+        return F.when(F.col(f"tf_{i}") > 0, idf * sat).otherwise(F.lit(0.0))
+
+    score = contrib(0)
+    for i in range(1, len(terms)):
+        score = score + contrib(i)
+    any_match = F.col("tf_0") > 0
+    for i in range(1, len(terms)):
+        any_match = any_match | (F.col(f"tf_{i}") > 0)
     return (
-        matched.join(doc_lens, "doc_id")
-        .join(F.broadcast(df_t), "token")
+        per_doc.where(any_match)
         .crossJoin(F.broadcast(stats))
-        .groupBy("doc_id")
-        .agg(
-            F.floor(F.sum(contrib) * F.lit(1e6) + F.lit(0.5))
-            .cast("long")
-            .alias("score_q")
+        .select(
+            "doc_id",
+            F.floor(score * F.lit(1e6) + F.lit(0.5)).cast("long").alias("score_q"),
         )
         .orderBy(F.desc("score_q"), F.asc("doc_id"))
         .limit(limit)

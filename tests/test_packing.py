@@ -168,9 +168,22 @@ def test_split_windows(spark):
         assert sum(w for _, w in v) == t
 
 
+def test_split_windows_null_tokens_zero_length(spark):
+    """Spark greatest/least SKIP NULL args, so a NULL n_tokens row used
+    to claim one full seq_len window; it must get one zero-length row."""
+    df = spark.createDataFrame(
+        [(0, 1, None), (0, 2, 5)], "shard long, doc_id long, n_tokens long"
+    )
+    out = {
+        r["doc_id"]: (r["window_idx"], r["window_len"])
+        for r in split_windows(df, 10).collect()
+    }
+    assert out == {1: (0, 0), 2: (0, 5)}
+
+
 def test_rejects_nonpositive_seq_len(spark):
     df = spark.createDataFrame([(0, 1, 1)], "shard long, doc_id long, n_tokens long")
     with pytest.raises(ValueError, match="seq_len"):
         pack_sequences(df, "doc_id", "n_tokens", "shard", 0)
     with pytest.raises(ValueError, match="seq_len"):
-        split_windows(df.withColumn("n_tokens", F.col("n_tokens")), -1)
+        split_windows(df, -1)

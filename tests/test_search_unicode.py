@@ -298,7 +298,6 @@ def test_bm25_matches_independent_python_recompute(spark, corpus_df):
     from readability_scanner_spark.operators.search import (
         bm25_search,
         build_token_index,
-        doc_lengths,
     )
 
     rows = {r["doc_id"]: r["text"] for r in corpus_df.collect()}
@@ -329,11 +328,10 @@ def test_bm25_matches_independent_python_recompute(spark, corpus_df):
         return math.floor(s * 1e6 + 0.5)
 
     idx = build_token_index(corpus_df, "doc_id", "text", extract_then_lower=True)
-    lens = doc_lengths(idx)
     for query in ("data query", "data table query", "表"):
         got = [
             (r["doc_id"], r["score_q"])
-            for r in bm25_search(idx, lens, query, limit=20).collect()
+            for r in bm25_search(idx, query, limit=20).collect()
         ]
         terms = re.findall(r"\w+", query.lower())
         want = sorted(
@@ -350,7 +348,6 @@ def test_bm25_rare_term_outweighs_common(spark):
     from readability_scanner_spark.operators.search import (
         bm25_search,
         build_token_index,
-        doc_lengths,
     )
 
     rows = [(d, "common filler words here") for d in range(10)]
@@ -359,7 +356,7 @@ def test_bm25_rare_term_outweighs_common(spark):
     idx = build_token_index(df, "doc_id", "text", extract_then_lower=True)
     got = {
         r["doc_id"]: r["score_q"]
-        for r in bm25_search(idx, doc_lengths(idx), "common zebra").collect()
+        for r in bm25_search(idx, "common zebra").collect()
     }
     assert got[11] > got[10]  # rare 'zebra' beats ubiquitous 'common'
 
@@ -368,11 +365,31 @@ def test_bm25_empty_query_empty_frame(spark):
     from readability_scanner_spark.operators.search import (
         bm25_search,
         build_token_index,
-        doc_lengths,
     )
 
     df = spark.createDataFrame([(1, "data here")], "doc_id long, text string")
     idx = build_token_index(df, "doc_id", "text", extract_then_lower=True)
-    empty = bm25_search(idx, doc_lengths(idx), "!!!")
+    empty = bm25_search(idx, "!!!")
     assert empty.count() == 0
     assert [f.name for f in empty.schema.fields] == ["doc_id", "score_q"]
+
+
+def test_bm25_single_computation_reused_exchange(spark):
+    """The per-doc pivot and the corpus-stats aggregate share one
+    identical subplan: the executed plan must contain a ReusedExchange
+    (the first-cut join formulation re-ran the scan+tokenize lineage
+    FOUR times; this pin keeps it collapsed)."""
+    from readability_scanner_spark.operators.search import (
+        bm25_search,
+        build_token_index,
+    )
+
+    df = spark.createDataFrame(
+        [(d, f"data word{d} filler") for d in range(30)],
+        "doc_id long, text string",
+    )
+    idx = build_token_index(df, "doc_id", "text", extract_then_lower=True)
+    res = bm25_search(idx, "data filler")
+    res.collect()  # AQE finalizes the plan only after execution
+    plan = res._jdf.queryExecution().executedPlan().toString()
+    assert "ReusedExchange" in plan
