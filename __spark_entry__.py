@@ -1249,6 +1249,27 @@ def q_bm25_search(spark, sf_dir):
     return bm25_search(idx, "data table query", limit=20)
 
 
+def q_phrase_search(spark, sf_dir):
+    """Exact-phrase search over a positional inverted index (graft
+    extension, late r5): consecutive-token match via position-set
+    arithmetic — cand = intersect(cand+1, next_term_positions), all
+    integers end to end, so the driver hash certifies every occurrence
+    count. Oracle recomputes positions with 1-based list_filter(range)
+    (a uniform shift — adjacency is shift-invariant)."""
+    from readability_scanner_spark.operators.search import (
+        build_positional_index,
+        phrase_search,
+    )
+
+    idx = build_positional_index(
+        _t(spark, sf_dir, "documents", spread=True),
+        "doc_id",
+        "text",
+        extract_then_lower=True,
+    )
+    return phrase_search(idx, "data table", limit=20)
+
+
 def q_pack_sequences(spark, sf_dir):
     """Sequence packing (graft extension, r5): next-fit assignment of
     tokenized documents into fixed 1024-token training windows, 8
@@ -1331,7 +1352,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "full_report_agg": q_full_report_agg,
         # --- (c) stable greens sharing modules with (b) ---
         "knn_topk": q_knn_topk,
-        "lsh_ann_pairs": q_lsh_ann_pairs,
+        # phrase_search is NEW late-r5; lsh_ann_pairs rotates out on the
+        # same justification as ivf_knn below
+        "phrase_search": q_phrase_search,
         # bm25_search is NEW late-r5; ivf_knn rotates out (hash-green
         # r4, fn+oracle byte-identical since — the r5 similarity.py edit
         # touched only similarity_pairs' cap probe)
@@ -1357,6 +1380,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dataset_split": q_dataset_split,
         # --- past the 50-query window: hash-green in CORRECTNESS_r04,
         # untouched since ---
+        "lsh_ann_pairs": q_lsh_ann_pairs,
         "ivf_knn": q_ivf_knn,
         "greedy_topics": q_greedy_topics,
         "daily_topics": q_daily_topics,
@@ -2821,6 +2845,33 @@ def oracle_sql() -> dict[str, str]:
                              % 10000 < 9000 THEN 'val'
                         ELSE 'test' END AS split
             FROM documents ORDER BY doc_id
+        """,
+        "phrase_search": f"""
+            -- exact-phrase match via position-set arithmetic, mirroring
+            -- phrase_search: positions of each term per doc (1-based
+            -- here vs Spark's 0-based posexplode — a uniform shift, and
+            -- adjacency is shift-invariant), then
+            -- intersect(positions0 + 1, positions1) counts consecutive
+            -- pairs. Integers end to end.
+            WITH toks AS (
+              SELECT doc_id,
+                     list_transform(regexp_extract_all(text, '{WORD_PAT}'),
+                                    x -> lower(x)) AS ts
+              FROM documents
+            ),
+            pos AS (
+              SELECT doc_id,
+                     list_filter(range(1, len(ts) + 1), i -> ts[i] = 'data') AS p0,
+                     list_filter(range(1, len(ts) + 1), i -> ts[i] = 'table') AS p1
+              FROM toks
+            )
+            SELECT doc_id, occurrences FROM (
+              SELECT doc_id,
+                     len(list_intersect(list_transform(p0, x -> x + 1), p1))::BIGINT
+                       AS occurrences
+              FROM pos
+            ) WHERE occurrences > 0
+            ORDER BY occurrences DESC, doc_id ASC LIMIT 20
         """,
         "bm25_search": f"""
             -- Okapi BM25 mirroring bm25_search's per-doc pivot: ONE

@@ -308,6 +308,90 @@ def search_token_index(index: DataFrame, query: str, limit: int = 20) -> DataFra
     )
 
 
+def build_positional_index(
+    df: DataFrame, id_col: str, text_col: str, extract_then_lower: bool = False
+) -> DataFrame:
+    """Positional inverted index: ``(token, doc_id, positions)`` with
+    the 0-based token offsets sorted ascending (collect_list order is
+    partition-dependent; sort_array pins it) — what phrase and
+    proximity queries need beyond :func:`build_token_index`'s tf.
+    Same tokenizer definitions, same explode+aggregate build shape,
+    same bucketBy(token) layout advice. ``extract_then_lower`` as in
+    build_token_index."""
+    tok_arr = (
+        F.transform(
+            F.regexp_extract_all(F.col(text_col), F.lit(WORD_RUN), 0),
+            F.lower,
+        )
+        if extract_then_lower
+        else F.regexp_extract_all(F.lower(F.col(text_col)), F.lit(WORD_RUN), 0)
+    )
+    toks = df.select(
+        F.col(id_col).alias("doc_id"), F.posexplode(tok_arr).alias("pos", "token")
+    )
+    return toks.groupBy("token", "doc_id").agg(
+        F.sort_array(F.collect_list("pos")).alias("positions")
+    )
+
+
+def phrase_search(index_pos: DataFrame, phrase: str, limit: int = 20) -> DataFrame:
+    """Exact-phrase query over the positional index: documents where
+    the phrase's tokens occur CONSECUTIVELY, with the occurrence count
+    (overlapping occurrences counted — 'data data' appears twice in
+    'data data data'). ``(doc_id, occurrences)``, most occurrences
+    first.
+
+    Shape: postings filtered to the phrase's distinct terms (an IN
+    literal — pushes to the scan and prunes a bucketBy(token) layout),
+    ONE groupBy(doc_id) gathers each term's position array, and the
+    phrase match is a pure array expression — fold left-to-right with
+    ``array_intersect(transform(cand, +1), next_positions)``, so cand
+    always holds the end positions of phrase prefixes. No joins beyond
+    the one aggregation; a document missing any term yields NULL and is
+    filtered. O(matching postings), like the other index queries."""
+    terms = [t for t in _terms(phrase)]
+    spark = index_pos.sparkSession
+    if not terms:
+        from pyspark.sql.types import LongType, StructField, StructType
+
+        schema = StructType(
+            [
+                StructField("doc_id", index_pos.schema["doc_id"].dataType),
+                StructField("occurrences", LongType()),
+            ]
+        )
+        return spark.createDataFrame([], schema)
+    uniq = list(dict.fromkeys(terms))
+    slot = {t: i for i, t in enumerate(uniq)}
+    per_doc = (
+        index_pos.where(F.col("token").isin(*uniq))
+        .groupBy("doc_id")
+        .agg(
+            *[
+                # exactly one posting per (doc, token): first+ignorenulls
+                # is deterministic here
+                F.first(
+                    F.when(F.col("token") == t, F.col("positions")),
+                    ignorenulls=True,
+                ).alias(f"p_{i}")
+                for t, i in slot.items()
+            ]
+        )
+    )
+    cand = F.col(f"p_{slot[terms[0]]}")
+    for t in terms[1:]:
+        cand = F.array_intersect(
+            F.transform(cand, lambda x: x + F.lit(1)), F.col(f"p_{slot[t]}")
+        )
+    occ = F.size(cand).cast("long")
+    return (
+        per_doc.select("doc_id", occ.alias("occurrences"))
+        .where(F.col("occurrences") > 0)
+        .orderBy(F.desc("occurrences"), F.asc("doc_id"))
+        .limit(limit)
+    )
+
+
 def bm25_search(
     index: DataFrame,
     query: str,

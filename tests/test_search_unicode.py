@@ -393,3 +393,70 @@ def test_bm25_single_computation_reused_exchange(spark):
     res.collect()  # AQE finalizes the plan only after execution
     plan = res._jdf.queryExecution().executedPlan().toString()
     assert "ReusedExchange" in plan
+
+
+def test_phrase_search_vs_python_recompute(spark, corpus_df):
+    """phrase_search vs a regex-free python recompute on the
+    adversarial corpus: exact occurrence counts, rank order."""
+    import re
+
+    from readability_scanner_spark.operators.search import (
+        build_positional_index,
+        phrase_search,
+    )
+
+    rows = {r["doc_id"]: r["text"] for r in corpus_df.collect()}
+    tok = re.compile(r"\w+")
+
+    def count_phrase(text, terms):
+        toks = [t.lower() for t in tok.findall(text)]
+        k = len(terms)
+        return sum(1 for i in range(len(toks) - k + 1) if toks[i : i + k] == terms)
+
+    idx = build_positional_index(corpus_df, "doc_id", "text", extract_then_lower=True)
+    for phrase in ("data table", "data 表", "table query", "more data"):
+        got = [
+            (r["doc_id"], r["occurrences"])
+            for r in phrase_search(idx, phrase, limit=20).collect()
+        ]
+        terms = [t.lower() for t in tok.findall(phrase)]
+        want = sorted(
+            ((d, count_phrase(t, terms)) for d, t in rows.items() if count_phrase(t, terms) > 0),
+            key=lambda x: (-x[1], x[0]),
+        )
+        assert got == want, phrase
+
+
+def test_phrase_search_overlapping_and_repeated_terms(spark):
+    """'data data' in 'data data data' counts twice (overlapping), and
+    a repeated-term phrase reuses one postings slot correctly."""
+    from readability_scanner_spark.operators.search import (
+        build_positional_index,
+        phrase_search,
+    )
+
+    rows = [(1, "data data data"), (2, "data x data"), (3, "data data")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    idx = build_positional_index(df, "doc_id", "text", extract_then_lower=True)
+    got = {
+        r["doc_id"]: r["occurrences"]
+        for r in phrase_search(idx, "data data").collect()
+    }
+    assert got == {1: 2, 3: 1}  # doc 2 has no consecutive pair
+
+
+def test_phrase_search_missing_term_and_empty_phrase(spark):
+    from readability_scanner_spark.operators.search import (
+        build_positional_index,
+        phrase_search,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "alpha beta"), (2, "alpha gamma")], "doc_id long, text string"
+    )
+    idx = build_positional_index(df, "doc_id", "text", extract_then_lower=True)
+    got = [(r["doc_id"], r["occurrences"]) for r in phrase_search(idx, "alpha beta").collect()]
+    assert got == [(1, 1)]  # doc 2 lacks 'beta' entirely -> NULL chain -> filtered
+    empty = phrase_search(idx, "!!!")
+    assert empty.count() == 0
+    assert [f.name for f in empty.schema.fields] == ["doc_id", "occurrences"]
