@@ -164,6 +164,36 @@ def text_search(
     )
 
 
+def _token_array(text_col: str, extract_then_lower: bool):
+    """THE tokenizer expression shared by every index builder — two
+    builders with drifted copies would silently tokenize one corpus two
+    ways (the exact failure append_to_token_index's docstring warns
+    about). Lower-first matches the regexp search family; extract-then-
+    lower keeps 1:N case folds (İ) from splitting runs on one engine
+    only (see build_token_index)."""
+    if extract_then_lower:
+        return F.transform(
+            F.regexp_extract_all(F.col(text_col), F.lit(WORD_RUN), 0),
+            F.lower,
+        )
+    return F.regexp_extract_all(F.lower(F.col(text_col)), F.lit(WORD_RUN), 0)
+
+
+def _empty_result(index: DataFrame, value_col: str) -> DataFrame:
+    """Empty frame for no-term queries: doc_id tracks the index's actual
+    id type (string ids are legal) so the result unions with non-empty
+    paths; the value column is long."""
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    schema = StructType(
+        [
+            StructField("doc_id", index.schema["doc_id"].dataType),
+            StructField(value_col, LongType()),
+        ]
+    )
+    return index.sparkSession.createDataFrame([], schema)
+
+
 def build_token_index(
     df: DataFrame, id_col: str, text_col: str, extract_then_lower: bool = False
 ) -> DataFrame:
@@ -191,14 +221,7 @@ def build_token_index(
     folded CONTENT of a token containing such a codepoint can still
     differ (it then carries the combining mark and can never collide
     with a pure-ASCII query term). BM25 uses this fold."""
-    tok_arr = (
-        F.transform(
-            F.regexp_extract_all(F.col(text_col), F.lit(WORD_RUN), 0),
-            F.lower,
-        )
-        if extract_then_lower
-        else F.regexp_extract_all(F.lower(F.col(text_col)), F.lit(WORD_RUN), 0)
-    )
+    tok_arr = _token_array(text_col, extract_then_lower)
     toks = df.select(
         F.col(id_col).alias("doc_id"),
         F.explode(tok_arr).alias("token"),
@@ -287,17 +310,7 @@ def search_token_index(index: DataFrame, query: str, limit: int = 20) -> DataFra
     terms = list(dict.fromkeys(_terms(query)))
     spark = index.sparkSession
     if not terms:
-        # schema must track the index's actual doc_id type (string ids
-        # are legal) or the empty frame can't union with real results
-        from pyspark.sql.types import LongType, StructField, StructType
-
-        schema = StructType(
-            [
-                StructField("doc_id", index.schema["doc_id"].dataType),
-                StructField("relevance", LongType()),
-            ]
-        )
-        return spark.createDataFrame([], schema)
+        return _empty_result(index, "relevance")
     tdf = spark.createDataFrame([(t,) for t in terms], "token string")
     return (
         index.join(F.broadcast(tdf), "token")
@@ -318,14 +331,7 @@ def build_positional_index(
     Same tokenizer definitions, same explode+aggregate build shape,
     same bucketBy(token) layout advice. ``extract_then_lower`` as in
     build_token_index."""
-    tok_arr = (
-        F.transform(
-            F.regexp_extract_all(F.col(text_col), F.lit(WORD_RUN), 0),
-            F.lower,
-        )
-        if extract_then_lower
-        else F.regexp_extract_all(F.lower(F.col(text_col)), F.lit(WORD_RUN), 0)
-    )
+    tok_arr = _token_array(text_col, extract_then_lower)
     toks = df.select(
         F.col(id_col).alias("doc_id"), F.posexplode(tok_arr).alias("pos", "token")
     )
@@ -349,18 +355,9 @@ def phrase_search(index_pos: DataFrame, phrase: str, limit: int = 20) -> DataFra
     always holds the end positions of phrase prefixes. No joins beyond
     the one aggregation; a document missing any term yields NULL and is
     filtered. O(matching postings), like the other index queries."""
-    terms = [t for t in _terms(phrase)]
-    spark = index_pos.sparkSession
+    terms = _terms(phrase)
     if not terms:
-        from pyspark.sql.types import LongType, StructField, StructType
-
-        schema = StructType(
-            [
-                StructField("doc_id", index_pos.schema["doc_id"].dataType),
-                StructField("occurrences", LongType()),
-            ]
-        )
-        return spark.createDataFrame([], schema)
+        return _empty_result(index_pos, "occurrences")
     uniq = list(dict.fromkeys(terms))
     slot = {t: i for i, t in enumerate(uniq)}
     per_doc = (
@@ -425,17 +422,8 @@ def bm25_search(
     in python and the oracle interpolates repr() of the same doubles,
     so both engines parse identical bit patterns."""
     terms = list(dict.fromkeys(_terms(query)))
-    spark = index.sparkSession
     if not terms:
-        from pyspark.sql.types import LongType, StructField, StructType
-
-        schema = StructType(
-            [
-                StructField("doc_id", index.schema["doc_id"].dataType),
-                StructField("score_q", LongType()),
-            ]
-        )
-        return spark.createDataFrame([], schema)
+        return _empty_result(index, "score_q")
     per_doc = index.groupBy("doc_id").agg(
         F.sum("tf").cast("long").alias("dl"),
         *[
