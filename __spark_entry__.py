@@ -1270,6 +1270,25 @@ def q_phrase_search(spark, sf_dir):
     return phrase_search(idx, "data table", limit=20)
 
 
+def q_near_search(spark, sf_dir):
+    """Ordered proximity search (graft extension, late r5): query terms
+    in order with <= 3 tokens between consecutive terms, counted by
+    distinct span end positions — integers end to end. Oracle: nested
+    list_filter/exists over 1-based positions (shift-invariant)."""
+    from readability_scanner_spark.operators.search import (
+        build_positional_index,
+        near_search,
+    )
+
+    idx = build_positional_index(
+        _t(spark, sf_dir, "documents", spread=True),
+        "doc_id",
+        "text",
+        extract_then_lower=True,
+    )
+    return near_search(idx, "data table", max_distance=3, limit=20)
+
+
 def q_pack_sequences(spark, sf_dir):
     """Sequence packing (graft extension, r5): next-fit assignment of
     tokenized documents into fixed 1024-token training windows, 8
@@ -1351,10 +1370,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "full_report": q_full_report,
         "full_report_agg": q_full_report_agg,
         # --- (c) stable greens sharing modules with (b) ---
-        "knn_topk": q_knn_topk,
-        # phrase_search is NEW late-r5; lsh_ann_pairs rotates out on the
-        # same justification as ivf_knn below
+        # phrase_search/near_search are NEW late-r5; lsh_ann_pairs and
+        # knn_topk rotate out on the same justification as ivf_knn below
+        # (knn_topk additionally stays perf-pinned via bench.py)
         "phrase_search": q_phrase_search,
+        "near_search": q_near_search,
         # bm25_search is NEW late-r5; ivf_knn rotates out (hash-green
         # r4, fn+oracle byte-identical since — the r5 similarity.py edit
         # touched only similarity_pairs' cap probe)
@@ -1380,6 +1400,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dataset_split": q_dataset_split,
         # --- past the 50-query window: hash-green in CORRECTNESS_r04,
         # untouched since ---
+        "knn_topk": q_knn_topk,
         "lsh_ann_pairs": q_lsh_ann_pairs,
         "ivf_knn": q_ivf_knn,
         "greedy_topics": q_greedy_topics,
@@ -2868,6 +2889,34 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, occurrences FROM (
               SELECT doc_id,
                      len(list_intersect(list_transform(p0, x -> x + 1), p1))::BIGINT
+                       AS occurrences
+              FROM pos
+            ) WHERE occurrences > 0
+            ORDER BY occurrences DESC, doc_id ASC LIMIT 20
+        """,
+        "near_search": f"""
+            -- ordered proximity mirroring near_search: keep each next-
+            -- term position reachable within max_distance=3 of a kept
+            -- previous-term position (nested list_filter/exists over
+            -- 1-based positions — the shift from Spark's 0-based
+            -- posexplode cancels in the q-c difference). Integers end
+            -- to end.
+            WITH toks AS (
+              SELECT doc_id,
+                     list_transform(regexp_extract_all(text, '{WORD_PAT}'),
+                                    x -> lower(x)) AS ts
+              FROM documents
+            ),
+            pos AS (
+              SELECT doc_id,
+                     list_filter(range(1, len(ts) + 1), i -> ts[i] = 'data') AS p0,
+                     list_filter(range(1, len(ts) + 1), i -> ts[i] = 'table') AS p1
+              FROM toks
+            )
+            SELECT doc_id, occurrences FROM (
+              SELECT doc_id,
+                     len(list_filter(p1, q -> len(list_filter(p0,
+                         c -> q - c > 0 AND q - c <= 3)) > 0))::BIGINT
                        AS occurrences
               FROM pos
             ) WHERE occurrences > 0

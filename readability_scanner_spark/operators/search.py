@@ -389,6 +389,57 @@ def phrase_search(index_pos: DataFrame, phrase: str, limit: int = 20) -> DataFra
     )
 
 
+def near_search(
+    index_pos: DataFrame, query: str, max_distance: int, limit: int = 20
+) -> DataFrame:
+    """Ordered proximity query over the positional index: documents
+    where the query's terms occur IN ORDER with at most
+    ``max_distance`` tokens between consecutive terms
+    (``max_distance=1`` degenerates to :func:`phrase_search`'s exact
+    adjacency). Counts the distinct end positions of matching spans —
+    same fold as phrase_search, but each step keeps every position of
+    the next term reachable within the window instead of exactly +1:
+    ``cand = filter(p_next, q -> exists(cand, c -> 0 < q-c <= d))``.
+    Pure array expressions over the one IN-filtered aggregate — no
+    joins, no Python."""
+    if max_distance < 1:
+        raise ValueError("max_distance must be >= 1")
+    terms = _terms(query)
+    if not terms:
+        return _empty_result(index_pos, "occurrences")
+    uniq = list(dict.fromkeys(terms))
+    slot = {t: i for i, t in enumerate(uniq)}
+    per_doc = (
+        index_pos.where(F.col("token").isin(*uniq))
+        .groupBy("doc_id")
+        .agg(
+            *[
+                F.first(
+                    F.when(F.col("token") == t, F.col("positions")),
+                    ignorenulls=True,
+                ).alias(f"p_{i}")
+                for t, i in slot.items()
+            ]
+        )
+    )
+    d = F.lit(max_distance)
+    cand = F.col(f"p_{slot[terms[0]]}")
+    for t in terms[1:]:
+        nxt = F.col(f"p_{slot[t]}")
+        prev = cand
+        cand = F.filter(
+            nxt,
+            lambda q: F.exists(prev, lambda c: ((q - c) > F.lit(0)) & ((q - c) <= d)),
+        )
+    occ = F.size(cand).cast("long")
+    return (
+        per_doc.select("doc_id", occ.alias("occurrences"))
+        .where(F.col("occurrences") > 0)
+        .orderBy(F.desc("occurrences"), F.asc("doc_id"))
+        .limit(limit)
+    )
+
+
 def bm25_search(
     index: DataFrame,
     query: str,

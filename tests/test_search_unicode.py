@@ -460,3 +460,79 @@ def test_phrase_search_missing_term_and_empty_phrase(spark):
     empty = phrase_search(idx, "!!!")
     assert empty.count() == 0
     assert [f.name for f in empty.schema.fields] == ["doc_id", "occurrences"]
+
+
+def test_near_search_window_semantics(spark):
+    """Ordered proximity: consecutive terms at most max_distance apart;
+    d=1 degenerates to exact phrase adjacency."""
+    from readability_scanner_spark.operators.search import (
+        build_positional_index,
+        near_search,
+        phrase_search,
+    )
+
+    rows = [
+        (1, "alpha beta"),            # gap 1
+        (2, "alpha x beta"),          # gap 2
+        (3, "alpha x x beta"),        # gap 3
+        (4, "beta alpha"),            # wrong order
+        (5, "alpha beta alpha beta"), # two adjacent spans
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    idx = build_positional_index(df, "doc_id", "text", extract_then_lower=True)
+    got = {
+        r["doc_id"]: r["occurrences"]
+        for r in near_search(idx, "alpha beta", max_distance=2).collect()
+    }
+    assert got == {1: 1, 2: 1, 5: 2}  # gap-3 and wrong-order excluded
+    # d=1 == phrase_search on every doc
+    near1 = {
+        r["doc_id"]: r["occurrences"]
+        for r in near_search(idx, "alpha beta", max_distance=1).collect()
+    }
+    phr = {
+        r["doc_id"]: r["occurrences"]
+        for r in phrase_search(idx, "alpha beta").collect()
+    }
+    assert near1 == phr == {1: 1, 5: 2}
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="max_distance"):
+        near_search(idx, "alpha beta", max_distance=0)
+
+
+def test_near_search_vs_python_recompute(spark, corpus_df):
+    import re
+
+    from readability_scanner_spark.operators.search import (
+        build_positional_index,
+        near_search,
+    )
+
+    tok = re.compile(r"\w+")
+    rows = {r["doc_id"]: r["text"] for r in corpus_df.collect()}
+
+    def count_near(text, terms, d):
+        toks = [t.lower() for t in tok.findall(text)]
+        ends = {i for i, t in enumerate(toks) if t == terms[0]}
+        for term in terms[1:]:
+            ends = {
+                i
+                for i, t in enumerate(toks)
+                if t == term and any(0 < i - e <= d for e in ends)
+            }
+        return len(ends)
+
+    idx = build_positional_index(corpus_df, "doc_id", "text", extract_then_lower=True)
+    for query, d in (("data table", 3), ("the data", 2), ("data query", 5)):
+        got = {
+            r["doc_id"]: r["occurrences"]
+            for r in near_search(idx, query, max_distance=d).collect()
+        }
+        terms = [t.lower() for t in tok.findall(query)]
+        want = {
+            doc: count_near(t, terms, d)
+            for doc, t in rows.items()
+            if count_near(t, terms, d) > 0
+        }
+        assert got == want, (query, d)
