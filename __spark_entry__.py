@@ -1271,10 +1271,12 @@ def q_phrase_search(spark, sf_dir):
 
 
 def q_near_search(spark, sf_dir):
-    """Ordered proximity search (graft extension, late r5): query terms
-    in order with <= 3 tokens between consecutive terms, counted by
-    distinct span end positions — integers end to end. Oracle: nested
-    list_filter/exists over 1-based positions (shift-invariant)."""
+    """Ordered proximity search (graft extension, late r5): consecutive
+    query terms at positions differing by at most max_distance=3 (i.e.
+    up to 2 intervening tokens), counted by distinct span end positions
+    — integers end to end. Oracle: nested list_filter/exists over
+    1-based positions (shift-invariant; fine at oracle scale — the
+    Spark side uses the linear window-expansion fold)."""
     from readability_scanner_spark.operators.search import (
         build_positional_index,
         near_search,
@@ -1323,9 +1325,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # flagship_extract/full_report_agg) AND the r5 work (CJK dedup
     # tokenizer + bytes-domain CDC oracle, MJPEG media_features, NEW
     # text_search_mongo_score, similarity cap probe), (c) then stable
-    # greens that share modules with (b). SEVENTEEN queries fall past
-    # the window (describe_n_chars..broadcast_lookup_join) — all
-    # hash-green in CORRECTNESS_r04 and untouched since.
+    # greens that share modules with (b). After the late-r5 additions
+    # (bm25_search, phrase_search, near_search, pack_sequences and the
+    # sketches/decontam/split trio earlier) TWENTY-SEVEN queries fall
+    # past the window (knn_topk..broadcast_lookup_join) — every one
+    # hash-green in CORRECTNESS_r03/r04 and byte-identical since its
+    # green (each displacement is justified at its swap-in comment).
     return {
         # --- (a) r4-unevaluated, green in CORRECTNESS_r03 ---
         "orders_semi_join": q_orders_semi_join,

@@ -340,6 +340,39 @@ def build_positional_index(
     )
 
 
+def _positions_pivot(index_pos: DataFrame, slot: dict[str, int]) -> DataFrame:
+    """Shared phrase/proximity pivot: postings filtered to the query's
+    distinct terms (IN literal — pushes to the scan and prunes a
+    bucketBy(token) layout), one groupBy(doc_id) gathering each term's
+    position array into ``p_<slot>``. Exactly one posting exists per
+    (doc, token), so first+ignorenulls is deterministic."""
+    return (
+        index_pos.where(F.col("token").isin(*slot))
+        .groupBy("doc_id")
+        .agg(
+            *[
+                F.first(
+                    F.when(F.col("token") == t, F.col("positions")),
+                    ignorenulls=True,
+                ).alias(f"p_{i}")
+                for t, i in slot.items()
+            ]
+        )
+    )
+
+
+def _span_ends_result(per_doc: DataFrame, cand: Column, limit: int) -> DataFrame:
+    """Shared phrase/proximity tail: count the surviving span-end
+    positions, keep matching docs, rank deterministically."""
+    occ = F.size(cand).cast("long")
+    return (
+        per_doc.select("doc_id", occ.alias("occurrences"))
+        .where(F.col("occurrences") > 0)
+        .orderBy(F.desc("occurrences"), F.asc("doc_id"))
+        .limit(limit)
+    )
+
+
 def phrase_search(index_pos: DataFrame, phrase: str, limit: int = 20) -> DataFrame:
     """Exact-phrase query over the positional index: documents where
     the phrase's tokens occur CONSECUTIVELY, with the occurrence count
@@ -347,9 +380,7 @@ def phrase_search(index_pos: DataFrame, phrase: str, limit: int = 20) -> DataFra
     'data data data'). ``(doc_id, occurrences)``, most occurrences
     first.
 
-    Shape: postings filtered to the phrase's distinct terms (an IN
-    literal — pushes to the scan and prunes a bucketBy(token) layout),
-    ONE groupBy(doc_id) gathers each term's position array, and the
+    Shape: the shared :func:`_positions_pivot` aggregate, then the
     phrase match is a pure array expression — fold left-to-right with
     ``array_intersect(transform(cand, +1), next_positions)``, so cand
     always holds the end positions of phrase prefixes. No joins beyond
@@ -358,86 +389,59 @@ def phrase_search(index_pos: DataFrame, phrase: str, limit: int = 20) -> DataFra
     terms = _terms(phrase)
     if not terms:
         return _empty_result(index_pos, "occurrences")
-    uniq = list(dict.fromkeys(terms))
-    slot = {t: i for i, t in enumerate(uniq)}
-    per_doc = (
-        index_pos.where(F.col("token").isin(*uniq))
-        .groupBy("doc_id")
-        .agg(
-            *[
-                # exactly one posting per (doc, token): first+ignorenulls
-                # is deterministic here
-                F.first(
-                    F.when(F.col("token") == t, F.col("positions")),
-                    ignorenulls=True,
-                ).alias(f"p_{i}")
-                for t, i in slot.items()
-            ]
-        )
-    )
+    slot = {t: i for i, t in enumerate(dict.fromkeys(terms))}
+    per_doc = _positions_pivot(index_pos, slot)
     cand = F.col(f"p_{slot[terms[0]]}")
     for t in terms[1:]:
         cand = F.array_intersect(
             F.transform(cand, lambda x: x + F.lit(1)), F.col(f"p_{slot[t]}")
         )
-    occ = F.size(cand).cast("long")
-    return (
-        per_doc.select("doc_id", occ.alias("occurrences"))
-        .where(F.col("occurrences") > 0)
-        .orderBy(F.desc("occurrences"), F.asc("doc_id"))
-        .limit(limit)
-    )
+    return _span_ends_result(per_doc, cand, limit)
 
 
 def near_search(
     index_pos: DataFrame, query: str, max_distance: int, limit: int = 20
 ) -> DataFrame:
     """Ordered proximity query over the positional index: documents
-    where the query's terms occur IN ORDER with at most
-    ``max_distance`` tokens between consecutive terms
-    (``max_distance=1`` degenerates to :func:`phrase_search`'s exact
-    adjacency). Counts the distinct end positions of matching spans —
-    same fold as phrase_search, but each step keeps every position of
-    the next term reachable within the window instead of exactly +1:
-    ``cand = filter(p_next, q -> exists(cand, c -> 0 < q-c <= d))``.
-    Pure array expressions over the one IN-filtered aggregate — no
-    joins, no Python."""
+    where consecutive query terms appear at positions differing by at
+    most ``max_distance`` — i.e. up to ``max_distance - 1`` intervening
+    tokens; ``max_distance=1`` IS :func:`phrase_search`'s exact
+    adjacency. Counts the distinct end positions of matching spans.
+
+    Same prefix fold as phrase_search, with each step expanding the
+    kept positions into their reachable windows:
+    ``cand = array_intersect(flatten(transform(cand, c ->
+    sequence(c+1, c+d))), p_next)``. The expansion references the
+    previous fold OUTSIDE any lambda, so each step is evaluated once
+    per row — a filter/exists formulation (the obvious alternative)
+    embeds the whole prefix fold inside the next step's per-element
+    lambda, and Spark re-evaluates it for EVERY element: measured
+    O(prod |positions_i|), 65 s for one 800-token doc with 4x200
+    occurrences (review find). This form is O(sum |positions_i| * d).
+    Pure array expressions over the one pivot aggregate — no joins, no
+    Python."""
     if max_distance < 1:
         raise ValueError("max_distance must be >= 1")
     terms = _terms(query)
     if not terms:
         return _empty_result(index_pos, "occurrences")
-    uniq = list(dict.fromkeys(terms))
-    slot = {t: i for i, t in enumerate(uniq)}
-    per_doc = (
-        index_pos.where(F.col("token").isin(*uniq))
-        .groupBy("doc_id")
-        .agg(
-            *[
-                F.first(
-                    F.when(F.col("token") == t, F.col("positions")),
-                    ignorenulls=True,
-                ).alias(f"p_{i}")
-                for t, i in slot.items()
-            ]
-        )
-    )
-    d = F.lit(max_distance)
+    slot = {t: i for i, t in enumerate(dict.fromkeys(terms))}
+    per_doc = _positions_pivot(index_pos, slot)
     cand = F.col(f"p_{slot[terms[0]]}")
     for t in terms[1:]:
-        nxt = F.col(f"p_{slot[t]}")
-        prev = cand
-        cand = F.filter(
-            nxt,
-            lambda q: F.exists(prev, lambda c: ((q - c) > F.lit(0)) & ((q - c) <= d)),
+        # q survives iff exists kept c with 0 < q-c <= d, i.e. q is in
+        # some window [c+1, c+d]; array_intersect dedups, keeping each
+        # end position once (positions are distinct)
+        cand = F.array_intersect(
+            F.flatten(
+                F.transform(
+                    cand,
+                    lambda c: F.sequence(c + F.lit(1), c + F.lit(max_distance)),
+                )
+            ),
+            F.col(f"p_{slot[t]}"),
         )
-    occ = F.size(cand).cast("long")
-    return (
-        per_doc.select("doc_id", occ.alias("occurrences"))
-        .where(F.col("occurrences") > 0)
-        .orderBy(F.desc("occurrences"), F.asc("doc_id"))
-        .limit(limit)
-    )
+    return _span_ends_result(per_doc, cand, limit)
 
 
 def bm25_search(

@@ -536,3 +536,20 @@ def test_near_search_vs_python_recompute(spark, corpus_df):
             if count_near(t, terms, d) > 0
         }
         assert got == want, (query, d)
+
+
+def test_near_search_dense_doc_stays_linear(spark):
+    """Regression pin for the O(prod |positions|) blowup: the
+    filter/exists fold re-evaluated the whole prefix per element (65 s
+    for 4 terms x 200 occurrences); the window-expansion fold must
+    handle this dense doc in ordinary test time with the right count."""
+    from readability_scanner_spark.operators.search import (
+        build_positional_index,
+        near_search,
+    )
+
+    words = ["alpha", "beta", "gamma", "delta"] * 200
+    df = spark.createDataFrame([(1, " ".join(words))], "doc_id long, text string")
+    idx = build_positional_index(df, "doc_id", "text", extract_then_lower=True)
+    got = near_search(idx, "alpha beta gamma delta", max_distance=3).collect()
+    assert [(r["doc_id"], r["occurrences"]) for r in got] == [(1, 200)]
