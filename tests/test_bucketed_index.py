@@ -100,3 +100,36 @@ def test_incremental_append_equals_full_rebuild(spark, docs):
         spark.conf.unset("spark.sql.sources.bucketing.autoBucketedScan.enabled")
     assert "SelectedBucketsCount: 1 out of 8" in plan
     spark.sql(f"DROP TABLE {table}")
+
+
+def test_bucketed_positional_index_prunes_for_phrase(spark, docs):
+    """The positional index uses the same (token)-keyed layout, so
+    write_token_index buckets it unchanged and phrase_search's term
+    IN-list prunes the on-disk scan — the phrase/proximity family
+    inherits the 100-TB layout without new writer code."""
+    from readability_scanner_spark.operators.search import (
+        build_positional_index,
+        phrase_search,
+    )
+
+    table = "pos_idx_prune"
+    _fresh(spark, table)
+    idx = build_positional_index(docs, "doc_id", "text", extract_then_lower=True)
+    write_token_index(idx, table, N_BUCKETS)
+
+    spark.conf.set("spark.sql.sources.bucketing.autoBucketedScan.enabled", "false")
+    try:
+        q = phrase_search(spark.table(table), "about data", limit=50)
+        rows = [(r["doc_id"], r["occurrences"]) for r in q.collect()]
+        plan = q._jdf.queryExecution().executedPlan().toString()
+    finally:
+        spark.conf.unset("spark.sql.sources.bucketing.autoBucketedScan.enabled")
+    import re as _re
+
+    m = _re.search(r"SelectedBucketsCount: (\d+) out of (\d+)", plan)
+    assert m and int(m.group(2)) == N_BUCKETS and int(m.group(1)) < N_BUCKETS
+    # disk-backed result == in-memory result ('about data' occurs once
+    # per doc by construction)
+    mem = [(r["doc_id"], r["occurrences"]) for r in phrase_search(idx, "about data", limit=50).collect()]
+    assert rows == mem and len(rows) == 50
+    _fresh(spark, table)
