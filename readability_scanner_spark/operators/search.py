@@ -399,6 +399,100 @@ def phrase_search(index_pos: DataFrame, phrase: str, limit: int = 20) -> DataFra
     return _span_ends_result(per_doc, cand, limit)
 
 
+def doc_lengths(index: DataFrame) -> DataFrame:
+    """``(doc_id, dl)`` — per-document token totals from the inverted
+    index (every token occurrence sits in exactly one posting, so
+    sum(tf) IS the document length). The precomputed sidecar
+    :func:`bm25_search_indexed` needs; build it once per index build
+    and co-bucket it on doc_id next to the index."""
+    return index.groupBy("doc_id").agg(F.sum("tf").cast("long").alias("dl"))
+
+
+def bm25_search_indexed(
+    index: DataFrame,
+    doc_lens: DataFrame,
+    query: str,
+    k1: float = 1.2,
+    b: float = 0.75,
+    limit: int = 20,
+) -> DataFrame:
+    """The interactive-scale BM25 path: :func:`bm25_search` pivots the
+    WHOLE index per query (one pass — right for batch scoring, wrong
+    for per-query latency at 100 TB). Here the postings scan is
+    filtered to the query's terms (IN literal — prunes a
+    bucketBy(token) layout to the terms' buckets) and dl comes from the
+    precomputed :func:`doc_lengths` sidecar: per query this touches
+    O(matching postings) + one broadcast-sized stats pass over the
+    2-column sidecar, and the one real join (matched ⋈ doc_lens on
+    doc_id) is shuffle-free when the sidecar is co-bucketed. The score
+    expression is SHAPE-IDENTICAL to bm25_search (same pivot columns,
+    same fixed-order term sum), so the two paths return equal score_q
+    (pinned in tests)."""
+    terms = list(dict.fromkeys(_terms(query)))
+    if not terms:
+        return _empty_result(index, "score_q")
+    matched = index.where(F.col("token").isin(*terms))
+    per_doc_tf = matched.groupBy("doc_id").agg(
+        *[
+            F.sum(F.when(F.col("token") == t, F.col("tf")).otherwise(0))
+            .cast("long")
+            .alias(f"tf_{i}")
+            for i, t in enumerate(terms)
+        ]
+    )
+    stats = doc_lens.agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("dl").cast("long").alias("total_tokens"),
+    )
+    dfs = matched.groupBy().agg(
+        *[
+            F.count_distinct(F.when(F.col("token") == t, F.col("doc_id")))
+            .cast("long")
+            .alias(f"df_{i}")
+            for i, t in enumerate(terms)
+        ]
+    )
+    scored = (
+        per_doc_tf.join(doc_lens, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .crossJoin(F.broadcast(dfs))
+    )
+    score = _bm25_score_expr(len(terms), k1, b)
+    return (
+        scored.select(
+            "doc_id",
+            F.floor(score * F.lit(1e6) + F.lit(0.5)).cast("long").alias("score_q"),
+        )
+        .orderBy(F.desc("score_q"), F.asc("doc_id"))
+        .limit(limit)
+    )
+
+
+def _bm25_score_expr(n_terms: int, k1: float, b: float) -> Column:
+    """The Okapi score as a fixed-order expression over pivot columns
+    ``tf_i``/``df_i`` + ``dl``/``n_docs``/``total_tokens`` — ONE
+    definition shared by bm25_search and bm25_search_indexed so the two
+    paths (and the DuckDB oracle mirroring this shape) can never
+    drift."""
+    n = F.col("n_docs").cast("double")
+    dl = F.col("dl").cast("double")
+    avgdl = F.col("total_tokens").cast("double") / F.col("n_docs").cast("double")
+
+    def contrib(i: int) -> Column:
+        tf = F.col(f"tf_{i}").cast("double")
+        dfc = F.col(f"df_{i}").cast("double")
+        idf = F.log(((n - dfc + F.lit(0.5)) / (dfc + F.lit(0.5))) + F.lit(1.0))
+        sat = (tf * F.lit(k1 + 1.0)) / (
+            tf + F.lit(k1) * (F.lit(1.0 - b) + F.lit(b) * (dl / avgdl))
+        )
+        return F.when(F.col(f"tf_{i}") > 0, idf * sat).otherwise(F.lit(0.0))
+
+    score = contrib(0)
+    for i in range(1, n_terms):
+        score = score + contrib(i)
+    return score
+
+
 def near_search(
     index_pos: DataFrame, query: str, max_distance: int, limit: int = 20
 ) -> DataFrame:
@@ -496,22 +590,7 @@ def bm25_search(
             for i in range(len(terms))
         ],
     )
-    n = F.col("n_docs").cast("double")
-    dl = F.col("dl").cast("double")
-    avgdl = F.col("total_tokens").cast("double") / F.col("n_docs").cast("double")
-
-    def contrib(i: int) -> Column:
-        tf = F.col(f"tf_{i}").cast("double")
-        dfc = F.col(f"df_{i}").cast("double")
-        idf = F.log(((n - dfc + F.lit(0.5)) / (dfc + F.lit(0.5))) + F.lit(1.0))
-        sat = (tf * F.lit(k1 + 1.0)) / (
-            tf + F.lit(k1) * (F.lit(1.0 - b) + F.lit(b) * (dl / avgdl))
-        )
-        return F.when(F.col(f"tf_{i}") > 0, idf * sat).otherwise(F.lit(0.0))
-
-    score = contrib(0)
-    for i in range(1, len(terms)):
-        score = score + contrib(i)
+    score = _bm25_score_expr(len(terms), k1, b)
     any_match = F.col("tf_0") > 0
     for i in range(1, len(terms)):
         any_match = any_match | (F.col(f"tf_{i}") > 0)

@@ -133,3 +133,38 @@ def test_bucketed_positional_index_prunes_for_phrase(spark, docs):
     mem = [(r["doc_id"], r["occurrences"]) for r in phrase_search(idx, "about data", limit=50).collect()]
     assert rows == mem and len(rows) == 50
     _fresh(spark, table)
+
+
+def test_bucketed_bm25_indexed_prunes(spark, docs):
+    """bm25_search_indexed's postings scan is term-IN-filtered, so a
+    bucketBy(token) layout prunes it to the terms' buckets — the
+    interactive-scale BM25 path demonstrated on disk (the one-pass
+    bm25_search deliberately scans everything; this is its latency
+    twin)."""
+    from readability_scanner_spark.operators.search import (
+        bm25_search,
+        bm25_search_indexed,
+        build_token_index,
+        doc_lengths,
+    )
+
+    table = "bm25_idx_prune"
+    _fresh(spark, table)
+    idx = build_token_index(docs, "doc_id", "text", extract_then_lower=True)
+    write_token_index(idx, table, N_BUCKETS)
+    lens = doc_lengths(idx)
+
+    spark.conf.set("spark.sql.sources.bucketing.autoBucketedScan.enabled", "false")
+    try:
+        q = bm25_search_indexed(spark.table(table), lens, "data topic3", limit=50)
+        rows = [(r["doc_id"], r["score_q"]) for r in q.collect()]
+        plan = q._jdf.queryExecution().executedPlan().toString()
+    finally:
+        spark.conf.unset("spark.sql.sources.bucketing.autoBucketedScan.enabled")
+    import re as _re
+
+    m = _re.search(r"SelectedBucketsCount: (\d+) out of (\d+)", plan)
+    assert m and int(m.group(2)) == N_BUCKETS and int(m.group(1)) < N_BUCKETS
+    mem = [(r["doc_id"], r["score_q"]) for r in bm25_search(idx, "data topic3", limit=50).collect()]
+    assert rows == mem and len(rows) == 50
+    _fresh(spark, table)
