@@ -1223,6 +1223,32 @@ def q_dataset_split(spark, sf_dir):
     ).orderBy("doc_id")
 
 
+def q_dup_spans(spark, sf_dir):
+    """Exact repeated-substring detection (graft extension, late r5):
+    the substring-granularity member of the dedup family — Lee et al.
+    2021's "Deduplicating Training Data" span semantics as gram-hash
+    coverage + gaps-and-islands (a distributed stand-in for their
+    suffix array). k=4 because the synthetic docs are short; real text
+    uses k≈13 tokens. One corpus-sized shuffle (by gram hash); spans
+    carry their text so the result is independently checkable."""
+    from readability_scanner_spark.operators.dedup import duplicated_spans
+
+    docs = _t(spark, sf_dir, "documents", spread=True)
+    return duplicated_spans(docs, "doc_id", "text", k=4)
+
+
+def q_dedup_spans_clean(spark, sf_dir):
+    """Apply-side of dup_spans: every covered token removed (the
+    conservative all-occurrences variant — no cross-doc ordering
+    state, stays embarrassingly parallel after the gram shuffle).
+    Per-doc output (500 rows of rebuilt text), so the driver hash
+    certifies the whole remove-and-rejoin, not a summary."""
+    from readability_scanner_spark.operators.dedup import remove_duplicated_spans
+
+    docs = _t(spark, sf_dir, "documents", spread=True)
+    return remove_duplicated_spans(docs, "doc_id", "text", k=4)
+
+
 def q_bm25_search(spark, sf_dir):
     """BM25 over the inverted token index (graft extension, late r5):
     the relevance-quality step past token_index_search's raw tf sum —
@@ -1365,8 +1391,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_quality_filters": q_text_quality_filters,
         "full_report_sql": q_full_report_sql,
         "doc_previews": q_doc_previews,
-        "word_topk": q_word_topk,
-        "regex_filter_counts": q_regex_filter_counts,
         "text_search": q_text_search,
         "text_search_scored": q_text_search_scored,
         "token_index_search": q_token_index_search,
@@ -1403,8 +1427,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cms_heavy_hitters": q_cms_heavy_hitters,
         "decontaminate": q_decontaminate,
         "dataset_split": q_dataset_split,
+        # dup_spans / dedup_spans_clean are NEW this session (exact
+        # substring dedup — detection + apply); the two slots come from
+        # word_topk and regex_filter_counts, both hash-green in r4 with
+        # query fn AND oracle byte-identical since (verified against
+        # the r4-end commit; their closures — analytics.word_topk and
+        # an inline rlike — are untouched by every r5 edit)
+        "dup_spans": q_dup_spans,
+        "dedup_spans_clean": q_dedup_spans_clean,
         # --- past the 50-query window: hash-green in CORRECTNESS_r04,
         # untouched since ---
+        "word_topk": q_word_topk,
+        "regex_filter_counts": q_regex_filter_counts,
         "knn_topk": q_knn_topk,
         "lsh_ann_pairs": q_lsh_ann_pairs,
         "ivf_knn": q_ivf_knn,
@@ -2871,6 +2905,101 @@ def oracle_sql() -> dict[str, str]:
                              % 10000 < 9000 THEN 'val'
                         ELSE 'test' END AS split
             FROM documents ORDER BY doc_id
+        """,
+        "dup_spans": """
+            -- exact repeated-substring twin: positioned 4-token shingles
+            -- (space-split, same contract as decontaminate) hashed with
+            -- md5_number_lower; positions covered by any gram occurring
+            -- >= 2x corpus-wide; maximal covered runs via the classic
+            -- t - row_number() islands; span text re-sliced from the
+            -- token list (DuckDB list slice is 1-based inclusive).
+            WITH toks AS (
+              SELECT doc_id,
+                     list_filter(string_split(text, ' '), t -> t != '') AS ts
+              FROM documents
+            ),
+            grams AS (
+              SELECT doc_id,
+                     unnest(range(1, greatest(len(ts) - 3, 0) + 1)) AS i, ts
+              FROM toks
+            ),
+            hashed AS (
+              SELECT doc_id, CAST(i - 1 AS INT) AS p,
+                     md5_number_lower(array_to_string(
+                       ts[CAST(i AS INT):CAST(i AS INT)+3], ' ')) AS gh
+              FROM grams
+            ),
+            dup AS (
+              SELECT doc_id, p FROM (
+                SELECT doc_id, p, count(*) OVER (PARTITION BY gh) AS c
+                FROM hashed
+              ) WHERE c >= 2
+            ),
+            covered AS (
+              SELECT DISTINCT doc_id, unnest(range(p, p + 4)) AS t FROM dup
+            ),
+            isl AS (
+              SELECT doc_id, t,
+                     t - row_number() OVER (PARTITION BY doc_id ORDER BY t) AS g
+              FROM covered
+            ),
+            spans AS (
+              SELECT doc_id, min(t) AS s, max(t) AS e,
+                     CAST(count(*) AS BIGINT) AS span_tokens
+              FROM isl GROUP BY doc_id, g
+            )
+            SELECT s.doc_id, CAST(s.s AS BIGINT) AS start_tok,
+                   CAST(s.e AS BIGINT) AS end_tok, s.span_tokens,
+                   array_to_string(
+                     t.ts[CAST(s.s AS INT)+1 : CAST(s.e AS INT)+1], ' ')
+                     AS span_text
+            FROM spans s JOIN toks t USING (doc_id)
+        """,
+        "dedup_spans_clean": """
+            -- apply-side twin of dup_spans: drop every covered token,
+            -- rejoin with single spaces. COALESCE twice: DuckDB's
+            -- array_to_string on an EMPTY list returns NULL (Spark's
+            -- array_join returns ''), and docs with no covered
+            -- positions have a NULL list from the LEFT JOIN.
+            WITH toks AS (
+              SELECT doc_id,
+                     list_filter(string_split(text, ' '), t -> t != '') AS ts
+              FROM documents
+            ),
+            grams AS (
+              SELECT doc_id,
+                     unnest(range(1, greatest(len(ts) - 3, 0) + 1)) AS i, ts
+              FROM toks
+            ),
+            hashed AS (
+              SELECT doc_id, CAST(i - 1 AS INT) AS p,
+                     md5_number_lower(array_to_string(
+                       ts[CAST(i AS INT):CAST(i AS INT)+3], ' ')) AS gh
+              FROM grams
+            ),
+            dup AS (
+              SELECT doc_id, p FROM (
+                SELECT doc_id, p, count(*) OVER (PARTITION BY gh) AS c
+                FROM hashed
+              ) WHERE c >= 2
+            ),
+            covered AS (
+              SELECT DISTINCT doc_id, unnest(range(p, p + 4)) AS t FROM dup
+            ),
+            cov AS (SELECT doc_id, list(t) AS cv FROM covered GROUP BY doc_id),
+            kept AS (
+              SELECT t.doc_id, t.ts,
+                     list_filter(range(1, len(t.ts) + 1),
+                       i -> NOT list_contains(
+                              coalesce(c.cv, CAST([] AS BIGINT[])), i - 1)) AS ki
+              FROM toks t LEFT JOIN cov c USING (doc_id)
+            )
+            SELECT doc_id,
+                   coalesce(array_to_string(
+                     list_transform(ki, i -> ts[CAST(i AS INT)]), ' '), '')
+                     AS clean_text,
+                   CAST(len(ts) - len(ki) AS BIGINT) AS tokens_removed
+            FROM kept
         """,
         "phrase_search": f"""
             -- exact-phrase match via position-set arithmetic, mirroring

@@ -758,3 +758,145 @@ def resolve_duplicate_clusters(
             (F.col("node") == F.col("canonical_id")).alias("is_canonical"),
         )
     )
+
+
+# --- duplicated spans (exact substring dedup) ------------------------------------------
+
+def _pos_gram_pairs(toks, k: int):
+    """Array of ``(p, gh)`` structs over a token array: ``p`` is the
+    0-based start position, ``gh`` the md5-low64 hash of the
+    space-joined k-token gram starting there. The ``when`` guard keeps
+    Spark's ``sequence`` from inferring a NEGATIVE step on docs shorter
+    than k (same trap as decontam.ngrams_col — without it slice() would
+    fabricate grams from descending starts)."""
+    from .sketches import md5_low64
+
+    starts = F.sequence(F.lit(0), F.size(toks) - F.lit(k))
+    pairs = F.transform(
+        starts,
+        lambda p: F.struct(
+            p.alias("p"),
+            md5_low64(F.array_join(F.slice(toks, p + F.lit(1), k), " ")).alias("gh"),
+        ),
+    )
+    return F.when(F.size(toks) >= k, pairs).otherwise(
+        F.array().cast("array<struct<p:int,gh:decimal(20,0)>>")
+    )
+
+
+def _ws_tokens_col(text_col: str):
+    """Single-space split, empties dropped — the same corpus contract as
+    decontam/sketches (exact-substring dedup cares about verbatim token
+    sequences, so no case folding or unicode segmentation; published
+    recipes dedup on raw token streams)."""
+    return F.filter(F.split(F.col(text_col), " "), lambda t: t != "")
+
+
+def _covered_positions(df: DataFrame, id_col: str, text_col: str, k: int) -> DataFrame:
+    """``(id, t)`` — distinct 0-based token positions covered by at
+    least one k-gram that occurs >= 2 times ANYWHERE in the corpus
+    (cross-doc or within one doc — a self-repeat is still a duplicated
+    substring, as in the published exact-substring recipe).
+
+    Scale shape: the only corpus-sized shuffle is BY GRAM HASH. A
+    window count (not groupBy+join-back) does it in ONE pass over the
+    exploded grams — the join form would colocate every occurrence of
+    each hash anyway (identical skew), while recomputing the
+    tokenize+hash lineage for the probe side. Hot-gram skew is bounded
+    by the most-repeated k-gram in the corpus; at 100 TB a pathological
+    boilerplate gram lands one partition with its full occurrence list,
+    which AQE's skew-join handling does not split for windows — the
+    mitigation is raising k (longer grams repeat less), the same lever
+    the published recipes use (k≈50 bytes / 13 tokens on real text)."""
+    grams = (
+        df.select(
+            F.col(id_col),
+            # explode_OUTER: plain explode makes InferFiltersFromGenerate
+            # clone the whole gram-hash expression into a size()>0 filter
+            # below the repartition (see decontam.doc_ngrams)
+            F.explode_outer(_pos_gram_pairs(_ws_tokens_col(text_col), k)).alias("g"),
+        )
+        .where(F.col("g").isNotNull())
+        .select(F.col(id_col), F.col("g.p").alias("p"), F.col("g.gh").alias("gh"))
+    )
+    dup = grams.withColumn(
+        "_c", F.count("*").over(Window.partitionBy("gh"))
+    ).where(F.col("_c") >= 2)
+    return dup.select(
+        F.col(id_col),
+        F.explode(F.sequence(F.col("p"), F.col("p") + F.lit(k - 1))).alias("t"),
+    ).distinct()
+
+
+def duplicated_spans(df: DataFrame, id_col: str, text_col: str, k: int = 8) -> DataFrame:
+    """Exact repeated-substring detection (the substring-level member of
+    the dedup family — exact / MinHash / SimHash / Jaccard / CDC cover
+    whole-doc and chunk granularity; this is the Lee et al. 2021
+    "Deduplicating Training Data" span granularity, re-expressed as
+    gram-hash coverage instead of a suffix array, which Spark cannot
+    build distributed without per-node state).
+
+    A token position is covered when any k-gram through it repeats in
+    the corpus; maximal runs of covered positions are the duplicated
+    spans. Returns one row per span:
+    ``(id, start_tok, end_tok, span_tokens, span_text)`` with 0-based
+    inclusive token positions.
+
+    Plan: gram window (shuffle by hash) -> covered distinct -> classic
+    gaps-and-islands (t - row_number) per doc -> join back to the token
+    arrays for span_text. The span set is tiny relative to the corpus,
+    so the final join's doc side dominates; at 100 TB you'd skip
+    span_text (positions suffice to act) — kept here because the text
+    column is what makes the result independently checkable."""
+    covered = _covered_positions(df, id_col, text_col, k)
+    w = Window.partitionBy(id_col).orderBy("t")
+    spans = (
+        covered.withColumn("_isl", F.col("t") - F.row_number().over(w))
+        .groupBy(id_col, "_isl")
+        .agg(
+            F.min("t").alias("_s"),
+            F.max("t").alias("_e"),
+            F.count("*").alias("span_tokens"),
+        )
+        .drop("_isl")
+    )
+    toks_df = df.select(F.col(id_col), _ws_tokens_col(text_col).alias("_ts"))
+    return spans.join(toks_df, id_col).select(
+        F.col(id_col),
+        F.col("_s").cast("long").alias("start_tok"),
+        F.col("_e").cast("long").alias("end_tok"),
+        F.col("span_tokens"),
+        F.array_join(
+            F.slice(F.col("_ts"), F.col("_s") + F.lit(1), F.col("_e") - F.col("_s") + F.lit(1)),
+            " ",
+        ).alias("span_text"),
+    )
+
+
+def remove_duplicated_spans(
+    df: DataFrame, id_col: str, text_col: str, k: int = 8
+) -> DataFrame:
+    """Apply-side of :func:`duplicated_spans`: rebuild each document
+    with every covered token dropped (the conservative published
+    variant — all occurrences go, not all-but-one, so no cross-doc
+    ordering state is needed and the op stays embarrassingly parallel
+    after the gram shuffle). Docs with no duplicated span pass through
+    verbatim (single-space-normalized by the split/join round trip).
+
+    Returns ``(id, clean_text, tokens_removed)``.
+
+    The per-token ``array_contains`` over the doc's covered-position
+    set is O(|doc| * |covered|) — fine while documents are bounded
+    (the corpus is wide, not deep); a doc-length-unbounded corpus would
+    sort the positions and walk both arrays once."""
+    covered = _covered_positions(df, id_col, text_col, k)
+    cov = covered.groupBy(id_col).agg(F.collect_set("t").alias("_cov"))
+    toks_df = df.select(F.col(id_col), _ws_tokens_col(text_col).alias("_ts"))
+    joined = toks_df.join(cov, id_col, "left")
+    cov_arr = F.coalesce(F.col("_cov"), F.array().cast("array<int>"))
+    kept = F.filter(F.col("_ts"), lambda tok, i: ~F.array_contains(cov_arr, i))
+    return joined.select(
+        F.col(id_col),
+        F.array_join(kept, " ").alias("clean_text"),
+        (F.size(F.col("_ts")) - F.size(kept)).cast("long").alias("tokens_removed"),
+    )
