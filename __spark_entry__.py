@@ -2864,7 +2864,7 @@ def oracle_sql() -> dict[str, str]:
             -- unrounded int/int double quotient.
             WITH toks AS (
               SELECT doc_id,
-                     list_filter(string_split(text, ' '), t -> t != '') AS ts
+                     list_filter(string_split(coalesce(text, ''), ' '), t -> t != '') AS ts
               FROM documents
             ),
             gsets AS (
@@ -2915,7 +2915,7 @@ def oracle_sql() -> dict[str, str]:
             -- token list (DuckDB list slice is 1-based inclusive).
             WITH toks AS (
               SELECT doc_id,
-                     list_filter(string_split(text, ' '), t -> t != '') AS ts
+                     list_filter(string_split(coalesce(text, ''), ' '), t -> t != '') AS ts
               FROM documents
             ),
             grams AS (
@@ -2963,7 +2963,7 @@ def oracle_sql() -> dict[str, str]:
             -- positions have a NULL list from the LEFT JOIN.
             WITH toks AS (
               SELECT doc_id,
-                     list_filter(string_split(text, ' '), t -> t != '') AS ts
+                     list_filter(string_split(coalesce(text, ''), ' '), t -> t != '') AS ts
               FROM documents
             ),
             grams AS (

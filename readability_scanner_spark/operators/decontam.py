@@ -40,21 +40,37 @@ from pyspark.sql import functions as F
 from .sketches import md5_low64
 
 
-def _tokens_col(text_col: Column) -> Column:
+def ws_tokens_col(text_col: Column) -> Column:
     """Non-empty single-space tokens (split collapses nothing: repeated
     spaces yield empty strings, filtered here — identical to the oracle's
-    list_filter(string_split(...)))."""
-    return F.filter(F.split(text_col, " "), lambda t: t != "")
+    list_filter(string_split(...))). NULL text coalesces to '' so a NULL
+    row behaves exactly like an empty doc on BOTH engines (array_join of
+    the empty result is '' in Spark; a NULL array would propagate NULL
+    into reconstructed text while DuckDB oracles coalesce to '').
+
+    Shared by the gram builders here and operators/dedup.py's
+    duplicated-span family — the one expression that must stay
+    byte-identical to the oracles' string_split contract."""
+    return F.filter(F.split(F.coalesce(text_col, F.lit("")), " "), lambda t: t != "")
 
 
-def ngrams_col(text_col: Column, n: int) -> Column:
-    """All n-token shingles of ``text_col`` as an array of space-joined
+# kept for compatibility with earlier imports
+_tokens_col = ws_tokens_col
+
+
+def ngrams_from_tokens(toks: Column, n: int) -> Column:
+    """All n-token shingles of a token-array column as space-joined
     strings; empty array when the doc has fewer than n tokens.
+
+    ``toks`` MUST be a bound column (a projected alias), not a raw
+    tokenize expression tree: Spark re-evaluates a lambda-captured
+    subexpression PER ELEMENT, so passing the split+filter expression
+    here re-tokenizes the whole document for every gram — measured
+    O(n_tokens^2): 330 s vs 0.6 s on ONE 20k-token doc (r5 review).
 
     The ``when`` guard is load-bearing: Spark's ``sequence(1, m)`` with
     m < 1 infers a NEGATIVE step and yields a descending sequence (not
     empty), which would fabricate grams from slice() of short docs."""
-    toks = _tokens_col(text_col)
     starts = F.sequence(F.lit(1), F.size(toks) - F.lit(n - 1))
     grams = F.transform(starts, lambda i: F.array_join(F.slice(toks, i, n), " "))
     return F.when(F.size(toks) >= n, grams).otherwise(
@@ -62,16 +78,24 @@ def ngrams_col(text_col: Column, n: int) -> Column:
     )
 
 
-def gram_hash_arr(text_col: Column, n: int) -> Column:
-    """DISTINCT md5-low64 hashes of a document's n-token shingles, as
-    an array. Dedup happens ON THE HASHES (after md5_low64), not on the
-    gram strings: the DuckDB oracle dedups hashes too, so even a 64-bit
-    collision between two distinct grams in one doc resolves identically
-    on both engines (at ~10^10 grams the birthday bound makes collisions
-    expected — string-side dedup would count such a pair as 2 here and
-    1 in the oracle)."""
+def ngrams_col(text_col: Column, n: int) -> Column:
+    """Convenience for short/bounded text (tests, probes): builds the
+    token expression inline, which is quadratic per doc — hot paths
+    must project ws_tokens_col first and call ngrams_from_tokens."""
+    return ngrams_from_tokens(ws_tokens_col(text_col), n)
+
+
+def gram_hashes_from_tokens(toks: Column, n: int) -> Column:
+    """DISTINCT md5-low64 hashes of a doc's n-token shingles (``toks``
+    a bound token-array column — see ngrams_from_tokens). Dedup happens
+    ON THE HASHES (after md5_low64), not on the gram strings: the
+    DuckDB oracle dedups hashes too, so even a 64-bit collision between
+    two distinct grams in one doc resolves identically on both engines
+    (at ~10^10 grams the birthday bound makes collisions expected —
+    string-side dedup would count such a pair as 2 here and 1 in the
+    oracle)."""
     return F.array_distinct(
-        F.transform(ngrams_col(text_col, n), lambda g: md5_low64(g))
+        F.transform(ngrams_from_tokens(toks, n), lambda g: md5_low64(g))
     )
 
 
@@ -89,11 +113,24 @@ def doc_ngrams(
     and running the first copy on the unspread scan task. explode_outer
     infers no such filter; short docs yield one NULL row, dropped by
     the cheap post-filter on the GENERATED column (which cannot be
-    pushed below the generate)."""
-    return df.select(
-        F.col(id_col),
-        F.explode_outer(gram_hash_arr(F.col(text_col), n)).alias("gram_hash"),
-    ).where(F.col("gram_hash").isNotNull())
+    pushed below the generate).
+
+    Tokens project into a bound ``_ts`` column first: the gram builder
+    re-evaluates lambda-captured expressions per element, so inlining
+    the tokenize expression is quadratic per doc (see
+    ngrams_from_tokens). CollapseProject cannot re-inline it — ``_ts``
+    is referenced several times and split+filter is not 'cheap' by
+    Catalyst's rule."""
+    return (
+        df.select(F.col(id_col), ws_tokens_col(F.col(text_col)).alias("_ts"))
+        .select(
+            F.col(id_col),
+            F.explode_outer(gram_hashes_from_tokens(F.col("_ts"), n)).alias(
+                "gram_hash"
+            ),
+        )
+        .where(F.col("gram_hash").isNotNull())
+    )
 
 
 def benchmark_gram_set(
@@ -103,11 +140,14 @@ def benchmark_gram_set(
     side. One column ``gram_hash``; size is bounded by the benchmark,
     never by the training corpus."""
     return (
-        benchmark.select(
+        benchmark.select(ws_tokens_col(F.col(text_col)).alias("_ts"))
+        .select(
             # explode_outer for the same InferFiltersFromGenerate reason
             # as doc_ngrams; the NULL row from gram-less docs is dropped
             # by the post-generate filter
-            F.explode_outer(gram_hash_arr(F.col(text_col), n)).alias("gram_hash")
+            F.explode_outer(gram_hashes_from_tokens(F.col("_ts"), n)).alias(
+                "gram_hash"
+            )
         )
         .where(F.col("gram_hash").isNotNull())
         .distinct()
@@ -138,7 +178,9 @@ def decontaminate(
     # computing it twice (once below the spread repartition). The NULL
     # row a gram-less doc emits can never match the inner join.
     grams = docs.select(
-        F.col(id_col), gram_hash_arr(F.col(text_col), n).alias("_grams")
+        F.col(id_col), ws_tokens_col(F.col(text_col)).alias("_ts")
+    ).select(
+        F.col(id_col), gram_hashes_from_tokens(F.col("_ts"), n).alias("_grams")
     ).select(
         id_col,
         F.size("_grams").cast("long").alias("total_grams"),

@@ -765,9 +765,16 @@ def resolve_duplicate_clusters(
 def _pos_gram_pairs(toks, k: int):
     """Array of ``(p, gh)`` structs over a token array: ``p`` is the
     0-based start position, ``gh`` the md5-low64 hash of the
-    space-joined k-token gram starting there. The ``when`` guard keeps
-    Spark's ``sequence`` from inferring a NEGATIVE step on docs shorter
-    than k (same trap as decontam.ngrams_col — without it slice() would
+    space-joined k-token gram starting there.
+
+    ``toks`` MUST be a bound column (projected alias), never the raw
+    tokenize expression: lambda-captured subexpressions re-evaluate PER
+    ELEMENT, so an inlined split+filter re-tokenizes the document for
+    every gram — measured O(n_tokens^2), 330 s vs 0.6 s on one
+    20k-token doc (r5 review; same trap as decontam.ngrams_from_tokens).
+
+    The ``when`` guard keeps Spark's ``sequence`` from inferring a
+    NEGATIVE step on docs shorter than k (without it slice() would
     fabricate grams from descending starts)."""
     from .sketches import md5_low64
 
@@ -784,19 +791,25 @@ def _pos_gram_pairs(toks, k: int):
     )
 
 
-def _ws_tokens_col(text_col: str):
-    """Single-space split, empties dropped — the same corpus contract as
-    decontam/sketches (exact-substring dedup cares about verbatim token
-    sequences, so no case folding or unicode segmentation; published
-    recipes dedup on raw token streams)."""
-    return F.filter(F.split(F.col(text_col), " "), lambda t: t != "")
+def _ws_tokens_df(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """``(id, _ts)`` — the decontam.ws_tokens_col single-space token
+    contract (verbatim token sequences, no case folding, NULL ≡ empty),
+    projected into a bound column so downstream gram builders evaluate
+    the split exactly once per document."""
+    from .decontam import ws_tokens_col
+
+    return df.select(F.col(id_col), ws_tokens_col(F.col(text_col)).alias("_ts"))
 
 
-def _covered_positions(df: DataFrame, id_col: str, text_col: str, k: int) -> DataFrame:
-    """``(id, t)`` — distinct 0-based token positions covered by at
-    least one k-gram that occurs >= 2 times ANYWHERE in the corpus
-    (cross-doc or within one doc — a self-repeat is still a duplicated
-    substring, as in the published exact-substring recipe).
+def _covered_positions(
+    df: DataFrame, id_col: str, text_col: str, k: int, dedup: bool = True
+) -> DataFrame:
+    """``(id, t)`` — 0-based token positions covered by at least one
+    k-gram that occurs >= 2 times ANYWHERE in the corpus (cross-doc or
+    within one doc — a self-repeat is still a duplicated substring, as
+    in the published exact-substring recipe). With ``dedup`` a position
+    appears once; callers that re-aggregate by id (collect_set) skip
+    the extra (id, t) exchange and dedup in their own aggregate.
 
     Scale shape: the only corpus-sized shuffle is BY GRAM HASH. A
     window count (not groupBy+join-back) does it in ONE pass over the
@@ -809,12 +822,13 @@ def _covered_positions(df: DataFrame, id_col: str, text_col: str, k: int) -> Dat
     mitigation is raising k (longer grams repeat less), the same lever
     the published recipes use (k≈50 bytes / 13 tokens on real text)."""
     grams = (
-        df.select(
+        _ws_tokens_df(df, id_col, text_col)
+        .select(
             F.col(id_col),
             # explode_OUTER: plain explode makes InferFiltersFromGenerate
             # clone the whole gram-hash expression into a size()>0 filter
             # below the repartition (see decontam.doc_ngrams)
-            F.explode_outer(_pos_gram_pairs(_ws_tokens_col(text_col), k)).alias("g"),
+            F.explode_outer(_pos_gram_pairs(F.col("_ts"), k)).alias("g"),
         )
         .where(F.col("g").isNotNull())
         .select(F.col(id_col), F.col("g.p").alias("p"), F.col("g.gh").alias("gh"))
@@ -822,10 +836,11 @@ def _covered_positions(df: DataFrame, id_col: str, text_col: str, k: int) -> Dat
     dup = grams.withColumn(
         "_c", F.count("*").over(Window.partitionBy("gh"))
     ).where(F.col("_c") >= 2)
-    return dup.select(
+    covered = dup.select(
         F.col(id_col),
         F.explode(F.sequence(F.col("p"), F.col("p") + F.lit(k - 1))).alias("t"),
-    ).distinct()
+    )
+    return covered.distinct() if dedup else covered
 
 
 def duplicated_spans(df: DataFrame, id_col: str, text_col: str, k: int = 8) -> DataFrame:
@@ -860,7 +875,7 @@ def duplicated_spans(df: DataFrame, id_col: str, text_col: str, k: int = 8) -> D
         )
         .drop("_isl")
     )
-    toks_df = df.select(F.col(id_col), _ws_tokens_col(text_col).alias("_ts"))
+    toks_df = _ws_tokens_df(df, id_col, text_col)
     return spans.join(toks_df, id_col).select(
         F.col(id_col),
         F.col("_s").cast("long").alias("start_tok"),
@@ -889,9 +904,12 @@ def remove_duplicated_spans(
     set is O(|doc| * |covered|) — fine while documents are bounded
     (the corpus is wide, not deep); a doc-length-unbounded corpus would
     sort the positions and walk both arrays once."""
-    covered = _covered_positions(df, id_col, text_col, k)
+    # dedup=False: collect_set deduplicates anyway, and skipping the
+    # (id, t) distinct drops one whole exchange of the covered set
+    # (hash by (id,t) would not satisfy the groupBy(id) clustering)
+    covered = _covered_positions(df, id_col, text_col, k, dedup=False)
     cov = covered.groupBy(id_col).agg(F.collect_set("t").alias("_cov"))
-    toks_df = df.select(F.col(id_col), _ws_tokens_col(text_col).alias("_ts"))
+    toks_df = _ws_tokens_df(df, id_col, text_col)
     joined = toks_df.join(cov, id_col, "left")
     cov_arr = F.coalesce(F.col("_cov"), F.array().cast("array<int>"))
     kept = F.filter(F.col("_ts"), lambda tok, i: ~F.array_contains(cov_arr, i))

@@ -107,6 +107,36 @@ def test_repeated_single_spaces_do_not_mint_tokens(spark):
     assert spans == {(1, 0, 4), (2, 0, 4)}
 
 
+def test_null_text_behaves_as_empty(spark):
+    # ws_tokens_col coalesces NULL -> '' so clean_text is '' (not NULL)
+    # and tokens_removed is 0 — the DuckDB oracle coalesces the same way;
+    # a NULL here would be a driver-hash breaker (r5 review finding)
+    df = spark.createDataFrame(
+        [(1, None), (2, "a b c d"), (3, "a b c d")],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: (r.clean_text, r.tokens_removed)
+           for r in remove_duplicated_spans(df, "doc_id", "text", k=4).collect()}
+    assert out[1] == ("", 0)
+    assert duplicated_spans(df, "doc_id", "text", k=4).where("doc_id = 1").count() == 0
+
+
+def test_long_doc_gram_build_is_linear(spark):
+    # regression pin for the lambda-captured tokenize trap: with the raw
+    # split+filter expression inlined into the gram transform, ONE
+    # 20k-token doc took 330 s (O(n^2) re-tokenization per gram); with
+    # tokens projected into a bound column first it is sub-second. The
+    # generous bound still fails by minutes if the quadratic shape comes
+    # back.
+    import time
+
+    text = " ".join(f"w{i % 97}x{i % 89}" for i in range(20_000))
+    df = spark.createDataFrame([(1, text)], ["doc_id", "text"])
+    t0 = time.monotonic()
+    duplicated_spans(df, "doc_id", "text", k=13).count()
+    assert time.monotonic() - t0 < 60
+
+
 def test_plan_no_python_and_no_cartesian(spark, docs):
     for df in (
         duplicated_spans(docs, "doc_id", "text", k=3),
