@@ -1,0 +1,238 @@
+"""End-to-end training-corpus curation: the RefinedWeb/Gopher-style
+chain — PII redaction → quality filter → benchmark decontamination →
+exact dedup → duplicated-span removal → deterministic split → sequence
+packing — composed from the repo's operators into ONE resumable
+spark-submit job (jobs/curate.py).
+
+The reference has no analog (its pipeline stops at extraction +
+metrics); this is the graft-extension layer that turns the engine into
+a usable pre-training data pipeline. Every stage is the already-oracled
+operator, so the composition adds orchestration, not new semantics.
+
+Scale notes: each stage is one of the audited plans (PLANS.md) — the
+chain introduces no new shuffle beyond its stages. Stage-boundary
+counts are actions; the post-dedup frame persists once because four
+consumers (span stats, split counts, packing, the write) would
+otherwise each re-run the whole chain. A 100 TB run disables per-stage
+counts (``stats=False``) and reads them from the written output
+instead.
+
+Idempotence: a completed run writes ``_meta/curate.json`` recording the
+parameters and an input fingerprint (bit_xor of per-row xxhash64 — a
+one-scan corpus identity, order-independent). Re-running with the same
+output path skips when both match (``force=True`` overrides), so a
+scheduler can re-submit blindly — the run_pipeline resume philosophy at
+whole-job granularity.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from readability_scanner_spark.operators.dedup import (
+    exact_dedup,
+    remove_duplicated_spans,
+)
+from readability_scanner_spark.operators.decontam import decontaminate
+from readability_scanner_spark.operators.packing import pack_sequences
+from readability_scanner_spark.operators.sampling import split_assign, split_bucket
+from readability_scanner_spark.operators.textquality import (
+    quality_score_col,
+    redact_pii_col,
+    token_count_col,
+)
+
+DEFAULT_SPLITS = (("train", 8000), ("val", 1000), ("test", 1000))
+
+
+def _fingerprint(df: DataFrame, id_col: str, text_col: str) -> int:
+    """Order-independent corpus identity: bit_xor of xxhash64(id, text).
+    One scan, no shuffle (partial xor map-side). Used only to decide
+    whether a completed output is already THIS input's output."""
+    row = df.select(
+        F.bit_xor(F.xxhash64(F.col(id_col), F.col(text_col))).alias("fp")
+    ).first()
+    return int(row.fp) if row and row.fp is not None else 0
+
+
+def _meta_file(output: str) -> str:
+    return os.path.join(output, "_meta", "curate.json")
+
+
+def curate_corpus(
+    spark: SparkSession,
+    docs: DataFrame,
+    output: str,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    benchmark: DataFrame | None = None,
+    decontam_n: int = 8,
+    min_tokens: int = 5,
+    min_quality: float = 0.0,
+    span_k: int | None = None,
+    seq_len: int = 2048,
+    n_shards: int = 16,
+    splits: tuple = DEFAULT_SPLITS,
+    salt: int = 3,
+    stats: bool = True,
+    force: bool = False,
+) -> dict:
+    """Run the curation chain over ``docs`` and write under ``output``:
+
+    - ``curated/`` — parquet partitioned by ``split``, columns
+      ``(id, text, n_tokens, quality_score, split, shard)`` with text
+      PII-redacted (and span-cleaned when ``span_k`` is set),
+    - ``packed/`` — the pack_sequences assignment table
+      ``(shard, doc_id, n_tokens, bin_id, bin_offset)`` where ``shard``
+      is the composite split_idx * n_shards + shard encoding,
+    - ``_meta/curate.json`` — parameters, input fingerprint, stage
+      counts.
+
+    Returns the metadata dict. ``benchmark=None`` skips
+    decontamination; ``span_k=None`` skips span removal; ``stats=False``
+    skips per-stage counts (100 TB mode — counts then come from the
+    written output)."""
+    meta_path = _meta_file(output)
+    fp = _fingerprint(docs, id_col, text_col)
+    params = {
+        "decontam": benchmark is not None,
+        "decontam_n": decontam_n,
+        "min_tokens": min_tokens,
+        "min_quality": min_quality,
+        "span_k": span_k,
+        "seq_len": seq_len,
+        "n_shards": n_shards,
+        "splits": [list(s) for s in splits],
+        "salt": salt,
+    }
+    if not force and os.path.exists(meta_path):
+        with open(meta_path) as fh:
+            prev = json.load(fh)
+        if prev.get("input_fingerprint") == fp and prev.get("params") == params:
+            prev["skipped"] = True
+            return prev
+
+    counts: dict[str, int] = {}
+    if stats:
+        counts["docs_in"] = docs.count()
+
+    # 1. redact FIRST (PII must not survive into any downstream text,
+    #    including the dedup hashes), then annotate on the redacted text
+    redacted = docs.select(
+        F.col(id_col).alias("id"),
+        redact_pii_col(F.col(text_col)).alias("text"),
+    )
+    annotated = redacted.withColumns(
+        {
+            "n_tokens": token_count_col(F.col("text")),
+            "quality_score": quality_score_col(F.col("text")),
+        }
+    )
+
+    # 2. quality gate
+    kept = annotated.where(
+        (F.col("n_tokens") >= min_tokens)
+        & (F.col("quality_score") >= F.lit(min_quality))
+    )
+    if stats:
+        counts["after_quality"] = kept.count()
+
+    # 3. benchmark decontamination: drop any doc sharing an n-gram with
+    #    the eval suite (hit_ratio threshold left at "any hit" — the
+    #    conservative published default)
+    if benchmark is not None:
+        bench = benchmark.select(F.col(text_col).alias("text"))
+        contaminated = decontaminate(kept, bench, "id", "text", n=decontam_n)
+        kept = kept.join(contaminated.select("id"), "id", "left_anti")
+        if stats:
+            counts["after_decontam"] = kept.count()
+
+    # 4. exact dedup: survivors are the min-id representative per
+    #    content hash
+    winners = exact_dedup(kept, "text", "id").select(
+        F.col("keep_id").alias("id")
+    )
+    kept = kept.join(winners, "id", "left_semi")
+    if stats:
+        counts["after_exact_dedup"] = kept.count()
+
+    # 5. duplicated-span removal (optional), then re-apply the token
+    #    floor — a doc hollowed out by boilerplate removal is dropped
+    if span_k is not None:
+        cleaned = remove_duplicated_spans(kept, "id", "text", k=span_k)
+        kept = (
+            kept.drop("text", "n_tokens")
+            .join(cleaned, "id")
+            .withColumnRenamed("clean_text", "text")
+            .withColumn("n_tokens", token_count_col(F.col("text")))
+            .where(F.col("n_tokens") >= min_tokens)
+        )
+        if stats:
+            counts["tokens_removed_as_spans"] = int(
+                cleaned.agg(F.sum("tokens_removed")).first()[0] or 0
+            )
+            counts["after_span_dedup"] = kept.count()
+
+    # 6. deterministic split + shard (content-addressed: both survive
+    #    any repartition of the corpus)
+    final = kept.select(
+        "id",
+        "text",
+        "n_tokens",
+        "quality_score",
+        split_assign(F.col("id"), list(splits), salt=salt),
+        split_bucket(F.col("id"), salt=salt + 1, buckets=n_shards)
+        .cast("long")
+        .alias("shard"),
+    )
+    # four consumers from here (split stats, write, packing, pack write)
+    final = final.persist()
+    try:
+        if stats:
+            counts["splits"] = {
+                r["split"]: r["n"]
+                for r in final.groupBy("split")
+                .agg(F.count("*").alias("n"))
+                .collect()
+            }
+
+        final.write.mode("overwrite").partitionBy("split").parquet(
+            os.path.join(output, "curated")
+        )
+
+        # 7. pack within (split, shard) so bins never mix splits;
+        #    pack_sequences wants an int64 shard, so encode
+        #    (split_index, shard) as split_idx * n_shards + shard
+        split_idx = F.lit(None).cast("int")
+        for i, (label, _) in enumerate(splits):
+            split_idx = F.when(F.col("split") == label, i).otherwise(split_idx)
+        packable = final.withColumn(
+            "pack_shard",
+            (split_idx.cast("long") * F.lit(n_shards) + F.col("shard")),
+        )
+        packed = pack_sequences(packable, "id", "n_tokens", "pack_shard", seq_len)
+        packed.write.mode("overwrite").parquet(os.path.join(output, "packed"))
+        if stats:
+            counts["packed_docs"] = spark.read.parquet(
+                os.path.join(output, "packed")
+            ).count()
+    finally:
+        final.unpersist()
+
+    meta = {
+        "input_fingerprint": fp,
+        "params": params,
+        "counts": counts,
+        "skipped": False,
+    }
+    os.makedirs(os.path.dirname(meta_path), exist_ok=True)
+    tmp = meta_path + ".tmp"
+    with open(tmp, "w") as fh:
+        json.dump(meta, fh, indent=2, sort_keys=True)
+    os.replace(tmp, meta_path)
+    return meta

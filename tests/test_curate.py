@@ -1,0 +1,143 @@
+"""End-to-end curation chain (plans/curate.py): stage semantics on a
+hand-built corpus, split/packing invariants, and whole-job idempotence.
+"""
+
+import json
+
+import pytest
+from pyspark.sql import functions as F
+
+from readability_scanner_spark.plans.curate import curate_corpus
+
+# Corpus exercising every stage:
+#  10  PII doc (email must be redacted downstream)
+#  11/12 exact duplicates (min-id 11 survives)
+#  13  contaminated (shares a 4-gram with the benchmark)
+#  14  low quality (below min_tokens)
+#  15  shares an 8-token span with 16 -> span-cleaned at span_k=4
+#  16  ditto; big enough to survive the re-applied token floor
+#  17  clean control doc
+_SPAN = "s1 s2 s3 s4 s5 s6 s7 s8"
+_DOCS = [
+    (10, "contact me at bob@example.com for the data files please"),
+    (11, "identical twin document body here"),
+    (12, "identical twin document body here"),
+    (13, "leaked bench gram one two three four inside training text"),
+    (14, "too short"),
+    (15, _SPAN + " tail15 a b c d e"),
+    (16, "head16 " + _SPAN + " x y z w v"),
+    (17, "a perfectly ordinary document with nothing repeated anywhere"),
+]
+_BENCH = [(1, "eval question: gram one two three four answer")]
+
+
+@pytest.fixture()
+def corpus(spark):
+    return spark.createDataFrame(_DOCS, ["doc_id", "text"])
+
+
+@pytest.fixture()
+def bench(spark):
+    return spark.createDataFrame(_BENCH, ["bid", "text"])
+
+
+def _run(spark, corpus, bench, out, **kw):
+    kw.setdefault("min_tokens", 3)
+    kw.setdefault("span_k", 4)
+    kw.setdefault("decontam_n", 4)
+    kw.setdefault("seq_len", 16)
+    kw.setdefault("n_shards", 2)
+    return curate_corpus(spark, corpus, str(out), benchmark=bench, **kw)
+
+
+def test_stage_counts_and_contents(spark, corpus, bench, tmp_path):
+    meta = _run(spark, corpus, bench, tmp_path / "o")
+    c = meta["counts"]
+    assert c["docs_in"] == 8
+    assert c["after_quality"] == 7          # 14 dropped
+    assert c["after_decontam"] == 6         # 13 dropped
+    assert c["after_exact_dedup"] == 5      # 12 dropped (11 kept: min id)
+    assert c["after_span_dedup"] == 5       # 15/16 cleaned but survive
+    assert sum(c["splits"].values()) == 5
+    assert c["packed_docs"] == 5
+
+    rows = {r.id: r for r in spark.read.parquet(str(tmp_path / "o/curated")).collect()}
+    assert set(rows) == {10, 11, 15, 16, 17}
+    assert "[EMAIL]" in rows[10].text and "bob@example.com" not in rows[10].text
+    # the shared 8-token span is gone from both carriers
+    assert rows[15].text == "tail15 a b c d e"
+    assert rows[16].text == "head16 x y z w v"
+    assert rows[17].text == _DOCS[-1][1]
+    assert all(r.split in ("train", "val", "test") for r in rows.values())
+
+
+def test_packing_never_mixes_splits_and_respects_capacity(
+    spark, corpus, bench, tmp_path
+):
+    _run(spark, corpus, bench, tmp_path / "o")
+    # pack_sequences normalizes its output names: the composite shard
+    # comes back as `shard`, the id as `doc_id`
+    packed = spark.read.parquet(str(tmp_path / "o/packed")).withColumnsRenamed(
+        {"shard": "pack_shard", "doc_id": "id"}
+    )
+    curated = spark.read.parquet(str(tmp_path / "o/curated"))
+    j = packed.join(curated.select("id", "split"), "id").collect()
+    # pack_shard encodes (split_idx, shard): one split per pack_shard
+    by_shard = {}
+    for r in j:
+        by_shard.setdefault(r.pack_shard, set()).add(r.split)
+    assert all(len(s) == 1 for s in by_shard.values())
+    # next-fit: a doc that fits never overhangs its bin
+    assert all(
+        r.bin_offset + r.n_tokens <= 16 for r in j if r.n_tokens <= 16
+    )
+
+
+def test_hollowed_out_docs_are_dropped(spark, bench, tmp_path):
+    # two identical-span docs whose remainder falls below min_tokens
+    df = spark.createDataFrame(
+        [(1, _SPAN + " t1"), (2, _SPAN + " t2"), (3, "an unrelated survivor doc")],
+        ["doc_id", "text"],
+    )
+    meta = curate_corpus(
+        spark, df, str(tmp_path / "o"), min_tokens=3, span_k=4, seq_len=16
+    )
+    assert meta["counts"]["after_span_dedup"] == 1
+    ids = [r.id for r in spark.read.parquet(str(tmp_path / "o/curated")).collect()]
+    assert ids == [3]
+
+
+def test_idempotent_skip_force_and_param_change(spark, corpus, bench, tmp_path):
+    out = tmp_path / "o"
+    m1 = _run(spark, corpus, bench, out)
+    assert m1["skipped"] is False
+    m2 = _run(spark, corpus, bench, out)
+    assert m2["skipped"] is True and m2["counts"] == m1["counts"]
+    m3 = _run(spark, corpus, bench, out, force=True)
+    assert m3["skipped"] is False
+    # a param change invalidates the completed marker
+    m4 = _run(spark, corpus, bench, out, seq_len=32)
+    assert m4["skipped"] is False
+    meta_on_disk = json.load(open(out / "_meta" / "curate.json"))
+    assert meta_on_disk["params"]["seq_len"] == 32
+
+
+def test_input_change_invalidates_marker(spark, corpus, bench, tmp_path):
+    out = tmp_path / "o"
+    _run(spark, corpus, bench, out)
+    grown = corpus.union(
+        spark.createDataFrame([(99, "a brand new never seen document")],
+                              ["doc_id", "text"])
+    )
+    m = _run(spark, grown, bench, out)
+    assert m["skipped"] is False
+    assert m["counts"]["docs_in"] == 9
+
+
+def test_no_benchmark_and_no_span_k_skip_those_stages(spark, corpus, tmp_path):
+    meta = curate_corpus(
+        spark, corpus, str(tmp_path / "o"), min_tokens=3, seq_len=16
+    )
+    c = meta["counts"]
+    assert "after_decontam" not in c and "after_span_dedup" not in c
+    assert c["after_exact_dedup"] == 6  # only 14 (quality) and 12 (dupe) gone
