@@ -45,6 +45,9 @@ def main() -> None:
     ap.add_argument("--salt", type=int, default=3)
     ap.add_argument("--no-stats", action="store_true",
                     help="skip per-stage counts (100 TB mode)")
+    ap.add_argument("--repartition", type=int, default=None,
+                    help="spread the scan before per-row regex/gram "
+                    "compute (single-row-group parquet reads as ONE task)")
     ap.add_argument("--force", action="store_true")
     ap.add_argument("--master", default=None)
     args = ap.parse_args()
@@ -72,6 +75,7 @@ def main() -> None:
         salt=args.salt,
         stats=not args.no_stats,
         force=args.force,
+        repartition_to=args.repartition,
     )
     print(json.dumps(meta, sort_keys=True))
     spark.stop()

@@ -49,14 +49,17 @@ from readability_scanner_spark.operators.textquality import (
 DEFAULT_SPLITS = (("train", 8000), ("val", 1000), ("test", 1000))
 
 
-def _fingerprint(df: DataFrame, id_col: str, text_col: str) -> int:
-    """Order-independent corpus identity: bit_xor of xxhash64(id, text).
-    One scan, no shuffle (partial xor map-side). Used only to decide
-    whether a completed output is already THIS input's output."""
+def _fingerprint(df: DataFrame, id_col: str, text_col: str) -> list[int]:
+    """Order-independent corpus identity: (bit_xor of xxhash64(id, text),
+    row count). One scan, no shuffle (both aggregates combine map-side).
+    The count closes XOR's parity blindness — a row whose multiplicity
+    changes by an even number cancels out of the xor alone. Used only to
+    decide whether a completed output is already THIS input's output."""
     row = df.select(
-        F.bit_xor(F.xxhash64(F.col(id_col), F.col(text_col))).alias("fp")
+        F.bit_xor(F.xxhash64(F.col(id_col), F.col(text_col))).alias("fp"),
+        F.count("*").alias("n"),
     ).first()
-    return int(row.fp) if row and row.fp is not None else 0
+    return [int(row.fp) if row.fp is not None else 0, int(row.n)]
 
 
 def _meta_file(output: str) -> str:
@@ -81,6 +84,7 @@ def curate_corpus(
     salt: int = 3,
     stats: bool = True,
     force: bool = False,
+    repartition_to: int | None = None,
 ) -> dict:
     """Run the curation chain over ``docs`` and write under ``output``:
 
@@ -95,8 +99,18 @@ def curate_corpus(
 
     Returns the metadata dict. ``benchmark=None`` skips
     decontamination; ``span_k=None`` skips span removal; ``stats=False``
-    skips per-stage counts (100 TB mode — counts then come from the
-    written output)."""
+    skips per-stage counts AND the stage-boundary persists that make
+    them cheap (100 TB mode — counts then come from the written
+    output). ``repartition_to`` spreads the scan before the per-row
+    regex/gram compute (single-row-group parquet files otherwise run
+    the whole redact+quality stage in ONE task)."""
+    # fail fast on a bad splits spec — split_assign would only raise at
+    # stage 6, after every expensive upstream action already ran
+    total_w = sum(w for _, w in splits)
+    if total_w != 10_000 or any(w <= 0 for _, w in splits):
+        raise ValueError(
+            f"splits must be positive weights summing to 10000, got {list(splits)}"
+        )
     meta_path = _meta_file(output)
     fp = _fingerprint(docs, id_col, text_col)
     params = {
@@ -109,6 +123,9 @@ def curate_corpus(
         "n_shards": n_shards,
         "splits": [list(s) for s in splits],
         "salt": salt,
+        # part of the key: a completed --no-stats run must not satisfy a
+        # later run that asked for the per-stage counts
+        "stats": stats,
     }
     if not force and os.path.exists(meta_path):
         with open(meta_path) as fh:
@@ -117,82 +134,123 @@ def curate_corpus(
             prev["skipped"] = True
             return prev
 
+    if repartition_to:
+        docs = docs.repartition(repartition_to)
+
     counts: dict[str, int] = {}
-    if stats:
-        counts["docs_in"] = docs.count()
+    # every stage-boundary persist registers here; the single finally
+    # below unpersists them even when a mid-chain action throws
+    pinned: list[DataFrame] = []
 
-    # 1. redact FIRST (PII must not survive into any downstream text,
-    #    including the dedup hashes), then annotate on the redacted text
-    redacted = docs.select(
-        F.col(id_col).alias("id"),
-        redact_pii_col(F.col(text_col)).alias("text"),
-    )
-    annotated = redacted.withColumns(
-        {
-            "n_tokens": token_count_col(F.col("text")),
-            "quality_score": quality_score_col(F.col("text")),
-        }
-    )
+    def _boundary(df: DataFrame, count_key: str | None) -> DataFrame:
+        """With stats on, persist each stage boundary so its count does
+        not re-execute the whole upstream chain (and the next stage
+        reads the persisted result); with stats off, a pass-through."""
+        if not stats:
+            return df
+        df = df.persist()
+        pinned.append(df)
+        if count_key is not None:
+            counts[count_key] = df.count()
+        return df
 
-    # 2. quality gate
-    kept = annotated.where(
-        (F.col("n_tokens") >= min_tokens)
-        & (F.col("quality_score") >= F.lit(min_quality))
-    )
-    if stats:
-        counts["after_quality"] = kept.count()
-
-    # 3. benchmark decontamination: drop any doc sharing an n-gram with
-    #    the eval suite (hit_ratio threshold left at "any hit" — the
-    #    conservative published default)
-    if benchmark is not None:
-        bench = benchmark.select(F.col(text_col).alias("text"))
-        contaminated = decontaminate(kept, bench, "id", "text", n=decontam_n)
-        kept = kept.join(contaminated.select("id"), "id", "left_anti")
-        if stats:
-            counts["after_decontam"] = kept.count()
-
-    # 4. exact dedup: survivors are the min-id representative per
-    #    content hash
-    winners = exact_dedup(kept, "text", "id").select(
-        F.col("keep_id").alias("id")
-    )
-    kept = kept.join(winners, "id", "left_semi")
-    if stats:
-        counts["after_exact_dedup"] = kept.count()
-
-    # 5. duplicated-span removal (optional), then re-apply the token
-    #    floor — a doc hollowed out by boilerplate removal is dropped
-    if span_k is not None:
-        cleaned = remove_duplicated_spans(kept, "id", "text", k=span_k)
-        kept = (
-            kept.drop("text", "n_tokens")
-            .join(cleaned, "id")
-            .withColumnRenamed("clean_text", "text")
-            .withColumn("n_tokens", token_count_col(F.col("text")))
-            .where(F.col("n_tokens") >= min_tokens)
-        )
-        if stats:
-            counts["tokens_removed_as_spans"] = int(
-                cleaned.agg(F.sum("tokens_removed")).first()[0] or 0
-            )
-            counts["after_span_dedup"] = kept.count()
-
-    # 6. deterministic split + shard (content-addressed: both survive
-    #    any repartition of the corpus)
-    final = kept.select(
-        "id",
-        "text",
-        "n_tokens",
-        "quality_score",
-        split_assign(F.col("id"), list(splits), salt=salt),
-        split_bucket(F.col("id"), salt=salt + 1, buckets=n_shards)
-        .cast("long")
-        .alias("shard"),
-    )
-    # four consumers from here (split stats, write, packing, pack write)
-    final = final.persist()
     try:
+        # NULL ids have no place in any downstream contract (dedup's min-id
+        # winner, split_assign, pack_sequences each drop or mangle them
+        # differently) — drop them ONCE, visibly, up front
+        docs = docs.where(F.col(id_col).isNotNull())
+        if stats:
+            counts["docs_in"] = docs.count()
+            counts["null_ids_dropped"] = fp[1] - counts["docs_in"]
+
+        # 1. redact FIRST (PII must not survive into any downstream text,
+        #    including the dedup hashes), then annotate on the redacted text
+        redacted = docs.select(
+            F.col(id_col).alias("id"),
+            redact_pii_col(F.col(text_col)).alias("text"),
+        )
+        annotated = redacted.withColumns(
+            {
+                "n_tokens": token_count_col(F.col("text")),
+                "quality_score": quality_score_col(F.col("text")),
+            }
+        )
+
+        # 2. quality gate
+        kept = _boundary(
+            annotated.where(
+                (F.col("n_tokens") >= min_tokens)
+                & (F.col("quality_score") >= F.lit(min_quality))
+            ),
+            "after_quality",
+        )
+
+        # 3. benchmark decontamination: drop any doc sharing an n-gram with
+        #    the eval suite (hit_ratio threshold left at "any hit" — the
+        #    conservative published default). The benchmark text is redacted
+        #    with the SAME patterns as the corpus: both sides must shingle
+        #    the same token stream or a PII-bearing eval passage could never
+        #    match its redacted training-side copy
+        if benchmark is not None:
+            bench = benchmark.select(
+                redact_pii_col(F.col(text_col)).alias("text")
+            )
+            contaminated = decontaminate(kept, bench, "id", "text", n=decontam_n)
+            kept = _boundary(
+                kept.join(contaminated.select("id"), "id", "left_anti"),
+                "after_decontam",
+            )
+
+        # 4. exact dedup: survivors are the min-id representative per
+        #    content hash
+        winners = exact_dedup(kept, "text", "id").select(
+            F.col("keep_id").alias("id")
+        )
+        kept = _boundary(kept.join(winners, "id", "left_semi"), "after_exact_dedup")
+
+        # 5. duplicated-span removal (optional), then re-apply BOTH gates —
+        #    token floor and quality — on the cleaned text (the pre-clean
+        #    score describes text that no longer exists)
+        if span_k is not None:
+            cleaned = remove_duplicated_spans(kept, "id", "text", k=span_k)
+            if stats:
+                cleaned = cleaned.persist()
+                pinned.append(cleaned)
+                counts["tokens_removed_as_spans"] = int(
+                    cleaned.agg(F.sum("tokens_removed")).first()[0] or 0
+                )
+            kept = _boundary(
+                kept.drop("text", "n_tokens", "quality_score")
+                .join(cleaned, "id")
+                .withColumnRenamed("clean_text", "text")
+                .withColumns(
+                    {
+                        "n_tokens": token_count_col(F.col("text")),
+                        "quality_score": quality_score_col(F.col("text")),
+                    }
+                )
+                .where(
+                    (F.col("n_tokens") >= min_tokens)
+                    & (F.col("quality_score") >= F.lit(min_quality))
+                ),
+                "after_span_dedup",
+            )
+
+        # 6. deterministic split + shard (content-addressed: both survive
+        #    any repartition of the corpus)
+        final = kept.select(
+            "id",
+            "text",
+            "n_tokens",
+            "quality_score",
+            split_assign(F.col("id"), list(splits), salt=salt),
+            split_bucket(F.col("id"), salt=salt + 1, buckets=n_shards)
+            .cast("long")
+            .alias("shard"),
+        )
+        # four consumers from here (split stats, write, packing, pack write)
+        final = final.persist()
+        pinned.append(final)
         if stats:
             counts["splits"] = {
                 r["split"]: r["n"]
@@ -221,18 +279,19 @@ def curate_corpus(
             counts["packed_docs"] = spark.read.parquet(
                 os.path.join(output, "packed")
             ).count()
-    finally:
-        final.unpersist()
 
-    meta = {
-        "input_fingerprint": fp,
-        "params": params,
-        "counts": counts,
-        "skipped": False,
-    }
-    os.makedirs(os.path.dirname(meta_path), exist_ok=True)
-    tmp = meta_path + ".tmp"
-    with open(tmp, "w") as fh:
-        json.dump(meta, fh, indent=2, sort_keys=True)
-    os.replace(tmp, meta_path)
-    return meta
+        meta = {
+            "input_fingerprint": fp,
+            "params": params,
+            "counts": counts,
+            "skipped": False,
+        }
+        os.makedirs(os.path.dirname(meta_path), exist_ok=True)
+        tmp = meta_path + ".tmp"
+        with open(tmp, "w") as fh:
+            json.dump(meta, fh, indent=2, sort_keys=True)
+        os.replace(tmp, meta_path)
+        return meta
+    finally:
+        for df in pinned:
+            df.unpersist()

@@ -141,3 +141,62 @@ def test_no_benchmark_and_no_span_k_skip_those_stages(spark, corpus, tmp_path):
     c = meta["counts"]
     assert "after_decontam" not in c and "after_span_dedup" not in c
     assert c["after_exact_dedup"] == 6  # only 14 (quality) and 12 (dupe) gone
+
+
+def test_null_ids_dropped_and_counted(spark, tmp_path):
+    df = spark.createDataFrame(
+        [(1, "an ordinary surviving document body"),
+         (None, "a null id row that must be dropped visibly")],
+        "doc_id long, text string",
+    )
+    meta = curate_corpus(spark, df, str(tmp_path / "o"), min_tokens=3, seq_len=16)
+    assert meta["counts"]["null_ids_dropped"] == 1
+    assert meta["counts"]["docs_in"] == 1
+
+
+def test_bad_splits_fail_fast(spark, corpus, tmp_path):
+    with pytest.raises(ValueError, match="splits"):
+        curate_corpus(
+            spark, corpus, str(tmp_path / "o"),
+            splits=(("train", 90), ("val", 10)),
+        )
+
+
+def test_benchmark_pii_overlap_still_contaminates(spark, tmp_path):
+    # the benchmark passage carries an IP literal; the training copy is
+    # redacted before shingling, so the benchmark must be redacted too
+    # or the gram sets can never intersect (r5 review finding)
+    passage = "ping 10.0.0.1 from the gateway node to verify routing works"
+    docs = spark.createDataFrame(
+        [(1, passage + " extra trailing context"),
+         (2, "a completely unrelated training document body")],
+        ["doc_id", "text"],
+    )
+    bench = spark.createDataFrame([(1, passage)], ["bid", "text"])
+    meta = curate_corpus(
+        spark, docs, str(tmp_path / "o"),
+        benchmark=bench, decontam_n=4, min_tokens=3, seq_len=16,
+    )
+    assert meta["counts"]["after_decontam"] == 1
+    ids = [r.id for r in spark.read.parquet(str(tmp_path / "o/curated")).collect()]
+    assert ids == [2]
+
+
+def test_span_clean_reapplies_quality_gate(spark, tmp_path):
+    # doc 1/2 share a span; after cleaning, doc 1's remainder is a
+    # single repeated word -> dup_word_frac tanks quality_score below
+    # the gate even though n_tokens stays above the floor
+    df = spark.createDataFrame(
+        [(1, _SPAN + " w w w w w w"), (2, _SPAN + " distinct tail words here now also"),
+         (3, "an unrelated control document body")],
+        ["doc_id", "text"],
+    )
+    meta = curate_corpus(
+        spark, df, str(tmp_path / "o"),
+        min_tokens=3, min_quality=0.5, span_k=4, seq_len=16,
+    )
+    ids = sorted(r.id for r in spark.read.parquet(str(tmp_path / "o/curated")).collect())
+    assert 1 not in ids and 2 in ids and 3 in ids
+    # and the shipped quality_score describes the CLEANED text
+    rows = {r.id: r for r in spark.read.parquet(str(tmp_path / "o/curated")).collect()}
+    assert rows[2].text == "distinct tail words here now also"
