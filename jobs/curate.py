@@ -49,34 +49,51 @@ def main() -> None:
                     help="spread the scan before per-row regex/gram "
                     "compute (single-row-group parquet reads as ONE task)")
     ap.add_argument("--force", action="store_true")
+    ap.add_argument("--delta", action="store_true",
+                    help="incremental mode: append --input as a new batch "
+                    "to an existing curated output (gate params come from "
+                    "its _meta/curate.json)")
     ap.add_argument("--master", default=None)
     args = ap.parse_args()
 
     spark = build_session("curate-corpus", master=args.master)
     spark.sparkContext.setLogLevel("WARN")
 
-    from readability_scanner_spark.plans.curate import curate_corpus
+    from readability_scanner_spark.plans.curate import curate_corpus, curate_delta
 
     docs = spark.read.parquet(args.input)
     bench = spark.read.parquet(args.benchmark) if args.benchmark else None
-    meta = curate_corpus(
-        spark,
-        docs,
-        args.output,
-        id_col=args.id_col,
-        text_col=args.text_col,
-        benchmark=bench,
-        decontam_n=args.decontam_n,
-        min_tokens=args.min_tokens,
-        min_quality=args.min_quality,
-        span_k=args.span_k,
-        seq_len=args.seq_len,
-        n_shards=args.n_shards,
-        salt=args.salt,
-        stats=not args.no_stats,
-        force=args.force,
-        repartition_to=args.repartition,
-    )
+    if args.delta:
+        meta = curate_delta(
+            spark,
+            docs,
+            args.output,
+            id_col=args.id_col,
+            text_col=args.text_col,
+            benchmark=bench,
+            stats=not args.no_stats,
+            force=args.force,
+            repartition_to=args.repartition,
+        )
+    else:
+        meta = curate_corpus(
+            spark,
+            docs,
+            args.output,
+            id_col=args.id_col,
+            text_col=args.text_col,
+            benchmark=bench,
+            decontam_n=args.decontam_n,
+            min_tokens=args.min_tokens,
+            min_quality=args.min_quality,
+            span_k=args.span_k,
+            seq_len=args.seq_len,
+            n_shards=args.n_shards,
+            salt=args.salt,
+            stats=not args.no_stats,
+            force=args.force,
+            repartition_to=args.repartition,
+        )
     print(json.dumps(meta, sort_keys=True))
     spark.stop()
 

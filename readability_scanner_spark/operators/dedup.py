@@ -51,6 +51,21 @@ def _md5_64(s: str) -> int:
 
 # --- exact dedup -----------------------------------------------------------------
 
+def content_hash_cols(text_col: str) -> tuple:
+    """The repo's 128-bit content identity as two column expressions —
+    shared by exact_dedup and the incremental curation chain (stored in
+    curated output so a delta batch dedups against the existing corpus
+    by scanning two long columns, never the text). Salt FIRST: spark
+    folds multi-arg xxhash64 sequentially with the running hash as
+    seed, so xxhash64(text, salt) would be a pure function of
+    xxhash64(text) — identical on every h1 collision; xxhash64(salt,
+    text) hashes the text under a different seed."""
+    return (
+        F.xxhash64(F.col(text_col)),
+        F.xxhash64(F.lit(0x9E3779B9), F.col(text_col)),
+    )
+
+
 def exact_dedup(df: DataFrame, text_col: str, keep_col: str) -> DataFrame:
     """Exact duplicate removal: hash-groupBy on content, keep min(key).
     One shuffle on the content hash (not the full text — a fixed-width
@@ -58,13 +73,10 @@ def exact_dedup(df: DataFrame, text_col: str, keep_col: str) -> DataFrame:
     xxhash64 values (128 effective bits): at 10^12 keys a single 64-bit
     hash expects birthday collisions that would silently merge distinct
     documents; 128 bits pushes that to ~10^-14."""
-    # salt FIRST: spark folds multi-arg xxhash64 sequentially with the
-    # running hash as seed, so xxhash64(text, salt) would be a pure
-    # function of xxhash64(text) — identical on every h1 collision.
-    # xxhash64(salt, text) hashes the text under a different seed.
+    h1, h2 = content_hash_cols(text_col)
     return (
-        df.withColumn("_h1", F.xxhash64(F.col(text_col)))
-        .withColumn("_h2", F.xxhash64(F.lit(0x9E3779B9), F.col(text_col)))
+        df.withColumn("_h1", h1)
+        .withColumn("_h2", h2)
         .groupBy("_h1", "_h2")
         .agg(F.min(keep_col).alias("keep_id"), F.count("*").alias("n_copies"))
         .select("keep_id", "n_copies")

@@ -34,6 +34,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from readability_scanner_spark.operators.dedup import (
+    content_hash_cols,
     exact_dedup,
     remove_duplicated_spans,
 )
@@ -238,11 +239,17 @@ def curate_corpus(
 
         # 6. deterministic split + shard (content-addressed: both survive
         #    any repartition of the corpus)
+        h1, h2 = content_hash_cols("text")
         final = kept.select(
             "id",
             "text",
             "n_tokens",
             "quality_score",
+            # stored content identity: a later delta batch dedups
+            # against the corpus by scanning these two long columns
+            # (column pruning — never the text)
+            h1.alias("content_h1"),
+            h2.alias("content_h2"),
             split_assign(F.col("id"), list(splits), salt=salt),
             split_bucket(F.col("id"), salt=salt + 1, buckets=n_shards)
             .cast("long")
@@ -291,6 +298,242 @@ def curate_corpus(
         with open(tmp, "w") as fh:
             json.dump(meta, fh, indent=2, sort_keys=True)
         os.replace(tmp, meta_path)
+        return meta
+    finally:
+        for df in pinned:
+            df.unpersist()
+
+
+def curate_delta(
+    spark: SparkSession,
+    new_docs: DataFrame,
+    output: str,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    benchmark: DataFrame | None = None,
+    stats: bool = True,
+    force: bool = False,
+    repartition_to: int | None = None,
+) -> dict:
+    """Incremental ingestion against an existing :func:`curate_corpus`
+    output — the production mode at 100 TB, where re-running the whole
+    corpus per arriving batch is not an option. Only the NEW batch goes
+    through redaction/quality/decontamination; dedup against the
+    existing corpus reads exactly three long columns of ``curated/``
+    (id + the stored content hashes — column pruning keeps the 100 TB
+    of text out of the scan entirely).
+
+    Gate parameters (min_tokens, splits, salt, ...) come from the base
+    run's ``_meta/curate.json`` so every batch applies the SAME
+    contract as the corpus it joins; ``benchmark`` must be re-supplied
+    when the base run decontaminated (a DataFrame cannot live in a
+    JSON meta). ``span_k`` applies WITHIN the batch only — span-level
+    dedup across the full corpus is a full-corpus op by construction
+    (its gram window must see every occurrence); the documented recipe
+    is a periodic full re-run.
+
+    New rows append to ``curated/`` (same schema, content-addressed
+    split/shard stay consistent by construction); the batch packs into
+    ``packed_delta/batch=<fp>/`` — bin ids are batch-scoped, which is
+    how training readers consume incremental data anyway. A per-batch
+    meta under ``_meta/deltas/`` makes re-submitting the same batch a
+    no-op.
+    """
+    base_meta_path = _meta_file(output)
+    if not os.path.exists(base_meta_path):
+        raise FileNotFoundError(
+            f"no base curate run at {output} (missing {base_meta_path}); "
+            "run curate_corpus first"
+        )
+    with open(base_meta_path) as fh:
+        base = json.load(fh)
+    p = base["params"]
+    if p["decontam"] and benchmark is None:
+        raise ValueError(
+            "base run decontaminated; pass the same benchmark DataFrame"
+        )
+
+    fp = _fingerprint(new_docs, id_col, text_col)
+    batch_tag = f"{fp[0] & 0xFFFFFFFFFFFFFFFF:016x}-{fp[1]}"
+    delta_meta_path = os.path.join(output, "_meta", "deltas", batch_tag + ".json")
+    if not force and os.path.exists(delta_meta_path):
+        with open(delta_meta_path) as fh:
+            prev = json.load(fh)
+        prev["skipped"] = True
+        return prev
+
+    if repartition_to:
+        new_docs = new_docs.repartition(repartition_to)
+
+    existing = spark.read.parquet(os.path.join(output, "curated"))
+
+    counts: dict[str, int] = {}
+    pinned: list[DataFrame] = []
+
+    def _boundary(df: DataFrame, count_key: str | None) -> DataFrame:
+        if not stats:
+            return df
+        df = df.persist()
+        pinned.append(df)
+        if count_key is not None:
+            counts[count_key] = df.count()
+        return df
+
+    try:
+        docs = new_docs.where(F.col(id_col).isNotNull())
+        if stats:
+            counts["docs_in"] = docs.count()
+            counts["null_ids_dropped"] = fp[1] - counts["docs_in"]
+
+        # ids already in the corpus are not new documents — drop them
+        # before paying for redaction (column-pruned id scan)
+        docs = _boundary(
+            docs.join(
+                existing.select(F.col("id").alias(id_col)), id_col, "left_anti"
+            ),
+            "after_existing_ids",
+        )
+
+        redacted = docs.select(
+            F.col(id_col).alias("id"),
+            redact_pii_col(F.col(text_col)).alias("text"),
+        )
+        annotated = redacted.withColumns(
+            {
+                "n_tokens": token_count_col(F.col("text")),
+                "quality_score": quality_score_col(F.col("text")),
+            }
+        )
+        kept = _boundary(
+            annotated.where(
+                (F.col("n_tokens") >= p["min_tokens"])
+                & (F.col("quality_score") >= F.lit(p["min_quality"]))
+            ),
+            "after_quality",
+        )
+
+        if p["decontam"]:
+            bench = benchmark.select(
+                redact_pii_col(F.col(text_col)).alias("text")
+            )
+            contaminated = decontaminate(
+                kept, bench, "id", "text", n=p["decontam_n"]
+            )
+            kept = _boundary(
+                kept.join(contaminated.select("id"), "id", "left_anti"),
+                "after_decontam",
+            )
+
+        # dedup within the batch, then against the corpus: the corpus
+        # side scans ONLY (content_h1, content_h2)
+        winners = exact_dedup(kept, "text", "id").select(
+            F.col("keep_id").alias("id")
+        )
+        kept = kept.join(winners, "id", "left_semi")
+        h1, h2 = content_hash_cols("text")
+        kept = kept.withColumns({"content_h1": h1, "content_h2": h2})
+        kept = _boundary(
+            kept.join(
+                existing.select("content_h1", "content_h2"),
+                ["content_h1", "content_h2"],
+                "left_anti",
+            ),
+            "after_exact_dedup",
+        )
+
+        if p["span_k"] is not None:
+            cleaned = remove_duplicated_spans(kept, "id", "text", k=p["span_k"])
+            if stats:
+                cleaned = cleaned.persist()
+                pinned.append(cleaned)
+                counts["tokens_removed_as_spans"] = int(
+                    cleaned.agg(F.sum("tokens_removed")).first()[0] or 0
+                )
+            nh1, nh2 = content_hash_cols("text")
+            kept = _boundary(
+                kept.drop(
+                    "text", "n_tokens", "quality_score", "content_h1", "content_h2"
+                )
+                .join(cleaned, "id")
+                .withColumnRenamed("clean_text", "text")
+                .withColumns(
+                    {
+                        "n_tokens": token_count_col(F.col("text")),
+                        "quality_score": quality_score_col(F.col("text")),
+                        "content_h1": nh1,
+                        "content_h2": nh2,
+                    }
+                )
+                .where(
+                    (F.col("n_tokens") >= p["min_tokens"])
+                    & (F.col("quality_score") >= F.lit(p["min_quality"]))
+                ),
+                "after_span_dedup",
+            )
+
+        splits = [tuple(s) for s in p["splits"]]
+        salt, n_shards, seq_len = p["salt"], p["n_shards"], p["seq_len"]
+        final = kept.select(
+            "id",
+            "text",
+            "n_tokens",
+            "quality_score",
+            "content_h1",
+            "content_h2",
+            split_assign(F.col("id"), list(splits), salt=salt),
+            split_bucket(F.col("id"), salt=salt + 1, buckets=n_shards)
+            .cast("long")
+            .alias("shard"),
+        )
+        # CUT the lineage before the self-referential append: final's
+        # plan reads curated/ (the id/content anti-joins), and Spark
+        # refreshes every cached plan over a path it writes — a plain
+        # persist would be invalidated by the append below, and the
+        # packing action would silently recompute final against the
+        # just-appended corpus, where the new rows anti-join THEMSELVES
+        # away to an empty batch. An eager localCheckpoint materializes
+        # the batch (bounded by the delta, never the corpus) with no
+        # dependency on the path being appended.
+        final = final.localCheckpoint(eager=True)
+
+        if stats:
+            counts["splits"] = {
+                r["split"]: r["n"]
+                for r in final.groupBy("split")
+                .agg(F.count("*").alias("n"))
+                .collect()
+            }
+
+        final.write.mode("append").partitionBy("split").parquet(
+            os.path.join(output, "curated")
+        )
+
+        split_idx = F.lit(None).cast("int")
+        for i, (label, _) in enumerate(splits):
+            split_idx = F.when(F.col("split") == label, i).otherwise(split_idx)
+        packable = final.withColumn(
+            "pack_shard",
+            (split_idx.cast("long") * F.lit(n_shards) + F.col("shard")),
+        )
+        packed = pack_sequences(packable, "id", "n_tokens", "pack_shard", seq_len)
+        packed_path = os.path.join(output, "packed_delta", f"batch={batch_tag}")
+        packed.write.mode("overwrite").parquet(packed_path)
+        if stats:
+            counts["packed_docs"] = spark.read.parquet(packed_path).count()
+
+        meta = {
+            "batch": batch_tag,
+            "input_fingerprint": fp,
+            "base_params": p,
+            "counts": counts,
+            "skipped": False,
+        }
+        os.makedirs(os.path.dirname(delta_meta_path), exist_ok=True)
+        tmp = delta_meta_path + ".tmp"
+        with open(tmp, "w") as fh:
+            json.dump(meta, fh, indent=2, sort_keys=True)
+        os.replace(tmp, delta_meta_path)
         return meta
     finally:
         for df in pinned:

@@ -200,3 +200,87 @@ def test_span_clean_reapplies_quality_gate(spark, tmp_path):
     # and the shipped quality_score describes the CLEANED text
     rows = {r.id: r for r in spark.read.parquet(str(tmp_path / "o/curated")).collect()}
     assert rows[2].text == "distinct tail words here now also"
+
+
+# --- incremental (delta) ingestion ------------------------------------------------
+
+from readability_scanner_spark.plans.curate import curate_delta
+
+
+def test_delta_requires_base_run(spark, corpus, tmp_path):
+    with pytest.raises(FileNotFoundError):
+        curate_delta(spark, corpus, str(tmp_path / "missing"))
+
+
+def test_delta_dedups_against_existing_corpus(spark, corpus, bench, tmp_path):
+    out = tmp_path / "o"
+    _run(spark, corpus, bench, out)
+    batch = spark.createDataFrame(
+        [
+            # content-duplicate of surviving doc 17 under a NEW id
+            (20, _DOCS[-1][1]),
+            # id collision with existing doc 11 — not a new document
+            (11, "same id as an existing row brand new words"),
+            # genuinely new
+            (21, "a genuinely new arrival with fresh content entirely"),
+            # contaminated vs the same benchmark
+            (22, "another leak gram one two three four right here today"),
+        ],
+        ["doc_id", "text"],
+    )
+    meta = curate_delta(spark, batch, str(out), benchmark=bench)
+    c = meta["counts"]
+    assert c["docs_in"] == 4
+    assert c["after_existing_ids"] == 3      # 11 dropped (id exists)
+    assert c["after_decontam"] == 2          # 22 dropped
+    assert c["after_exact_dedup"] == 1       # 20 dropped (content exists)
+    curated = spark.read.parquet(str(out / "curated"))
+    ids = sorted(r.id for r in curated.collect())
+    assert 21 in ids and 20 not in ids and 22 not in ids
+    # appended rows carry the stored content hashes
+    assert {"content_h1", "content_h2"} <= set(curated.columns)
+    # packed output for the batch is scoped under packed_delta/
+    packed = spark.read.parquet(
+        str(out / "packed_delta" / f"batch={meta['batch']}")
+    )
+    assert packed.count() == c["packed_docs"] == 1
+
+
+def test_delta_batch_idempotence(spark, corpus, bench, tmp_path):
+    out = tmp_path / "o"
+    _run(spark, corpus, bench, out)
+    batch = spark.createDataFrame(
+        [(30, "one fresh incremental document arriving now")], ["doc_id", "text"]
+    )
+    m1 = curate_delta(spark, batch, str(out), benchmark=bench)
+    assert m1["skipped"] is False
+    n_after_first = spark.read.parquet(str(out / "curated")).count()
+    m2 = curate_delta(spark, batch, str(out), benchmark=bench)
+    assert m2["skipped"] is True
+    # the append did NOT happen twice
+    assert spark.read.parquet(str(out / "curated")).count() == n_after_first
+
+
+def test_delta_split_consistency_with_base(spark, corpus, bench, tmp_path):
+    # a doc curated via delta gets the SAME split/shard it would have
+    # gotten in the base run (content-addressed assignment)
+    out1, out2 = tmp_path / "a", tmp_path / "b"
+    extra = (40, "a document that could arrive early or late either way")
+    _run(spark, corpus, bench, out1)
+    curate_delta(
+        spark,
+        spark.createDataFrame([extra], ["doc_id", "text"]),
+        str(out1),
+        benchmark=bench,
+    )
+    _run(
+        spark,
+        corpus.union(spark.createDataFrame([extra], ["doc_id", "text"])),
+        bench,
+        out2,
+    )
+    a = {r.id: (r.split, r.shard)
+         for r in spark.read.parquet(str(out1 / "curated")).collect()}
+    b = {r.id: (r.split, r.shard)
+         for r in spark.read.parquet(str(out2 / "curated")).collect()}
+    assert a == b
