@@ -56,6 +56,22 @@ def main() -> None:
     ap.add_argument("--master", default=None)
     args = ap.parse_args()
 
+    if args.delta:
+        # delta batches take every gate from the base run's meta — a
+        # flag here would be silently ignored, so reject it loudly
+        gate_defaults = {
+            "decontam_n": 8, "min_tokens": 5, "min_quality": 0.0,
+            "span_k": None, "seq_len": 2048, "n_shards": 16, "salt": 3,
+        }
+        overridden = [
+            k for k, d in gate_defaults.items() if getattr(args, k) != d
+        ]
+        if overridden:
+            ap.error(
+                f"--delta ignores gate flags (they come from the base "
+                f"_meta/curate.json): remove {overridden}"
+            )
+
     spark = build_session("curate-corpus", master=args.master)
     spark.sparkContext.setLogLevel("WARN")
 

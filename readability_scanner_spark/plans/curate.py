@@ -29,6 +29,7 @@ from __future__ import annotations
 
 import json
 import os
+import shutil
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -58,6 +59,16 @@ def _fingerprint(df: DataFrame, id_col: str, text_col: str) -> list[int]:
     decide whether a completed output is already THIS input's output."""
     row = df.select(
         F.bit_xor(F.xxhash64(F.col(id_col), F.col(text_col))).alias("fp"),
+        F.count("*").alias("n"),
+    ).first()
+    return [int(row.fp) if row.fp is not None else 0, int(row.n)]
+
+
+def _text_fingerprint(df: DataFrame, text_col: str) -> list[int]:
+    """Text-only variant of :func:`_fingerprint` for tables without a
+    stable id (the benchmark side)."""
+    row = df.select(
+        F.bit_xor(F.xxhash64(F.col(text_col))).alias("fp"),
         F.count("*").alias("n"),
     ).first()
     return [int(row.fp) if row.fp is not None else 0, int(row.n)]
@@ -116,6 +127,11 @@ def curate_corpus(
     fp = _fingerprint(docs, id_col, text_col)
     params = {
         "decontam": benchmark is not None,
+        # recorded so a delta batch can verify it was handed the SAME
+        # eval suite the corpus was decontaminated against
+        "benchmark_fingerprint": (
+            _text_fingerprint(benchmark, text_col) if benchmark is not None else None
+        ),
         "decontam_n": decontam_n,
         "min_tokens": min_tokens,
         "min_quality": min_quality,
@@ -203,15 +219,30 @@ def curate_corpus(
             )
 
         # 4. exact dedup: survivors are the min-id representative per
-        #    content hash
+        #    content hash. The surviving rows then CARRY their hashes —
+        #    this is the corpus's stored content identity, and it is
+        #    deliberately the hash of the PRE-span-clean redacted text:
+        #    that is what exact dedup itself keyed on, so an incremental
+        #    batch anti-joining these hashes reproduces exactly the
+        #    dedup a from-scratch run would have done (post-clean hashes
+        #    would miss a batch doc equal to a corpus doc's original
+        #    text — span cleaning would then collapse them into stored
+        #    duplicates)
         winners = exact_dedup(kept, "text", "id").select(
             F.col("keep_id").alias("id")
         )
-        kept = _boundary(kept.join(winners, "id", "left_semi"), "after_exact_dedup")
+        h1, h2 = content_hash_cols("text")
+        kept = _boundary(
+            kept.join(winners, "id", "left_semi").withColumns(
+                {"content_h1": h1, "content_h2": h2}
+            ),
+            "after_exact_dedup",
+        )
 
         # 5. duplicated-span removal (optional), then re-apply BOTH gates —
         #    token floor and quality — on the cleaned text (the pre-clean
-        #    score describes text that no longer exists)
+        #    score describes text that no longer exists). content_h1/h2
+        #    ride through unchanged (see stage 4).
         if span_k is not None:
             cleaned = remove_duplicated_spans(kept, "id", "text", k=span_k)
             if stats:
@@ -239,21 +270,25 @@ def curate_corpus(
 
         # 6. deterministic split + shard (content-addressed: both survive
         #    any repartition of the corpus)
-        h1, h2 = content_hash_cols("text")
         final = kept.select(
             "id",
             "text",
             "n_tokens",
             "quality_score",
-            # stored content identity: a later delta batch dedups
-            # against the corpus by scanning these two long columns
-            # (column pruning — never the text)
-            h1.alias("content_h1"),
-            h2.alias("content_h2"),
+            # stored content identity (pre-span-clean redacted text, see
+            # stage 4): a later delta batch dedups against the corpus by
+            # scanning these two long columns (column pruning — never
+            # the text)
+            "content_h1",
+            "content_h2",
             split_assign(F.col("id"), list(splits), salt=salt),
             split_bucket(F.col("id"), salt=salt + 1, buckets=n_shards)
             .cast("long")
             .alias("shard"),
+            # ingestion batch as a partition column: the base run owns
+            # batch=base; each delta owns batch=<tag>, which makes a
+            # delta retry an idempotent dynamic-partition overwrite
+            F.lit("base").alias("batch"),
         )
         # four consumers from here (split stats, write, packing, pack write)
         final = final.persist()
@@ -266,9 +301,15 @@ def curate_corpus(
                 .collect()
             }
 
-        final.write.mode("overwrite").partitionBy("split").parquet(
+        final.write.mode("overwrite").partitionBy("split", "batch").parquet(
             os.path.join(output, "curated")
         )
+        # a rebuilt corpus invalidates every previously ingested delta:
+        # their rows are gone from curated/ (full overwrite) and their
+        # per-batch metas would otherwise make re-submission a silent
+        # no-op — data loss. Clear both so batches can re-ingest.
+        shutil.rmtree(os.path.join(output, "_meta", "deltas"), ignore_errors=True)
+        shutil.rmtree(os.path.join(output, "packed_delta"), ignore_errors=True)
 
         # 7. pack within (split, shard) so bins never mix splits;
         #    pack_sequences wants an int64 shard, so encode
@@ -333,12 +374,24 @@ def curate_delta(
     (its gram window must see every occurrence); the documented recipe
     is a periodic full re-run.
 
-    New rows append to ``curated/`` (same schema, content-addressed
-    split/shard stay consistent by construction); the batch packs into
-    ``packed_delta/batch=<fp>/`` — bin ids are batch-scoped, which is
+    Each batch lands in its own ``batch=<tag>`` partition of
+    ``curated/`` (dynamic-partition overwrite — a crashed attempt is
+    safely replaced by its retry, never double-appended and never
+    poisoned by its own half-written rows) and packs into
+    ``packed_delta/batch=<tag>/`` — bin ids are batch-scoped, which is
     how training readers consume incremental data anyway. A per-batch
     meta under ``_meta/deltas/`` makes re-submitting the same batch a
-    no-op.
+    no-op; a base re-run clears both (its overwrite discards the delta
+    rows, so their metas must not claim they are ingested).
+
+    Known, deliberate divergence from a from-scratch run: a batch doc
+    whose content already exists in the corpus is dropped in favor of
+    the EXISTING row (first-seen wins — the standard incremental
+    semantics) even when the batch id is smaller; a from-scratch run
+    would keep the min id. Everything else — gates, decontamination,
+    content dedup (keyed on pre-span-clean hashes, exactly what
+    exact_dedup keyed on), split/shard assignment — matches a
+    from-scratch run by construction (pinned in tests).
     """
     base_meta_path = _meta_file(output)
     if not os.path.exists(base_meta_path):
@@ -349,10 +402,18 @@ def curate_delta(
     with open(base_meta_path) as fh:
         base = json.load(fh)
     p = base["params"]
-    if p["decontam"] and benchmark is None:
-        raise ValueError(
-            "base run decontaminated; pass the same benchmark DataFrame"
-        )
+    if p["decontam"]:
+        if benchmark is None:
+            raise ValueError(
+                "base run decontaminated; pass the same benchmark DataFrame"
+            )
+        bfp = _text_fingerprint(benchmark, text_col)
+        if p.get("benchmark_fingerprint") != bfp:
+            raise ValueError(
+                "benchmark mismatch: the base run decontaminated against a "
+                f"different eval suite (base {p.get('benchmark_fingerprint')}, "
+                f"got {bfp}) — batches must apply the corpus's contract"
+            )
 
     fp = _fingerprint(new_docs, id_col, text_col)
     batch_tag = f"{fp[0] & 0xFFFFFFFFFFFFFFFF:016x}-{fp[1]}"
@@ -360,13 +421,27 @@ def curate_delta(
     if not force and os.path.exists(delta_meta_path):
         with open(delta_meta_path) as fh:
             prev = json.load(fh)
-        prev["skipped"] = True
-        return prev
+        # the per-batch meta satisfies a re-submission only under the
+        # SAME contract (base params incl. the stats flag) — mirrors
+        # curate_corpus's own skip rule
+        if prev.get("base_params") == p and prev.get("stats") == stats:
+            prev["skipped"] = True
+            return prev
 
     if repartition_to:
         new_docs = new_docs.repartition(repartition_to)
 
     existing = spark.read.parquet(os.path.join(output, "curated"))
+    required = {"id", "content_h1", "content_h2", "batch"}
+    missing = required - set(existing.columns)
+    if missing:
+        raise ValueError(
+            f"base output at {output} lacks {sorted(missing)} — it predates "
+            "delta support; re-run curate_corpus with force=True first"
+        )
+    # a retry of THIS batch must not see its own half-written rows (the
+    # crash-recovery path: the dynamic overwrite below replaces them)
+    existing = existing.where(F.col("batch") != batch_tag)
 
     counts: dict[str, int] = {}
     pinned: list[DataFrame] = []
@@ -443,6 +518,11 @@ def curate_delta(
         )
 
         if p["span_k"] is not None:
+            # content_h1/h2 ride through UNCHANGED: the stored identity
+            # is the pre-span-clean hash (what exact_dedup keyed on) in
+            # the base run too — recomputing post-clean here would make
+            # delta dedup diverge from a from-scratch run whenever span
+            # cleaning modified a corpus doc
             cleaned = remove_duplicated_spans(kept, "id", "text", k=p["span_k"])
             if stats:
                 cleaned = cleaned.persist()
@@ -450,19 +530,14 @@ def curate_delta(
                 counts["tokens_removed_as_spans"] = int(
                     cleaned.agg(F.sum("tokens_removed")).first()[0] or 0
                 )
-            nh1, nh2 = content_hash_cols("text")
             kept = _boundary(
-                kept.drop(
-                    "text", "n_tokens", "quality_score", "content_h1", "content_h2"
-                )
+                kept.drop("text", "n_tokens", "quality_score")
                 .join(cleaned, "id")
                 .withColumnRenamed("clean_text", "text")
                 .withColumns(
                     {
                         "n_tokens": token_count_col(F.col("text")),
                         "quality_score": quality_score_col(F.col("text")),
-                        "content_h1": nh1,
-                        "content_h2": nh2,
                     }
                 )
                 .where(
@@ -485,6 +560,7 @@ def curate_delta(
             split_bucket(F.col("id"), salt=salt + 1, buckets=n_shards)
             .cast("long")
             .alias("shard"),
+            F.lit(batch_tag).alias("batch"),
         )
         # CUT the lineage before the self-referential append: final's
         # plan reads curated/ (the id/content anti-joins), and Spark
@@ -505,9 +581,14 @@ def curate_delta(
                 .collect()
             }
 
-        final.write.mode("append").partitionBy("split").parquet(
-            os.path.join(output, "curated")
-        )
+        # dynamic-partition overwrite: only this batch's
+        # (split, batch=<tag>) partitions are replaced — a crashed
+        # earlier attempt's half-written rows are overwritten, every
+        # other batch and the base are untouched, and re-running can
+        # never double-append
+        final.write.mode("overwrite").option(
+            "partitionOverwriteMode", "dynamic"
+        ).partitionBy("split", "batch").parquet(os.path.join(output, "curated"))
 
         split_idx = F.lit(None).cast("int")
         for i, (label, _) in enumerate(splits):
@@ -526,6 +607,7 @@ def curate_delta(
             "batch": batch_tag,
             "input_fingerprint": fp,
             "base_params": p,
+            "stats": stats,
             "counts": counts,
             "skipped": False,
         }

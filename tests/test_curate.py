@@ -284,3 +284,73 @@ def test_delta_split_consistency_with_base(spark, corpus, bench, tmp_path):
     b = {r.id: (r.split, r.shard)
          for r in spark.read.parquet(str(out2 / "curated")).collect()}
     assert a == b
+
+
+def test_delta_crash_retry_is_idempotent(spark, corpus, bench, tmp_path):
+    # simulate a crash AFTER the curated write but BEFORE the delta
+    # meta/packed commit: the retry must see neither its own
+    # half-written rows (existing excludes batch=<tag>) nor
+    # double-append them (dynamic partition overwrite replaces them)
+    import shutil
+    out = tmp_path / "o"
+    _run(spark, corpus, bench, out)
+    batch = spark.createDataFrame(
+        [(50, "a brand new document arriving in this batch now")],
+        ["doc_id", "text"],
+    )
+    m1 = curate_delta(spark, batch, str(out), benchmark=bench)
+    # wipe the commit markers, keep the curated rows — the crash state
+    shutil.rmtree(out / "_meta" / "deltas")
+    shutil.rmtree(out / "packed_delta")
+    m2 = curate_delta(spark, batch, str(out), benchmark=bench)
+    assert m2["skipped"] is False
+    assert m2["counts"] == m1["counts"]          # retry saw a clean slate
+    curated = spark.read.parquet(str(out / "curated"))
+    assert curated.where("id = 50").count() == 1  # never double-appended
+
+
+def test_base_rerun_clears_stale_delta_markers(spark, corpus, bench, tmp_path):
+    out = tmp_path / "o"
+    _run(spark, corpus, bench, out)
+    batch = spark.createDataFrame(
+        [(60, "one incremental arrival that must survive rebuilds")],
+        ["doc_id", "text"],
+    )
+    curate_delta(spark, batch, str(out), benchmark=bench)
+    # rebuild the base: the overwrite discards the delta rows, so its
+    # marker must not keep claiming the batch is ingested
+    _run(spark, corpus, bench, out, force=True)
+    curated = spark.read.parquet(str(out / "curated"))
+    assert curated.where("id = 60").count() == 0
+    m = curate_delta(spark, batch, str(out), benchmark=bench)
+    assert m["skipped"] is False                  # re-ingests, no silent loss
+    assert spark.read.parquet(str(out / "curated")).where("id = 60").count() == 1
+
+
+def test_delta_rejects_wrong_benchmark(spark, corpus, bench, tmp_path):
+    out = tmp_path / "o"
+    _run(spark, corpus, bench, out)
+    other = spark.createDataFrame([(1, "a different eval suite text")],
+                                  ["bid", "text"])
+    batch = spark.createDataFrame([(70, "whatever new document")],
+                                  ["doc_id", "text"])
+    with pytest.raises(ValueError, match="benchmark mismatch"):
+        curate_delta(spark, batch, str(out), benchmark=other)
+    with pytest.raises(ValueError, match="benchmark"):
+        curate_delta(spark, batch, str(out), benchmark=None)
+
+
+def test_delta_span_dedup_equivalence_with_scratch_run(spark, bench, tmp_path):
+    # the trap the stored PRE-clean hashes close: corpus doc 15's text
+    # was modified by span cleaning; a batch doc equal to 15's ORIGINAL
+    # text must still dedup away (a from-scratch run would have deduped
+    # the pair pre-clean)
+    out = tmp_path / "o"
+    _run(spark, spark.createDataFrame(_DOCS, ["doc_id", "text"]), bench, out)
+    batch = spark.createDataFrame(
+        [(80, _DOCS[5][1])],  # doc 15's original pre-clean text
+        ["doc_id", "text"],
+    )
+    m = curate_delta(spark, batch, str(out), benchmark=bench)
+    assert m["counts"]["after_exact_dedup"] == 0
+    assert spark.read.parquet(str(out / "curated")).where("id = 80").count() == 0
