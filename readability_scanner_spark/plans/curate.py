@@ -40,7 +40,7 @@ from readability_scanner_spark.operators.dedup import (
     remove_duplicated_spans,
 )
 from readability_scanner_spark.operators.decontam import decontaminate
-from readability_scanner_spark.operators.packing import pack_sequences
+from readability_scanner_spark.operators.packing import pack_sequences, split_windows
 from readability_scanner_spark.operators.sampling import split_assign, split_bucket
 from readability_scanner_spark.operators.textquality import (
     quality_score_col,
@@ -310,6 +310,7 @@ def curate_corpus(
         # no-op — data loss. Clear both so batches can re-ingest.
         shutil.rmtree(os.path.join(output, "_meta", "deltas"), ignore_errors=True)
         shutil.rmtree(os.path.join(output, "packed_delta"), ignore_errors=True)
+        shutil.rmtree(os.path.join(output, "windows_delta"), ignore_errors=True)
 
         # 7. pack within (split, shard) so bins never mix splits;
         #    pack_sequences wants an int64 shard, so encode
@@ -323,9 +324,17 @@ def curate_corpus(
         )
         packed = pack_sequences(packable, "id", "n_tokens", "pack_shard", seq_len)
         packed.write.mode("overwrite").parquet(os.path.join(output, "packed"))
+        # the training-ready fan-out: one row per seq_len window
+        # (oversize docs split; JVM-only explode, no extra shuffle)
+        split_windows(
+            spark.read.parquet(os.path.join(output, "packed")), seq_len
+        ).write.mode("overwrite").parquet(os.path.join(output, "windows"))
         if stats:
             counts["packed_docs"] = spark.read.parquet(
                 os.path.join(output, "packed")
+            ).count()
+            counts["training_windows"] = spark.read.parquet(
+                os.path.join(output, "windows")
             ).count()
 
         meta = {
@@ -600,8 +609,13 @@ def curate_delta(
         packed = pack_sequences(packable, "id", "n_tokens", "pack_shard", seq_len)
         packed_path = os.path.join(output, "packed_delta", f"batch={batch_tag}")
         packed.write.mode("overwrite").parquet(packed_path)
+        windows_path = os.path.join(output, "windows_delta", f"batch={batch_tag}")
+        split_windows(spark.read.parquet(packed_path), seq_len).write.mode(
+            "overwrite"
+        ).parquet(windows_path)
         if stats:
             counts["packed_docs"] = spark.read.parquet(packed_path).count()
+            counts["training_windows"] = spark.read.parquet(windows_path).count()
 
         meta = {
             "batch": batch_tag,

@@ -354,3 +354,35 @@ def test_delta_span_dedup_equivalence_with_scratch_run(spark, bench, tmp_path):
     m = curate_delta(spark, batch, str(out), benchmark=bench)
     assert m["counts"]["after_exact_dedup"] == 0
     assert spark.read.parquet(str(out / "curated")).where("id = 80").count() == 0
+
+
+def test_training_windows_emitted(spark, corpus, bench, tmp_path):
+    out = tmp_path / "o"
+    meta = _run(spark, corpus, bench, out)
+    win = spark.read.parquet(str(out / "windows"))
+    assert meta["counts"]["training_windows"] == win.count()
+    rows = win.collect()
+    # every window row respects the capacity; tails carry the remainder
+    assert all(0 <= r.window_len <= 16 for r in rows)
+    assert all(r.window_idx >= 0 for r in rows)
+    # token conservation: windows of a doc sum to its token count
+    per_doc = {}
+    for r in rows:
+        per_doc[r.doc_id] = per_doc.get(r.doc_id, 0) + r.window_len
+    packed = {r.doc_id: r.n_tokens
+              for r in spark.read.parquet(str(out / "packed")).collect()}
+    assert per_doc == packed
+
+
+def test_delta_emits_batch_scoped_windows(spark, corpus, bench, tmp_path):
+    out = tmp_path / "o"
+    _run(spark, corpus, bench, out)
+    batch = spark.createDataFrame(
+        [(90, "fresh content for the window emission check here")],
+        ["doc_id", "text"],
+    )
+    m = curate_delta(spark, batch, str(out), benchmark=bench)
+    win = spark.read.parquet(
+        str(out / "windows_delta" / f"batch={m['batch']}")
+    )
+    assert m["counts"]["training_windows"] == win.count() >= 1
