@@ -100,13 +100,20 @@ def curate_corpus(
 ) -> dict:
     """Run the curation chain over ``docs`` and write under ``output``:
 
-    - ``curated/`` — parquet partitioned by ``split``, columns
-      ``(id, text, n_tokens, quality_score, split, shard)`` with text
-      PII-redacted (and span-cleaned when ``span_k`` is set),
+    - ``curated/`` — parquet partitioned by ``(split, batch)``, columns
+      ``(id, text, n_tokens, quality_score, content_h1, content_h2,
+      shard)`` with text PII-redacted (and span-cleaned when ``span_k``
+      is set); the hashes are the 128-bit identity of the
+      PRE-span-clean redacted text (what exact dedup keyed on) so
+      incremental batches can dedup against the corpus by scanning two
+      long columns; the base run owns ``batch=base``,
     - ``packed/`` — the pack_sequences assignment table
       ``(shard, doc_id, n_tokens, bin_id, bin_offset)`` where ``shard``
       is the composite split_idx * n_shards + shard encoding,
-    - ``_meta/curate.json`` — parameters, input fingerprint, stage
+    - ``windows/`` — the training-ready split_windows fan-out (one row
+      per seq_len window, oversize docs split),
+    - ``_meta/curate.json`` — parameters (incl. a benchmark
+      fingerprint when decontaminating), input fingerprint, stage
       counts.
 
     Returns the metadata dict. ``benchmark=None`` skips
