@@ -59,12 +59,11 @@ def main() -> None:
     if args.delta:
         # delta batches take every gate from the base run's meta — a
         # flag here would be silently ignored, so reject it loudly
-        gate_defaults = {
-            "decontam_n": 8, "min_tokens": 5, "min_quality": 0.0,
-            "span_k": None, "seq_len": 2048, "n_shards": 16, "salt": 3,
-        }
+        # (defaults read back from argparse: one source of truth)
+        gate_flags = ["decontam_n", "min_tokens", "min_quality",
+                      "span_k", "seq_len", "n_shards", "salt"]
         overridden = [
-            k for k, d in gate_defaults.items() if getattr(args, k) != d
+            k for k in gate_flags if getattr(args, k) != ap.get_default(k)
         ]
         if overridden:
             ap.error(

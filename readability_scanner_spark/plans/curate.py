@@ -51,24 +51,16 @@ from readability_scanner_spark.operators.textquality import (
 DEFAULT_SPLITS = (("train", 8000), ("val", 1000), ("test", 1000))
 
 
-def _fingerprint(df: DataFrame, id_col: str, text_col: str) -> list[int]:
-    """Order-independent corpus identity: (bit_xor of xxhash64(id, text),
-    row count). One scan, no shuffle (both aggregates combine map-side).
-    The count closes XOR's parity blindness — a row whose multiplicity
-    changes by an even number cancels out of the xor alone. Used only to
-    decide whether a completed output is already THIS input's output."""
+def _fingerprint(df: DataFrame, cols: list[str]) -> list[int]:
+    """Order-independent corpus identity over ``cols``: (bit_xor of
+    xxhash64(cols...), row count). One scan, no shuffle (both
+    aggregates combine map-side). The count closes XOR's parity
+    blindness — a row whose multiplicity changes by an even number
+    cancels out of the xor alone. Used only to decide whether a
+    completed output is already THIS input's output. Benchmark tables
+    (no stable id) fingerprint on [text] alone."""
     row = df.select(
-        F.bit_xor(F.xxhash64(F.col(id_col), F.col(text_col))).alias("fp"),
-        F.count("*").alias("n"),
-    ).first()
-    return [int(row.fp) if row.fp is not None else 0, int(row.n)]
-
-
-def _text_fingerprint(df: DataFrame, text_col: str) -> list[int]:
-    """Text-only variant of :func:`_fingerprint` for tables without a
-    stable id (the benchmark side)."""
-    row = df.select(
-        F.bit_xor(F.xxhash64(F.col(text_col))).alias("fp"),
+        F.bit_xor(F.xxhash64(*[F.col(c) for c in cols])).alias("fp"),
         F.count("*").alias("n"),
     ).first()
     return [int(row.fp) if row.fp is not None else 0, int(row.n)]
@@ -131,13 +123,13 @@ def curate_corpus(
             f"splits must be positive weights summing to 10000, got {list(splits)}"
         )
     meta_path = _meta_file(output)
-    fp = _fingerprint(docs, id_col, text_col)
+    fp = _fingerprint(docs, [id_col, text_col])
     params = {
         "decontam": benchmark is not None,
         # recorded so a delta batch can verify it was handed the SAME
         # eval suite the corpus was decontaminated against
         "benchmark_fingerprint": (
-            _text_fingerprint(benchmark, text_col) if benchmark is not None else None
+            _fingerprint(benchmark, [text_col]) if benchmark is not None else None
         ),
         "decontam_n": decontam_n,
         "min_tokens": min_tokens,
@@ -151,12 +143,26 @@ def curate_corpus(
         # later run that asked for the per-stage counts
         "stats": stats,
     }
+    deltas_dir = os.path.join(output, "_meta", "deltas")
     if not force and os.path.exists(meta_path):
         with open(meta_path) as fh:
             prev = json.load(fh)
-        if prev.get("input_fingerprint") == fp and prev.get("params") == params:
+        # tolerate metas written before newer param keys existed —
+        # default the missing keys instead of treating a blind
+        # re-submission as a changed contract (a rebuild here would
+        # discard every ingested delta batch)
+        prev_params = {
+            **{"benchmark_fingerprint": None},
+            **(prev.get("params") or {}),
+        }
+        if prev.get("input_fingerprint") == fp and prev_params == params:
             prev["skipped"] = True
             return prev
+    if not force and os.path.isdir(deltas_dir) and os.listdir(deltas_dir):
+        raise ValueError(
+            f"{output} has ingested delta batches; a base rebuild discards "
+            "their rows — pass force=True to confirm"
+        )
 
     if repartition_to:
         docs = docs.repartition(repartition_to)
@@ -308,16 +314,19 @@ def curate_corpus(
                 .collect()
             }
 
+        # a rebuilt corpus invalidates every previously ingested delta:
+        # their rows are about to vanish from curated/ (full overwrite)
+        # and their per-batch metas would otherwise make re-submission a
+        # silent no-op — data loss. Clear the markers BEFORE the
+        # destructive write: if the rebuild crashes mid-overwrite, the
+        # stale markers must already be gone (premature clearing is
+        # safe — re-ingesting a batch is idempotent).
+        shutil.rmtree(deltas_dir, ignore_errors=True)
+        shutil.rmtree(os.path.join(output, "packed_delta"), ignore_errors=True)
+        shutil.rmtree(os.path.join(output, "windows_delta"), ignore_errors=True)
         final.write.mode("overwrite").partitionBy("split", "batch").parquet(
             os.path.join(output, "curated")
         )
-        # a rebuilt corpus invalidates every previously ingested delta:
-        # their rows are gone from curated/ (full overwrite) and their
-        # per-batch metas would otherwise make re-submission a silent
-        # no-op — data loss. Clear both so batches can re-ingest.
-        shutil.rmtree(os.path.join(output, "_meta", "deltas"), ignore_errors=True)
-        shutil.rmtree(os.path.join(output, "packed_delta"), ignore_errors=True)
-        shutil.rmtree(os.path.join(output, "windows_delta"), ignore_errors=True)
 
         # 7. pack within (split, shard) so bins never mix splits;
         #    pack_sequences wants an int64 shard, so encode
@@ -359,6 +368,28 @@ def curate_corpus(
     finally:
         for df in pinned:
             df.unpersist()
+
+
+def committed_batches(output: str) -> list[str]:
+    """``base`` plus every delta batch tag whose meta committed. Rows in
+    ``curated/`` under any OTHER batch value are a crashed attempt's
+    uncommitted leftovers — present as files, not part of the corpus
+    (their retry replaces them via dynamic partition overwrite; they
+    are never auto-deleted because a CONCURRENTLY RUNNING batch is
+    indistinguishable from an abandoned one by files alone)."""
+    tags = ["base"]
+    d = os.path.join(output, "_meta", "deltas")
+    if os.path.isdir(d):
+        tags += [f[:-5] for f in sorted(os.listdir(d)) if f.endswith(".json")]
+    return tags
+
+
+def read_curated(spark: SparkSession, output: str) -> DataFrame:
+    """The consumer read path: ``curated/`` restricted to COMMITTED
+    batches. Reading the directory raw would also serve any crashed
+    batch's half-written rows."""
+    df = spark.read.parquet(os.path.join(output, "curated"))
+    return df.where(F.col("batch").isin(committed_batches(output)))
 
 
 def curate_delta(
@@ -418,20 +449,14 @@ def curate_delta(
     with open(base_meta_path) as fh:
         base = json.load(fh)
     p = base["params"]
-    if p["decontam"]:
-        if benchmark is None:
-            raise ValueError(
-                "base run decontaminated; pass the same benchmark DataFrame"
-            )
-        bfp = _text_fingerprint(benchmark, text_col)
-        if p.get("benchmark_fingerprint") != bfp:
-            raise ValueError(
-                "benchmark mismatch: the base run decontaminated against a "
-                f"different eval suite (base {p.get('benchmark_fingerprint')}, "
-                f"got {bfp}) — batches must apply the corpus's contract"
-            )
+    if p["decontam"] and "benchmark_fingerprint" not in p:
+        raise ValueError(
+            f"base output at {output} predates delta support (no benchmark "
+            "fingerprint in its meta); re-run curate_corpus with force=True "
+            "first"
+        )
 
-    fp = _fingerprint(new_docs, id_col, text_col)
+    fp = _fingerprint(new_docs, [id_col, text_col])
     batch_tag = f"{fp[0] & 0xFFFFFFFFFFFFFFFF:016x}-{fp[1]}"
     delta_meta_path = os.path.join(output, "_meta", "deltas", batch_tag + ".json")
     if not force and os.path.exists(delta_meta_path):
@@ -444,6 +469,21 @@ def curate_delta(
             prev["skipped"] = True
             return prev
 
+    # benchmark validation runs AFTER the skip check — a redundant
+    # re-submission (the common scheduler case) never pays the scan
+    if p["decontam"]:
+        if benchmark is None:
+            raise ValueError(
+                "base run decontaminated; pass the same benchmark DataFrame"
+            )
+        bfp = _fingerprint(benchmark, [text_col])
+        if p.get("benchmark_fingerprint") != bfp:
+            raise ValueError(
+                "benchmark mismatch: the base run decontaminated against a "
+                f"different eval suite (base {p.get('benchmark_fingerprint')}, "
+                f"got {bfp}) — batches must apply the corpus's contract"
+            )
+
     if repartition_to:
         new_docs = new_docs.repartition(repartition_to)
 
@@ -455,9 +495,15 @@ def curate_delta(
             f"base output at {output} lacks {sorted(missing)} — it predates "
             "delta support; re-run curate_corpus with force=True first"
         )
-    # a retry of THIS batch must not see its own half-written rows (the
-    # crash-recovery path: the dynamic overwrite below replaces them)
-    existing = existing.where(F.col("batch") != batch_tag)
+    # only COMMITTED batches are the corpus (an abandoned crashed
+    # batch's leftover rows must not suppress re-ingestion of its
+    # content under a different batch boundary), and a retry of THIS
+    # batch must not see its own half-written rows (the dynamic
+    # overwrite below replaces them)
+    existing = existing.where(
+        F.col("batch").isin(committed_batches(output))
+        & (F.col("batch") != batch_tag)
+    )
 
     counts: dict[str, int] = {}
     pinned: list[DataFrame] = []

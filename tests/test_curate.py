@@ -386,3 +386,82 @@ def test_delta_emits_batch_scoped_windows(spark, corpus, bench, tmp_path):
         str(out / "windows_delta" / f"batch={m['batch']}")
     )
     assert m["counts"]["training_windows"] == win.count() >= 1
+
+
+def test_abandoned_crashed_batch_does_not_suppress_reingest(
+    spark, corpus, bench, tmp_path
+):
+    # batch X crashes after its curated write (no meta); its content
+    # later arrives inside a DIFFERENT batch — the committed-batch
+    # filter must let it re-ingest instead of deduping against the
+    # orphan rows (r5 review finding)
+    import shutil
+    from readability_scanner_spark.plans.curate import read_curated
+
+    out = tmp_path / "o"
+    _run(spark, corpus, bench, out)
+    doc = (95, "content that first arrived in a crashed batch attempt")
+    bx = spark.createDataFrame([doc], ["doc_id", "text"])
+    curate_delta(spark, bx, str(out), benchmark=bench)
+    # simulate the crash: data landed, commit markers did not
+    shutil.rmtree(out / "_meta" / "deltas")
+    shutil.rmtree(out / "packed_delta")
+    shutil.rmtree(out / "windows_delta")
+    # same content, different batch boundary (extra doc -> new tag)
+    merged = spark.createDataFrame(
+        [doc, (96, "an unrelated companion document in the merged batch")],
+        ["doc_id", "text"],
+    )
+    m = curate_delta(spark, merged, str(out), benchmark=bench)
+    assert m["counts"]["after_exact_dedup"] == 2  # 95 NOT deduped away
+    # the consumer view serves each id exactly once (orphan filtered)
+    ids = [r.id for r in read_curated(spark, str(out)).collect()]
+    assert ids.count(95) == 1 and 96 in ids
+
+
+def test_base_rebuild_with_live_deltas_requires_force(
+    spark, corpus, bench, tmp_path
+):
+    out = tmp_path / "o"
+    _run(spark, corpus, bench, out)
+    curate_delta(
+        spark,
+        spark.createDataFrame([(97, "an ingested incremental document")],
+                              ["doc_id", "text"]),
+        str(out),
+        benchmark=bench,
+    )
+    # unchanged input+params skips fine (no destruction)
+    assert _run(spark, corpus, bench, out)["skipped"] is True
+    # a CHANGED base without force must refuse, not silently discard
+    with pytest.raises(ValueError, match="delta batches"):
+        _run(spark, corpus, bench, out, seq_len=32)
+    # force proceeds and clears the markers
+    _run(spark, corpus, bench, out, seq_len=32, force=True)
+    import os
+    assert not os.path.isdir(out / "_meta" / "deltas")
+
+
+def test_legacy_meta_without_benchmark_fingerprint(spark, corpus, bench, tmp_path):
+    # a pre-upgrade meta (no benchmark_fingerprint key): the base skip
+    # path must tolerate it when nothing else changed, and the delta
+    # path must name the real problem instead of 'benchmark mismatch'
+    out = tmp_path / "o"
+    _run(spark, corpus, bench, out)
+    meta_path = out / "_meta" / "curate.json"
+    m = json.load(open(meta_path))
+    bfp = m["params"].pop("benchmark_fingerprint")
+    json.dump(m, open(meta_path, "w"))
+    with pytest.raises(ValueError, match="predates delta support"):
+        curate_delta(
+            spark,
+            spark.createDataFrame([(98, "x y z")], ["doc_id", "text"]),
+            str(out),
+            benchmark=bench,
+        )
+    # with no ingested deltas on disk, a base re-submission against the
+    # legacy meta rebuilds (the recorded contract genuinely lacks the
+    # benchmark identity) — and the rebuilt meta carries the key again
+    m2 = _run(spark, corpus, bench, out)
+    assert m2["skipped"] is False
+    assert json.load(open(meta_path))["params"]["benchmark_fingerprint"] == bfp
