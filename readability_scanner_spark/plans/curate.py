@@ -431,6 +431,11 @@ def curate_delta(
     no-op; a base re-run clears both (its overwrite discards the delta
     rows, so their metas must not claim they are ingested).
 
+    Batches are assumed to ingest serially (the scheduler's job): two
+    CONCURRENT batches cannot see each other's uncommitted rows, so
+    shared content would land in both — a later full rebuild (or the
+    next serial batch) is what reconciles it.
+
     Known, deliberate divergence from a from-scratch run: a batch doc
     whose content already exists in the corpus is dropped in favor of
     the EXISTING row (first-seen wins — the standard incremental
