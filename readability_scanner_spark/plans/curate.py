@@ -324,6 +324,13 @@ def curate_corpus(
         shutil.rmtree(deltas_dir, ignore_errors=True)
         shutil.rmtree(os.path.join(output, "packed_delta"), ignore_errors=True)
         shutil.rmtree(os.path.join(output, "windows_delta"), ignore_errors=True)
+        # ... and the base meta itself: if the rebuild crashes mid-write,
+        # the stale meta would otherwise let a blind re-submission SKIP
+        # over the half-overwritten output as if it were complete
+        try:
+            os.remove(meta_path)
+        except FileNotFoundError:
+            pass
         final.write.mode("overwrite").partitionBy("split", "batch").parquet(
             os.path.join(output, "curated")
         )
@@ -390,6 +397,34 @@ def read_curated(spark: SparkSession, output: str) -> DataFrame:
     batch's half-written rows."""
     df = spark.read.parquet(os.path.join(output, "curated"))
     return df.where(F.col("batch").isin(committed_batches(output)))
+
+
+def _read_with_deltas(
+    spark: SparkSession, output: str, base_dir: str, delta_dir: str
+) -> DataFrame:
+    df = spark.read.parquet(os.path.join(output, base_dir))
+    for tag in committed_batches(output):
+        if tag == "base":
+            continue
+        p = os.path.join(output, delta_dir, f"batch={tag}")
+        if os.path.isdir(p):
+            df = df.unionByName(spark.read.parquet(p))
+    return df
+
+
+def read_packed(spark: SparkSession, output: str) -> DataFrame:
+    """Training-surface twin of :func:`read_curated`: the base
+    ``packed/`` table plus ONLY committed delta batches — an abandoned
+    crashed batch's ``packed_delta/batch=X`` directory is never served
+    (path selection, so the orphan files are not even scanned). A
+    corpus with many batches compacts on the next full rebuild."""
+    return _read_with_deltas(spark, output, "packed", "packed_delta")
+
+
+def read_windows(spark: SparkSession, output: str) -> DataFrame:
+    """Committed-only view over ``windows/`` + ``windows_delta/`` —
+    see :func:`read_packed`."""
+    return _read_with_deltas(spark, output, "windows", "windows_delta")
 
 
 def curate_delta(
@@ -461,6 +496,15 @@ def curate_delta(
             "first"
         )
 
+    if p["decontam"] and benchmark is None:
+        # scan-free subset of the full verification below: a loud error
+        # even on re-submissions that would otherwise skip — a scheduler
+        # that stopped passing the benchmark is misconfigured NOW, not
+        # at the next new batch
+        raise ValueError(
+            "base run decontaminated; pass the same benchmark DataFrame"
+        )
+
     fp = _fingerprint(new_docs, [id_col, text_col])
     batch_tag = f"{fp[0] & 0xFFFFFFFFFFFFFFFF:016x}-{fp[1]}"
     delta_meta_path = os.path.join(output, "_meta", "deltas", batch_tag + ".json")
@@ -477,10 +521,6 @@ def curate_delta(
     # benchmark validation runs AFTER the skip check — a redundant
     # re-submission (the common scheduler case) never pays the scan
     if p["decontam"]:
-        if benchmark is None:
-            raise ValueError(
-                "base run decontaminated; pass the same benchmark DataFrame"
-            )
         bfp = _fingerprint(benchmark, [text_col])
         if p.get("benchmark_fingerprint") != bfp:
             raise ValueError(

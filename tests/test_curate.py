@@ -465,3 +465,61 @@ def test_legacy_meta_without_benchmark_fingerprint(spark, corpus, bench, tmp_pat
     m2 = _run(spark, corpus, bench, out)
     assert m2["skipped"] is False
     assert json.load(open(meta_path))["params"]["benchmark_fingerprint"] == bfp
+
+
+def test_crashed_force_rebuild_does_not_skip(spark, corpus, bench, tmp_path):
+    # a force rebuild that dies mid-chain must leave NO base meta —
+    # otherwise a blind re-submission skips over the half-built output
+    out = tmp_path / "o"
+    _run(spark, corpus, bench, out)
+    import os
+    # seq_len=-1 raises inside pack_sequences — i.e. AFTER the markers/
+    # meta were cleared and the curated overwrite ran, exactly the
+    # crash window under test
+    with pytest.raises(ValueError, match="seq_len"):
+        _run(spark, corpus, bench, out, seq_len=-1, force=True)
+    assert not os.path.exists(out / "_meta" / "curate.json")
+    # the blind re-submission now REBUILDS instead of skipping
+    m = _run(spark, corpus, bench, out)
+    assert m["skipped"] is False
+
+
+def test_read_packed_and_windows_exclude_orphan_batches(
+    spark, corpus, bench, tmp_path
+):
+    import shutil
+    from readability_scanner_spark.plans.curate import read_packed, read_windows
+
+    out = tmp_path / "o"
+    _run(spark, corpus, bench, out)
+    doc = (95, "content arriving first in a crashed batch attempt")
+    curate_delta(
+        spark, spark.createDataFrame([doc], ["doc_id", "text"]),
+        str(out), benchmark=bench,
+    )
+    # crash simulation: delta data written, commit marker gone
+    shutil.rmtree(out / "_meta" / "deltas")
+    merged = spark.createDataFrame(
+        [doc, (96, "companion document for the re-ingested batch")],
+        ["doc_id", "text"],
+    )
+    curate_delta(spark, merged, str(out), benchmark=bench)
+    # the committed views serve doc 95 exactly once (orphan dirs exist
+    # on disk but are never scanned)
+    packed_ids = [r.doc_id for r in read_packed(spark, str(out)).collect()]
+    win_ids = [r.doc_id for r in read_windows(spark, str(out)).collect()]
+    assert packed_ids.count(95) == 1 and win_ids.count(95) == 1
+    assert 96 in packed_ids and 96 in win_ids
+
+
+def test_delta_resubmission_still_rejects_missing_benchmark(
+    spark, corpus, bench, tmp_path
+):
+    # the scan-free presence check runs BEFORE the skip path: a
+    # misconfigured scheduler fails loudly even on re-submissions
+    out = tmp_path / "o"
+    _run(spark, corpus, bench, out)
+    batch = spark.createDataFrame([(99, "some new document")], ["doc_id", "text"])
+    curate_delta(spark, batch, str(out), benchmark=bench)
+    with pytest.raises(ValueError, match="pass the same benchmark"):
+        curate_delta(spark, batch, str(out), benchmark=None)
