@@ -376,18 +376,13 @@ def q_exact_dedup(spark, sf_dir):
 
 
 def q_lang_quality(spark, sf_dir):
-    from readability_scanner_spark.operators.textquality import (
-        lang_id_col,
-        quality_score_col,
-        token_count_col,
-    )
+    from readability_scanner_spark.operators.textquality import with_lang_quality_cols
 
     docs = _t(spark, sf_dir, "documents", spread=True)  # ~46 regexes/row: spread the one-task scan
-    return docs.select(
-        "doc_id",
-        lang_id_col(F.col("text")).alias("lang_guess"),
-        quality_score_col(F.col("text")).alias("quality_score"),
-        token_count_col(F.col("text")).alias("n_tokens"),
+    # r6: fused form — shared marker/CJK/word counts projected once as
+    # bound columns (bit-identical values; see with_lang_quality_cols)
+    return with_lang_quality_cols(docs, "text").select(
+        "doc_id", "lang_guess", "quality_score", "n_tokens"
     )
 
 

@@ -37,6 +37,13 @@ _P_CLOSERS = BLOCK_ELEMENTS
 
 
 
+# shared empty-attrs dict: most nodes (every text node, most elements)
+# carry no attributes, and nothing in the codebase mutates node.attrs
+# after construction — sharing one immutable-by-convention dict skips a
+# per-node allocation on the parse hot path
+_NO_ATTRS: dict = {}
+
+
 class Node:
     """One DOM node. ``tag is None`` means text node."""
 
@@ -51,7 +58,7 @@ class Node:
         src_end: int = -1,
     ) -> None:
         self.tag = tag
-        self.attrs = attrs if attrs is not None else {}
+        self.attrs = attrs if attrs is not None else _NO_ATTRS
         self.children: list[Node] = []
         self.parent: Optional[Node] = None
         self.text = text
@@ -76,12 +83,20 @@ class Node:
         """Deep copy of the subtree (iterative — no recursion limit risk).
         ~4x cheaper than reparsing the HTML; used by the extraction
         retry ladder."""
-        new_root = Node(self.tag, dict(self.attrs), self.text, self.src_start, self.src_end)
+        new_root = Node(
+            self.tag, dict(self.attrs) if self.attrs else None, self.text, self.src_start, self.src_end
+        )
         stack = [(self, new_root)]
         while stack:
             old, new = stack.pop()
             for child in old.children:
-                c = Node(child.tag, dict(child.attrs), child.text, child.src_start, child.src_end)
+                c = Node(
+                    child.tag,
+                    dict(child.attrs) if child.attrs else None,
+                    child.text,
+                    child.src_start,
+                    child.src_end,
+                )
                 new.append(c)
                 if child.children:
                     stack.append((child, c))
@@ -386,8 +401,8 @@ _INLINE_KEEP_OPEN = ("a", "span", "b", "i", "em", "strong")
 
 
 def _parse_attrs(attr_str: str) -> dict:
-    if not attr_str or not attr_str.strip():
-        return {}
+    if not attr_str or attr_str.isspace():
+        return _NO_ATTRS
     attrs = {}
     for m in _ATTR_RE.finditer(attr_str):
         name = m.group(1).lower()

@@ -47,6 +47,7 @@ NEGATIVE = re.compile(
     re.I,
 )
 SENTENCE_END = re.compile(r"\.( |$)")
+_TAG_STRIP = re.compile(r"<[^>]+>")
 BYLINE = re.compile(r"byline|author|dateline|writtenby|p-author", re.I)
 
 # retry flags (step 8)
@@ -573,7 +574,11 @@ def extract_main_content(raw_html: str) -> ExtractionResult:
     if raw_html is None or not raw_html.strip():
         return ExtractionResult("", "", "", [], parse_failed=True)
 
-    source_text_len = len(_WS_RE.sub(" ", re.sub(r"<[^>]+>", " ", raw_html)).strip()) or 1
+    # == len(_WS_RE.sub(" ", _TAG_STRIP.sub(" ", raw)).strip()): str.split
+    # splits on exactly the re-\s codepoint set (pinned in
+    # test_textstats.py), and join/split skips building the normalized
+    # intermediate — one full-document pass instead of two
+    source_text_len = len(" ".join(_TAG_STRIP.sub(" ", raw_html).split())) or 1
 
     flag_ladder = [
         ALL_FLAGS,

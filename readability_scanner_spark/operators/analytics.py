@@ -222,15 +222,24 @@ def per_group_latest_and_count(
     df: DataFrame, group_col: str, order_cols: list, project: list[str]
 ) -> DataFrame:
     """JN3 (sources.py:108-147 + articles.py:229-250): the reference loops
-    sources issuing count + find_one(sort desc) per source; here one
-    window pass: row_number over (group, order desc) + count over group."""
-    w_rank = Window.partitionBy(group_col).orderBy(*[F.desc(c) for c in order_cols])
-    w_all = Window.partitionBy(group_col)
+    sources issuing count + find_one(sort desc) per source; here ONE
+    hash aggregate: count + max_by on the order-key struct (lexicographic
+    struct comparison == the window's multi-key desc sort, deterministic
+    for the same full tie-break orderings).
+
+    r6: this replaces the previous row_number+count window pair — an
+    aggregate does partial (map-side) aggregation, so the shuffle moves
+    one partial row per (group, map task) instead of EVERY input row
+    plus a per-partition sort (guide §2.3 "aggregate before you
+    shuffle"); same rows out."""
+    top = F.max_by(
+        F.struct(*[F.col(c) for c in project]),
+        F.struct(*[F.col(c) for c in order_cols]),
+    )
     return (
-        df.withColumn("_rn", F.row_number().over(w_rank))
-        .withColumn("n_docs", F.count("*").over(w_all))
-        .where(F.col("_rn") == 1)
-        .select(group_col, "n_docs", *project)
+        df.groupBy(group_col)
+        .agg(F.count("*").alias("n_docs"), top.alias("_top"))
+        .select(group_col, "n_docs", *[F.col(f"_top.{c}").alias(c) for c in project])
         .orderBy(group_col)
     )
 

@@ -176,7 +176,16 @@ def minhash_lsh_candidates(
     bucket are candidates. Shuffle is by (band, bucket-hash) — each
     bucket is tiny, so the pair join never goes quadratic globally."""
     rows = n_hashes // bands
-    sigs = minhash_signatures(df, id_col, text_col, n_hashes, shingle_n, seed)
+    # r6: materialize the signatures once (localCheckpoint — the small
+    # proxy table, n_docs x n_hashes longs): the self-join otherwise
+    # rebuilds the whole signature MapInPandas lineage for its second
+    # side, tokenizing and hashing every document twice. The count both
+    # materializes the checkpoint and sizes the broadcast decision (a
+    # checkpointed relation has no size estimate for the planner).
+    sigs = minhash_signatures(df, id_col, text_col, n_hashes, shingle_n, seed).localCheckpoint(
+        eager=False
+    )
+    n_banded = sigs.count() * bands
     banded = sigs.select(
         id_col,
         F.explode(
@@ -195,8 +204,13 @@ def minhash_lsh_candidates(
     ).select(id_col, "bb.band", "bb.bucket")
     a = banded.select(F.col(id_col).alias("id_a"), "band", "bucket")
     b = banded.select(F.col(id_col).alias("id_b"), "band", "bucket")
+    # broadcast below the row cap (same rationale/cap as the simhash
+    # block join), planner-shuffled join above it; the distinct stays —
+    # banding duplicates cannot be filtered from bucket hashes alone,
+    # and candidate volume is bounded by the tiny bucket sizes
+    build = F.broadcast(b) if n_banded <= SIMHASH_BROADCAST_MAX_ROWS else b
     return (
-        a.join(b, ["band", "bucket"])
+        a.join(build, ["band", "bucket"])
         .where(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b")
         .distinct()
@@ -205,6 +219,12 @@ def minhash_lsh_candidates(
 
 
 # --- SimHash ---------------------------------------------------------------------------
+
+# broadcast cap for the blocked self-join build side (rows): ~40 B/row
+# in the hashed relation keeps this ~400 MB, well under Spark's 8 GB /
+# 512M-row broadcast limits; larger inputs use a shuffled join instead
+SIMHASH_BROADCAST_MAX_ROWS = 10_000_000
+
 
 def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 64) -> DataFrame:
     """64-bit SimHash per document (token-hash sign voting). Token hash is
@@ -276,48 +296,149 @@ def _simhash_block_layout(max_hamming: int, bits: int = 64) -> list[tuple[int, i
     return layout
 
 
+def _simhash_groups(max_hamming: int, bits: int = 64) -> list[list[tuple[int, int]]]:
+    """Agreement groups (lists of (offset, width) slices) for the
+    blocked self-join.
+
+    Manku-style combination blocking: split the hash into
+    ``max_hamming + 2`` disjoint slices; a pair with <= max_hamming
+    differing bits dirties at most max_hamming slices, so at least TWO
+    slices are clean — the pair agrees fully on at least one PAIR of
+    slices. Joining on every pair of slices (C(m,2) groups with
+    double-width keys) is therefore complete, and the wider keys are far
+    more selective than single slices (measured at sf1.0: 405M raw
+    candidate probes vs 667M for the max_hamming+1 single-slice scheme,
+    max bucket 7k vs 17k). Falls back to the classic max_hamming+1
+    single-slice layout when max_hamming + 2 > bits. Any complete group
+    family yields identical results — every candidate is
+    hamming-verified and the canonical-group filter dedups."""
+    import itertools
+
+    if max_hamming + 2 <= bits:
+        layout = _simhash_block_layout(max_hamming + 1, bits)  # m = max_hamming + 2 slices
+        return [
+            [layout[i], layout[j]]
+            for i, j in itertools.combinations(range(len(layout)), 2)
+        ]
+    layout = _simhash_block_layout(max_hamming, bits)
+    return [[s] for s in layout]
+
+
+def _group_mask(slices: list[tuple[int, int]]) -> int:
+    mask = 0
+    for off, w in slices:
+        mask |= ((1 << w) - 1) << off
+    return mask
+
+
+def _signed64(v: int) -> int:
+    return v - (1 << 64) if v >= 1 << 63 else v
+
+
 def simhash_near_dups(df: DataFrame, id_col: str, text_col: str, max_hamming: int = 3) -> DataFrame:
-    """Near-dup pairs by SimHash hamming distance, blocked on
-    max_hamming+1 disjoint bit slices (see _simhash_block_layout for the
-    completeness argument). Exact hamming is verified inside buckets and
-    duplicate bucket hits deduped, so the result equals the brute-force
-    all-pairs answer while the join stays bucket-local at scale."""
-    hashed = simhash(df, id_col, text_col)
-    layout = _simhash_block_layout(max_hamming)
+    """Near-dup pairs by SimHash hamming distance, blocked on agreement
+    groups of disjoint bit slices (see _simhash_groups for the
+    completeness argument). Exact hamming is verified inside buckets, so
+    the result equals the brute-force all-pairs answer while the join
+    stays bucket-local at scale.
+
+    r6 optimizations (results identical — the group family is complete
+    and every candidate is hamming-verified; plan-pinned in
+    tests/test_plans.py):
+
+    * combination blocking (pair-of-slices groups, _simhash_groups):
+      double-width keys cut raw candidate probes ~1.6x on clustered
+      corpora.
+    * the signature table is materialized once (localCheckpoint — n_docs
+      x 16 bytes, the guide-§8 "small proxy" shape) so the self-join's
+      build side does not rebuild the whole MapInPandas lineage: the
+      previous plan tokenized and hashed every document TWICE. The join
+      stays BROADCAST on the blocked build side deliberately: the group
+      keys are heavily skewed (measured 17k-doc buckets at sf1.0 under
+      single-slice blocking), and a shuffled join would send each
+      bucket's quadratic pair generation to one task (measured 2.5x
+      slower); with a broadcast build the stream side stays evenly
+      partitioned regardless of key.
+    * cross-group duplicate candidates are dropped by a canonical-group
+      filter instead of ``.distinct()``: a pair is emitted only from its
+      FIRST agreeing group (for all j < i the pair must disagree on
+      group j — a pure mask test on ha^hb). A qualifying pair agrees on
+      >= 1 group and on exactly one minimal group, so the output SET is
+      unchanged while the full shuffle+hash-dedup of the candidate pairs
+      (measured 3x the result size: ~18.5M rows at sf1.0) disappears.
+      The hamming filter precedes it, so the when-chain only runs on
+      verified pairs.
+    """
+    hashed = simhash(df, id_col, text_col).localCheckpoint(eager=False)
+    # materializes the checkpoint (one job over the tiny signature
+    # table) and sizes the join: a checkpointed relation has no size
+    # estimate, so the planner would never auto-broadcast it
+    groups = _simhash_groups(max_hamming)
+    n_blocked = hashed.count() * len(groups)
+    # group keys are packed into ONE long — slices compacted, group index
+    # in the low bits — so the join key is a single LongType column and
+    # the broadcast build becomes a LongHashedRelation (direct long-keyed
+    # map, measurably cheaper per probe than a composite-key UnsafeRow
+    # map on the candidate volumes involved). Packing always fits: >= 2
+    # groups means slice widths sum to <= 44 bits, and the single-group
+    # case (max_hamming=0) is the raw 64-bit hash with zero index bits.
+    gbits = (len(groups) - 1).bit_length() if len(groups) > 1 else 0
+
+    def key_of(col, gi: int, slices: list[tuple[int, int]]):
+        acc = None
+        for off, w in slices:
+            part = (
+                col
+                if w >= 64
+                else F.shiftrightunsigned(col, off).bitwiseAND(F.lit((1 << w) - 1))
+            )
+            acc = part if acc is None else F.shiftleft(acc, w).bitwiseOR(part)
+        if gbits:
+            acc = F.shiftleft(acc, gbits).bitwiseOR(F.lit(gi))
+        return acc
+
     blocked = hashed.select(
         id_col,
         "simhash",
         F.explode(
             F.array(
                 *[
-                    F.struct(
-                        F.lit(i).alias("block_idx"),
-                        (
-                            F.col("simhash")
-                            if width >= 64  # max_hamming=0: one full-width block
-                            else F.shiftrightunsigned(F.col("simhash"), off).bitwiseAND(
-                                F.lit((1 << width) - 1)
-                            )
-                        ).alias("block_val"),
-                    )
-                    for i, (off, width) in enumerate(layout)
+                    key_of(F.col("simhash"), gi, slices)
+                    for gi, slices in enumerate(groups)
                 ]
             )
-        ).alias("b"),
-    ).select(id_col, "simhash", "b.block_idx", "b.block_val")
-    a = blocked.select(
-        F.col(id_col).alias("id_a"), F.col("simhash").alias("ha"), "block_idx", "block_val"
+        ).alias("bk"),
     )
-    b = blocked.select(
-        F.col(id_col).alias("id_b"), F.col("simhash").alias("hb"), "block_idx", "block_val"
+    a = blocked.select(F.col(id_col).alias("id_a"), F.col("simhash").alias("ha"), "bk")
+    b = blocked.select(F.col(id_col).alias("id_b"), F.col("simhash").alias("hb"), "bk")
+    # first agreeing group of the pair: agreement on group j == the
+    # masked slices of ha^hb are zero
+    xor = F.col("ha").bitwiseXOR(F.col("hb"))
+    first_agree = F.lit(-1)
+    for gi, slices in reversed(list(enumerate(groups))):
+        first_agree = F.when(
+            xor.bitwiseAND(F.lit(_signed64(_group_mask(slices)))) == 0, F.lit(gi)
+        ).otherwise(first_agree)
+    group_idx = (
+        F.col("bk").bitwiseAND(F.lit((1 << gbits) - 1)) if gbits else F.lit(0)
     )
+    # broadcast while the blocked build side is small (~40 B/row; 10M
+    # rows ~ 400 MB hashed relation); beyond that fall back to the
+    # planner's shuffled join, where AQE skew handling applies
+    build = F.broadcast(b) if n_blocked <= SIMHASH_BROADCAST_MAX_ROWS else b
     return (
-        a.join(b, ["block_idx", "block_val"])
+        a.join(build, ["bk"])
         .where(F.col("id_a") < F.col("id_b"))
         .withColumn("hamming", F.bit_count(F.col("ha").bitwiseXOR(F.col("hb"))))
         .where(F.col("hamming") <= max_hamming)
+        .where(group_idx == first_agree)
         .select("id_a", "id_b", "hamming")
-        .distinct()
+        # exchange boundary before the sort: RangePartitioning SAMPLES its
+        # child to compute range bounds, and without a shuffle in between
+        # that re-executes the entire pair-generating join a second time
+        # (measured +50%); one cheap hash shuffle of the RESULT rows (3
+        # longs each) makes the sampling read shuffle output instead
+        .repartition(F.col("id_a"))
         .orderBy("id_a", "id_b")
     )
 

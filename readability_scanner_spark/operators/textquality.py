@@ -236,13 +236,123 @@ def fingerprint_col(text: Column, k: int = 8) -> Column:
     return F.array_min(windows)
 
 
-def with_text_quality(df: DataFrame, text_col: str = "text") -> DataFrame:
+# --- fused lang+quality (optimization r6) -----------------------------------
+#
+# lang_id_col and quality_score_col share their expensive subexpressions
+# (the word-run count, the 4 stopword-marker counts over lower(text), the
+# 3 CJK codepoint counts, the codepoint length): selecting both columns
+# in one Project evaluates every shared regex TWICE (measured: the fused
+# query below costs MORE than the sum of its isolated parts — whole-stage
+# codegen subexpression elimination does not collapse them). The fix is
+# the repo's standard bound-column trick: project each shared count once
+# under an alias in a lower Project — CollapseProject cannot re-inline a
+# non-cheap multi-referenced alias — and express both outputs over the
+# bound attributes. The arithmetic shape on top of the counts is
+# UNCHANGED (same divisions over the same integer inputs), so results
+# are bit-identical to the unfused forms and the DuckDB oracles.
+
+_QL_TMP = (
+    "_ql_low",
+    "_ql_words",
+    "_ql_len",
+    "_ql_kana",
+    "_ql_hangul",
+    "_ql_han",
+    "_ql_mk_de",
+    "_ql_mk_en",
+    "_ql_mk_es",
+    "_ql_mk_fr",
+)
+
+
+def _shared_count_cols(df: DataFrame, text_col: str) -> DataFrame:
+    """Two-level projection of the shared counts: lower(text) is itself
+    bound first so the 4 marker scans share one lowering pass."""
     t = F.col(text_col)
-    return df.withColumns(
-        {
-            "lang_guess": lang_id_col(t),
-            "quality_score": quality_score_col(t),
-            "n_tokens": token_count_col(t),
-            "fingerprint": fingerprint_col(t),
-        }
+    step1 = df.withColumn("_ql_low", F.lower(t))
+    counts = {
+        "_ql_words": F.regexp_count(t, F.lit(WORD_RUN)),
+        "_ql_len": F.length(t),
+        "_ql_kana": F.regexp_count(t, F.lit(_KANA)),
+        "_ql_hangul": F.regexp_count(t, F.lit(_HANGUL)),
+        "_ql_han": F.regexp_count(t, F.lit(_HAN)),
+    }
+    for lang, pattern in _LANG_MARKERS.items():
+        counts[f"_ql_mk_{lang}"] = F.regexp_count(F.col("_ql_low"), F.lit(pattern))
+    return step1.withColumns(counts)
+
+
+def _scores_from_counts() -> dict[str, Column]:
+    words = F.greatest(F.col("_ql_words"), F.lit(1))
+    return {lang: F.col(f"_ql_mk_{lang}") / words for lang in _LANG_MARKERS}
+
+
+def _densities_from_counts() -> tuple[Column, Column, Column]:
+    n_chars = F.greatest(F.col("_ql_len"), F.lit(1))
+    return (
+        F.col("_ql_kana") / n_chars,
+        F.col("_ql_hangul") / n_chars,
+        F.col("_ql_han") / n_chars,
     )
+
+
+def _lang_id_from_counts(min_ratio: float = 0.01, cjk_ratio: float = 0.2) -> Column:
+    scores = _scores_from_counts()
+    pairs = F.array(
+        *[
+            F.struct(scores[lang].alias("score"), F.lit(lang).alias("lang"))
+            for lang in sorted(_LANG_MARKERS)
+        ]
+    )
+    best = F.array_max(pairs)
+    kana, hangul, han = _densities_from_counts()
+    return (
+        F.when(kana >= _KANA_MIN, F.lit("ja"))
+        .when(hangul >= cjk_ratio, F.lit("ko"))
+        .when(han >= cjk_ratio, F.lit("zh"))
+        .when(best["score"] >= min_ratio, best["lang"])
+        .otherwise(F.lit("und"))
+    )
+
+
+def _quality_from_counts(text: Column, cjk_ratio: float = 0.2) -> Column:
+    n_chars = F.col("_ql_len")
+    words = F.greatest(F.col("_ql_words"), F.lit(1))
+    sentences = F.greatest(F.regexp_count(text, F.lit(r"[.!?]")), F.lit(1))
+    punct_ratio = F.regexp_count(text, F.lit(r"[.,;:!?]")) / words
+    best_marker = F.greatest(*_scores_from_counts().values())
+    kana, hangul, han = _densities_from_counts()
+    is_cjk = (kana >= _KANA_MIN) | (hangul >= cjk_ratio) | (han >= cjk_ratio)
+    mean_word_len = n_chars / words
+    length_ok = F.when((n_chars >= 100) & (n_chars <= 50000), 1.0).otherwise(0.3)
+    punct_ok = F.when((punct_ratio >= 0.02) & (punct_ratio <= 0.4), 1.0).otherwise(0.4)
+    stop_ok = F.when(is_cjk | (best_marker >= 0.05), 1.0).otherwise(0.5)
+    wordlen_ok = F.when((mean_word_len >= 3) & (mean_word_len <= 12), 1.0).otherwise(0.4)
+    asl_ok = F.when(words / sentences <= 60, 1.0).otherwise(0.5)
+    score = (length_ok + punct_ok + stop_ok + wordlen_ok + asl_ok) / F.lit(5.0)
+    empty = (
+        F.coalesce(F.length(F.regexp_replace(text, F.lit(WS_CLASS), F.lit(""))), F.lit(0))
+        == 0
+    )
+    return F.when(empty, F.lit(0.0)).otherwise(score)
+
+
+def with_lang_quality_cols(
+    df: DataFrame, text_col: str = "text", include_fingerprint: bool = False
+) -> DataFrame:
+    """Add lang_guess / quality_score / n_tokens (and optionally
+    fingerprint) with every shared regex count evaluated once. Output
+    values are bit-identical to the unfused column functions."""
+    t = F.col(text_col)
+    out_cols = {
+        "lang_guess": _lang_id_from_counts(),
+        "quality_score": _quality_from_counts(t),
+        "n_tokens": token_count_col(t),
+    }
+    if include_fingerprint:
+        out_cols["fingerprint"] = fingerprint_col(t)
+    return _shared_count_cols(df, text_col).withColumns(out_cols).drop(*_QL_TMP)
+
+
+def with_text_quality(df: DataFrame, text_col: str = "text") -> DataFrame:
+    return with_lang_quality_cols(df, text_col, include_fingerprint=True)
