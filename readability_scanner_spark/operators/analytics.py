@@ -44,13 +44,22 @@ def readability_by_group(
     """
     t = F.col(text_col)
     w, s, c = words_col(t), sentences_col(t), characters_col(t)
-    per_doc = docs.where(F.col(group_col).isNotNull()).select(
-        F.col(group_col).alias("grp"),
-        w.alias("w"),
-        s.alias("s"),
-        c.alias("c"),
-        coleman_liau_col(w.cast("double"), s.cast("double"), c.cast("double")).alias("cl"),
-        automated_readability_col(w.cast("double"), s.cast("double"), c.cast("double")).alias("ari"),
+    # r6: counts bound once, formulas over the attributes (CollapseProject
+    # keeps non-cheap multi-referenced aliases; previously each regex
+    # counter ran ~3x per row). Same values out.
+    counts = docs.where(F.col(group_col).isNotNull()).select(
+        F.col(group_col).alias("grp"), w.alias("w"), s.alias("s"), c.alias("c")
+    )
+    wb, sb, cb = F.col("w"), F.col("s"), F.col("c")
+    per_doc = counts.select(
+        "grp",
+        "w",
+        "s",
+        "c",
+        coleman_liau_col(wb.cast("double"), sb.cast("double"), cb.cast("double")).alias("cl"),
+        automated_readability_col(wb.cast("double"), sb.cast("double"), cb.cast("double")).alias(
+            "ari"
+        ),
     )
     return (
         per_doc.groupBy("grp")
@@ -341,20 +350,37 @@ def with_preview(df: DataFrame, text_col: str, max_chars: int = 200) -> DataFram
 
 def sql_text_stats(docs: DataFrame, id_col: str, text_col: str = "text") -> DataFrame:
     """T1–T4 JVM-side per-document stats + the two formulas computable
-    without syllables (Coleman-Liau F6, ARI F9)."""
+    without syllables (Coleman-Liau F6, ARI F9).
+
+    r6: counts are projected once as bound columns and the formulas read
+    the attributes — each formula referenced words/sentences/characters
+    multiple times, and CollapseProject cannot re-inline a non-cheap
+    multi-referenced alias, so the regex counters now run once per row
+    instead of ~3x. Same values out (identical count inputs, identical
+    formula arithmetic)."""
     t = F.col(text_col)
     w, s, c, p = words_col(t), sentences_col(t), characters_col(t), paragraphs_col(t)
-    return docs.select(
+    base = docs.select(
         F.col(id_col),
         w.alias("words"),
         s.alias("sentences"),
         p.alias("paragraphs"),
         c.alias("characters"),
+    )
+    wb, sb, cb = F.col("words"), F.col("sentences"), F.col("characters")
+    return base.select(
+        F.col(id_col),
+        "words",
+        "sentences",
+        "paragraphs",
+        "characters",
         # no rounding: per-row IEEE arithmetic is bit-identical between
         # engines when the expression shape matches; round() itself is
         # what diverges at decimal boundaries (e.g. x.xxxx5)
-        coleman_liau_col(w.cast("double"), s.cast("double"), c.cast("double")).alias("coleman_liau"),
-        automated_readability_col(w.cast("double"), s.cast("double"), c.cast("double")).alias(
+        coleman_liau_col(wb.cast("double"), sb.cast("double"), cb.cast("double")).alias(
+            "coleman_liau"
+        ),
+        automated_readability_col(wb.cast("double"), sb.cast("double"), cb.cast("double")).alias(
             "automated_readability"
         ),
     )
