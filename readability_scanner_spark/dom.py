@@ -436,15 +436,16 @@ def fast_parse(raw: str) -> Node:
         else:
             parent.append(Node(text=text, src_start=start, src_end=end))
 
+    search = _TOKEN_RE.search  # hot loop: bind lookups once
     while pos < length:
-        m = _TOKEN_RE.search(raw, pos)
+        m = search(raw, pos)
         if m is None:
             add_text(pos, length)
             break
         if m.start() > pos:
             add_text(pos, m.start())
         pos = m.end()
-        end_name, start_name = m.group(1), m.group(2)
+        end_name, start_name = m.group(1, 2)
         if start_name is not None:
             tag = start_name.lower()
             # implicit </p> before block elements (same rule as builder)

@@ -47,11 +47,18 @@ class TextStatistics:
 
 
 def count_sentences(text: str) -> int:
-    text = " ".join(text.split())
+    # no whitespace pre-collapse (r6): the split pattern consumes any
+    # \s+ run whole and segment non-emptiness under .strip() is
+    # collapse-invariant, so the count is identical without the extra
+    # full pass (the reference normalizes first, but only the count is
+    # the contract — columns.py makes the same argument for the SQL
+    # twin, and the python==SQL parity tests pin it)
     return sum(1 for s in _SENTENCE_SPLIT.split(text) if s.strip())
 
 
 def count_paragraphs(text: str) -> int:
+    if "\n" not in text:  # C-speed scan; every blank-line separator
+        return 1 if text.strip() else 0  # contains \n (incl. \r\n form)
     return sum(1 for p in _PARAGRAPH_SPLIT.split(text) if p.strip())
 
 
