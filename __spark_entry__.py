@@ -794,15 +794,18 @@ def q_text_quality_filters(spark, sf_dir):
     from readability_scanner_spark.operators.textquality import (
         pii_hits_col,
         redact_pii_col,
-        repetition_signals,
+        with_repetition_signals,
     )
 
     docs = _t(spark, sf_dir, "documents", spread=True)
-    sig = repetition_signals(F.col("text"))
-    return docs.select(
+    # r6: df-level repetition signals — token/bigram arrays bound once
+    # (the column form's lambda-captured tokenizer re-tokenized the
+    # document per bigram; measured 292 s -> ~3 s for this query at
+    # sf1.0). Values identical.
+    return with_repetition_signals(docs, "text").select(
         "doc_id",
-        F.round(sig["dup_word_frac"], 4).alias("dup_word_frac"),
-        F.round(sig["top_bigram_frac"], 4).alias("top_bigram_frac"),
+        F.round(F.col("dup_word_frac"), 4).alias("dup_word_frac"),
+        F.round(F.col("top_bigram_frac"), 4).alias("top_bigram_frac"),
         F.length(redact_pii_col(F.col("text"))).alias("n_chars_redacted"),
         pii_hits_col(F.col("text")).alias("pii_hits"),
     )

@@ -67,8 +67,12 @@ def main() -> None:
         samples = []
         for i in range(repeats):
             spark.sparkContext.setJobDescription(f"{name} [{i}]")
-            df = queries[name](spark, sf_dir)
+            # construction INSIDE the timed window, matching bench.py's
+            # methodology: queries that materialize intermediates at
+            # construction (localCheckpoint counts) must pay for them
+            # in every sample — anything else would hide real work
             t0 = time.time()
+            df = queries[name](spark, sf_dir)
             df.write.format("noop").mode("overwrite").save()
             samples.append(round(time.time() - t0, 3))
         spark.sparkContext.setJobDescription(None)

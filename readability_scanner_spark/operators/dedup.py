@@ -452,7 +452,9 @@ def ngram_jaccard_pairs(
     JVM-side (split + transform + array_distinct), intersection via
     array_intersect — no Python. Quadratic: use after LSH candidate cut
     at scale; standalone form here for small inputs/oracle checks."""
-    docs = df.select(F.col(id_col).alias("doc_id"), _grams_col(text_col, shingle_n).alias("grams"))
+    docs = df.select(
+        F.col(id_col).alias("doc_id"), _dedup_toks_col(text_col).alias("_dt")
+    ).select(F.col("doc_id"), _grams_from_toks(F.col("_dt"), shingle_n).alias("grams"))
     a = docs.select(F.col("doc_id").alias("id_a"), F.col("grams").alias("ga"))
     b = docs.select(F.col("doc_id").alias("id_b"), F.col("grams").alias("gb"))
     inter = F.size(F.array_intersect(F.col("ga"), F.col("gb")))
@@ -469,15 +471,24 @@ def ngram_jaccard_pairs(
     )
 
 
-def _grams_col(text_col: str, shingle_n: int):
-    # JVM twin of _shingles: pad every CJK char into its own token, drop
-    # everything that is neither an ASCII word char nor CJK (this also
-    # eats unicode whitespace like U+3000, which Java \s misses), then
-    # split. Token stream == DEDUP_TOKEN_PY.findall(lower(text)).
+def _dedup_toks_col(text_col: str):
+    """JVM twin of _tokens as a column: pad every CJK char into its own
+    token, drop everything that is neither an ASCII word char nor CJK
+    (this also eats unicode whitespace like U+3000, which Java \\s
+    misses), then split. Token stream == DEDUP_TOKEN_PY.findall(lower)."""
     padded = F.regexp_replace(F.col(text_col), f"([{CJK_CHARS}])", " $1 ")
     cleaned = F.regexp_replace(padded, rf"[^\w\s{CJK_CHARS}]", " ")
     toks = F.split(F.lower(cleaned), r"\s+")
-    toks = F.filter(toks, lambda x: x != "")
+    return F.filter(toks, lambda x: x != "")
+
+
+def _grams_from_toks(toks, shingle_n: int):
+    """Shingle set over a BOUND token-array column. ``toks`` must be a
+    projected alias, never the raw tokenize expression: the transform
+    lambda captures it and a captured subexpression re-evaluates PER
+    ELEMENT — re-tokenizing the document once per gram, the repo's
+    measured O(n^2) trap (this exact site cost dedup_pipeline 219 s at
+    sf1.0 before r6)."""
     n_tok = F.size(toks)
     return (
         F.when(
@@ -497,6 +508,12 @@ def _grams_col(text_col: str, shingle_n: int):
     )
 
 
+def _grams_col(text_col: str, shingle_n: int):
+    # compat column form (tests); hot paths project _dedup_toks_col
+    # first and call _grams_from_toks on the bound alias
+    return _grams_from_toks(_dedup_toks_col(text_col), shingle_n)
+
+
 def ngram_jaccard_verify(
     candidates: DataFrame,
     docs: DataFrame,
@@ -508,11 +525,37 @@ def ngram_jaccard_verify(
     """THE scale path for exact Jaccard: verify only the candidate pairs
     an upstream blocker (MinHash LSH, SimHash, CDC) produced — two
     equi-joins on the pair ids, exact n-gram Jaccard per surviving row,
-    never an all-pairs product. candidates must carry (id_a, id_b)."""
-    grams = docs.select(F.col(id_col).alias("_gid"), _grams_col(text_col, shingle_n).alias("_g"))
+    never an all-pairs product. candidates must carry (id_a, id_b).
+
+    r6: the gram arrays are built ONLY for ids that appear in some
+    candidate pair (semi-join prune — at scale the candidate id set is
+    tiny relative to the corpus by the blocker's contract) and
+    materialized once (localCheckpoint): the previous form re-ran the
+    full-corpus tokenize+gram lineage once per join side. The candidate
+    pairs are checkpointed too — they now feed three consumers (the id
+    set and both joins). Same pairs out: the joins are inner on
+    candidate ids, so grams of non-candidate docs were never used."""
+    cand = candidates.select("id_a", "id_b").localCheckpoint(eager=False)
+    # count materializes the checkpoint and sizes the joins (a
+    # checkpointed relation has no planner size estimate): while the
+    # pair set is small, broadcast it — the gram side then streams with
+    # no shuffle; past the cap, planner-shuffled joins + AQE take over
+    small = cand.count() <= SIMHASH_BROADCAST_MAX_ROWS
+    ids = (
+        cand.select(F.col("id_a").alias("_gid"))
+        .union(cand.select(F.col("id_b").alias("_gid")))
+        .distinct()
+    )
+    ids_b = F.broadcast(ids) if small else ids
+    pruned = docs.join(ids_b, docs[id_col] == ids_b["_gid"], "left_semi")
+    grams = (
+        pruned.select(F.col(id_col).alias("_gid"), _dedup_toks_col(text_col).alias("_dt"))
+        .select(F.col("_gid"), _grams_from_toks(F.col("_dt"), shingle_n).alias("_g"))
+        .localCheckpoint(eager=False)
+    )
+    cand_b = F.broadcast(cand) if small else cand
     joined = (
-        candidates.select("id_a", "id_b")
-        .join(grams.withColumnRenamed("_g", "ga"), F.col("id_a") == F.col("_gid"))
+        cand_b.join(grams.withColumnRenamed("_g", "ga"), F.col("id_a") == F.col("_gid"))
         .drop("_gid")
         .join(grams.withColumnRenamed("_g", "gb"), F.col("id_b") == F.col("_gid"))
         .drop("_gid")

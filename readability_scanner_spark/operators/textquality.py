@@ -185,23 +185,92 @@ def repetition_signals(text: Column, max_bigrams: int = 500) -> dict[str, Column
     dup_word = F.when(
         n > 0, 1.0 - F.size(F.array_distinct(toks)) / n.cast("double")
     ).otherwise(0.0)
-    bi_all = F.when(
+    # only the first max_bigrams bigrams are ever examined — build just
+    # those (r6; previously ALL n-1 bigrams were built then sliced)
+    bi = F.when(
         n >= 2,
         F.transform(
-            F.sequence(F.lit(0), n - 2),
+            F.sequence(F.lit(0), F.least(n - 2, F.lit(max_bigrams - 1))),
             lambda i: F.concat_ws(" ", F.slice(toks, i + 1, 2)),
         ),
     ).otherwise(F.array().cast("array<string>"))
-    bi = F.slice(bi_all, 1, max_bigrams)
     nb = F.size(bi)
-    top = F.array_max(
-        F.transform(
-            F.array_distinct(bi),
-            lambda d: F.size(F.filter(bi, lambda x: x == d)),
-        )
+    # mode count via sort + longest equal-adjacent run (r6): the
+    # previous distinct x occurrences form cost O(cap^2) lambda evals
+    # per document (measured 292 s for the corpus query at sf1.0);
+    # the run-length fold over the sorted array is O(cap log cap) and
+    # yields the identical maximum count
+    top = F.aggregate(
+        F.array_sort(bi),
+        F.struct(
+            F.lit("\x00").alias("prev"), F.lit(0).alias("run"), F.lit(0).alias("mx")
+        ),
+        lambda acc, x: F.struct(
+            x.alias("prev"),
+            F.when(x == acc["prev"], acc["run"] + 1).otherwise(F.lit(1)).alias("run"),
+            F.greatest(
+                acc["mx"],
+                F.when(x == acc["prev"], acc["run"] + 1).otherwise(F.lit(1)),
+            ).alias("mx"),
+        ),
+        lambda acc: acc["mx"],
     )
     top_frac = F.when(nb > 0, top / nb.cast("double")).otherwise(0.0)
     return {"dup_word_frac": dup_word, "top_bigram_frac": top_frac}
+
+
+def with_repetition_signals(
+    df: DataFrame, text_col: str = "text", max_bigrams: int = 500
+) -> DataFrame:
+    """DataFrame form of :func:`repetition_signals` with the token and
+    bigram arrays projected as BOUND columns (r6). The column form's
+    bigram transform captures the split+filter token expression in a
+    lambda, which re-evaluates PER ELEMENT — re-tokenizing the document
+    once per bigram, O(n_tokens x cap) string splits per row (the repo's
+    measured O(n^2) lambda-capture trap; this was the dominant term of
+    the 292 s text_quality_filters measurement at sf1.0). Values are
+    identical: same token stream, same bigram strings, same fold."""
+    step1 = df.withColumn(
+        "_rs_toks", F.filter(F.split(F.lower(F.col(text_col)), WS_RUN), lambda x: x != "")
+    )
+    toks = F.col("_rs_toks")
+    n = F.size(toks)
+    bi = F.when(
+        n >= 2,
+        F.transform(
+            F.sequence(F.lit(0), F.least(n - 2, F.lit(max_bigrams - 1))),
+            # element_at pair == concat_ws over slice(toks, i+1, 2): both
+            # elements exist (i <= n-2) and are non-null/non-empty
+            lambda i: F.concat_ws(
+                " ", F.try_element_at(toks, i + 1), F.try_element_at(toks, i + 2)
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    step2 = step1.withColumn("_rs_bi", bi)
+    bib = F.col("_rs_bi")
+    nb = F.size(bib)
+    dup_word = F.when(
+        n > 0, 1.0 - F.size(F.array_distinct(toks)) / n.cast("double")
+    ).otherwise(0.0)
+    top = F.aggregate(
+        F.array_sort(bib),
+        F.struct(
+            F.lit("\x00").alias("prev"), F.lit(0).alias("run"), F.lit(0).alias("mx")
+        ),
+        lambda acc, x: F.struct(
+            x.alias("prev"),
+            F.when(x == acc["prev"], acc["run"] + 1).otherwise(F.lit(1)).alias("run"),
+            F.greatest(
+                acc["mx"],
+                F.when(x == acc["prev"], acc["run"] + 1).otherwise(F.lit(1)),
+            ).alias("mx"),
+        ),
+        lambda acc: acc["mx"],
+    )
+    top_frac = F.when(nb > 0, top / nb.cast("double")).otherwise(0.0)
+    return step2.withColumns(
+        {"dup_word_frac": dup_word, "top_bigram_frac": top_frac}
+    ).drop("_rs_toks", "_rs_bi")
 
 
 def token_count_col(text: Column) -> Column:
@@ -220,11 +289,18 @@ def token_count_col(text: Column) -> Column:
     return F.regexp_count(text, F.lit(r"\w+|[^\w \t\n\x0B\f\r]")).cast("long")
 
 
-def fingerprint_col(text: Column, k: int = 8) -> Column:
+def fingerprint_col(text: Column, k: int = 8, toks_col: Column | None = None) -> Column:
     """Rolling-hash document fingerprint: xxhash64 of each k-word window,
     min value wins (winnowing-lite, stable under small edits at the
-    document tail)."""
-    toks = F.filter(F.split(F.lower(text), WS_RUN), lambda x: x != "")
+    document tail).
+
+    Pass ``toks_col`` as a BOUND column (projected alias) on hot paths:
+    the window lambda references the token array per element, and a
+    lambda-captured split+filter expression re-tokenizes the document
+    for every window (the repo's measured O(n^2) trap)."""
+    toks = toks_col if toks_col is not None else F.filter(
+        F.split(F.lower(text), WS_RUN), lambda x: x != ""
+    )
     n = F.size(toks)
     windows = F.when(
         n >= k,
@@ -349,9 +425,18 @@ def with_lang_quality_cols(
         "quality_score": _quality_from_counts(t),
         "n_tokens": token_count_col(t),
     }
+    base = _shared_count_cols(df, text_col)
+    tmp = list(_QL_TMP)
     if include_fingerprint:
-        out_cols["fingerprint"] = fingerprint_col(t)
-    return _shared_count_cols(df, text_col).withColumns(out_cols).drop(*_QL_TMP)
+        # bind the token array: fingerprint's window lambda captures it,
+        # and a captured split expression re-evaluates per window (the
+        # O(n^2) lambda trap); reuse the bound lower(text) pass
+        base = base.withColumn(
+            "_ql_toks", F.filter(F.split(F.col("_ql_low"), WS_RUN), lambda x: x != "")
+        )
+        tmp.append("_ql_toks")
+        out_cols["fingerprint"] = fingerprint_col(t, toks_col=F.col("_ql_toks"))
+    return base.withColumns(out_cols).drop(*tmp)
 
 
 def with_text_quality(df: DataFrame, text_col: str = "text") -> DataFrame:
