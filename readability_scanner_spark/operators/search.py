@@ -77,13 +77,51 @@ def weighted_text_score(fields: dict[str, float], query: str) -> Column:
     return score
 
 
+def _bound_term_counts(
+    df: DataFrame, fields: dict[str, float], query: str, with_ntokens: bool
+):
+    """Project lower(field) once per field and the per-(field, term)
+    match counts once each (r6): the scoring formulas reference every
+    count 2-3x and lower(field) once per term, and CollapseProject
+    re-evaluates non-bound subtrees per reference — measured ~5x the
+    necessary regex passes for the mongo-score query. Returns
+    (projected df, terms, cnt-name fn, ntok-name fn)."""
+    terms = _terms(query)
+    step1 = df.withColumns(
+        {f"_ts_low_{i}": F.lower(F.col(c)) for i, c in enumerate(fields)}
+    )
+    counts = {}
+    for i, col_name in enumerate(fields):
+        if with_ntokens:
+            counts[f"_ts_nt_{i}"] = F.size(
+                F.regexp_extract_all(F.col(col_name), F.lit(WORD_RUN), 0)
+            ).cast("double")
+        for j, t in enumerate(terms):
+            counts[f"_ts_c_{i}_{j}"] = F.regexp_count(
+                F.col(f"_ts_low_{i}"), F.lit(_term_pattern(t))
+            )
+    step2 = step1.withColumns(counts)
+    return step2, terms, (lambda i, j: F.col(f"_ts_c_{i}_{j}")), (
+        lambda i: F.col(f"_ts_nt_{i}")
+    )
+
+
 def text_search_weighted(
     df: DataFrame, fields: dict[str, float], query: str, id_col: str, limit: int = 20
 ) -> DataFrame:
     """P9 with field weights + TF scaling (the textScore upgrade over the
-    raw match-count form below)."""
+    raw match-count form below). r6: per-(field, term) counts bound once
+    (identical arithmetic on top — same values, ~3x fewer regex passes)."""
+    base, terms, cnt_of, _ = _bound_term_counts(df, fields, query, with_ntokens=False)
+    score = F.lit(0.0)
+    for i, (col_name, weight) in enumerate(fields.items()):
+        for j, t in enumerate(terms):
+            tf = cnt_of(i, j).cast("double")
+            score = score + F.when(
+                tf > 0, F.lit(float(weight)) * (0.5 + 0.5 * tf / (tf + 1))
+            ).otherwise(0.0)
     return (
-        df.withColumn("score", F.round(weighted_text_score(fields, query), 4))
+        base.withColumn("score", F.round(score, 4))
         .where(F.col("score") > 0)
         .select(id_col, "score")
         .orderBy(F.desc("score"), F.asc(id_col))
@@ -136,9 +174,24 @@ def text_search_mongo(
     df: DataFrame, fields: dict[str, float], query: str, id_col: str, limit: int = 20
 ) -> DataFrame:
     """P9 relevance ranking under Mongo's exact textScore constants
-    (article_search_routes.py:52-81 sorts on {$meta: "textScore"})."""
+    (article_search_routes.py:52-81 sorts on {$meta: "textScore"}).
+    r6: per-(field, term) counts and per-field numTokens bound once;
+    the score arithmetic on top is shape-identical to mongo_text_score
+    (same association order, one pow + one division per term), so the
+    values — and the driver hash — are unchanged."""
+    base, terms, cnt_of, nt_of = _bound_term_counts(df, fields, query, with_ntokens=True)
+    score = F.lit(0.0)
+    for i, (col_name, weight) in enumerate(fields.items()):
+        n_tokens = nt_of(i)
+        for j, t in enumerate(terms):
+            cnt = cnt_of(i, j).cast("double")
+            freq = F.lit(2.0) - F.pow(F.lit(2.0), F.lit(1.0) - cnt)
+            coeff = F.lit(0.5) * cnt / n_tokens + F.lit(0.5)
+            score = score + F.when(
+                cnt > 0, F.lit(float(weight)) * freq * coeff
+            ).otherwise(0.0)
     return (
-        df.withColumn("score", F.round(mongo_text_score(fields, query), 4))
+        base.withColumn("score", F.round(score, 4))
         .where(F.col("score") > 0)
         .select(id_col, "score")
         .orderBy(F.desc("score"), F.asc(id_col))
@@ -152,10 +205,16 @@ def text_search(
     """Search: relevance desc, id asc tie-break, top-k. ``require_all``
     switches OR semantics ($text default) to AND (phrase-ish)."""
     terms = _terms(query)
-    out = df.withColumn("relevance", relevance_col(F.col(text_col), query))
+    # r6: lower(text) bound once — the per-term counts (and require_all
+    # rlikes) each re-lowered the document otherwise. Same values.
+    base = df.withColumn("_ts_low", F.lower(F.col(text_col)))
+    rel = F.lit(0).cast("long")
+    for t in terms:
+        rel = rel + F.regexp_count(F.col("_ts_low"), F.lit(_term_pattern(t))).cast("long")
+    out = base.withColumn("relevance", rel)
     if require_all and terms:
         for t in terms:
-            out = out.where(F.lower(F.col(text_col)).rlike(_term_pattern(t)))
+            out = out.where(F.col("_ts_low").rlike(_term_pattern(t)))
     return (
         out.where(F.col("relevance") > 0)
         .select(id_col, "relevance")
