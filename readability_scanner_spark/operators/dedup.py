@@ -1019,6 +1019,47 @@ def _covered_positions(
     return covered.distinct() if dedup else covered
 
 
+def _covered_intervals(df: DataFrame, id_col: str, text_col: str, k: int) -> DataFrame:
+    """``(id, _s, _e)`` — the covered-position set of
+    :func:`_covered_positions` as maximal merged intervals, computed
+    WITHOUT exploding positions (r6): each duplicated k-gram start p
+    covers [p, p+k-1]; with starts sorted per doc, two consecutive
+    ranges belong to one island iff p_i - p_{i-1} <= k (adjacent or
+    overlapping), so the islands of the exploded position set are
+    exactly the merged (min start, max start + k - 1) intervals. This
+    replaces a k-fold position explode (+ distinct / collect_set) with
+    window arithmetic over the duplicated STARTS only."""
+    grams = (
+        _ws_tokens_df(df, id_col, text_col)
+        .select(
+            F.col(id_col),
+            F.explode_outer(_pos_gram_pairs(F.col("_ts"), k)).alias("g"),
+        )
+        .where(F.col("g").isNotNull())
+        .select(F.col(id_col), F.col("g.p").alias("p"), F.col("g.gh").alias("gh"))
+    )
+    dup = (
+        grams.withColumn("_c", F.count("*").over(Window.partitionBy("gh")))
+        .where(F.col("_c") >= 2)
+        .select(F.col(id_col), "p")
+    )
+    w = Window.partitionBy(id_col).orderBy("p")
+    return (
+        dup.withColumn(
+            # first row of a doc: lag is NULL -> NULL comparison -> 0
+            "_brk",
+            F.when(F.col("p") - F.lag("p").over(w) > k, 1).otherwise(0),
+        )
+        .withColumn(
+            "_isl",
+            F.sum("_brk").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+        )
+        .groupBy(id_col, "_isl")
+        .agg(F.min("p").alias("_s"), (F.max("p") + F.lit(k - 1)).alias("_e"))
+        .drop("_isl")
+    )
+
+
 def duplicated_spans(df: DataFrame, id_col: str, text_col: str, k: int = 8) -> DataFrame:
     """Exact repeated-substring detection (the substring-level member of
     the dedup family — exact / MinHash / SimHash / Jaccard / CDC cover
@@ -1033,23 +1074,17 @@ def duplicated_spans(df: DataFrame, id_col: str, text_col: str, k: int = 8) -> D
     ``(id, start_tok, end_tok, span_tokens, span_text)`` with 0-based
     inclusive token positions.
 
-    Plan: gram window (shuffle by hash) -> covered distinct -> classic
-    gaps-and-islands (t - row_number) per doc -> join back to the token
-    arrays for span_text. The span set is tiny relative to the corpus,
-    so the final join's doc side dominates; at 100 TB you'd skip
-    span_text (positions suffice to act) — kept here because the text
-    column is what makes the result independently checkable."""
-    covered = _covered_positions(df, id_col, text_col, k)
-    w = Window.partitionBy(id_col).orderBy("t")
-    spans = (
-        covered.withColumn("_isl", F.col("t") - F.row_number().over(w))
-        .groupBy(id_col, "_isl")
-        .agg(
-            F.min("t").alias("_s"),
-            F.max("t").alias("_e"),
-            F.count("*").alias("span_tokens"),
-        )
-        .drop("_isl")
+    Plan (r6): gram window (shuffle by hash) -> merged intervals over
+    the duplicated STARTS (_covered_intervals — the k-fold position
+    explode + distinct of the original plan is gone; the islands of the
+    exploded position set equal the merged start ranges, so the span
+    rows are identical) -> join back to the token arrays for span_text.
+    The span set is tiny relative to the corpus, so the final join's
+    doc side dominates; at 100 TB you'd skip span_text (positions
+    suffice to act) — kept here because the text column is what makes
+    the result independently checkable."""
+    spans = _covered_intervals(df, id_col, text_col, k).withColumn(
+        "span_tokens", (F.col("_e") - F.col("_s") + F.lit(1)).cast("long")
     )
     toks_df = _ws_tokens_df(df, id_col, text_col)
     return spans.join(toks_df, id_col).select(
@@ -1076,43 +1111,47 @@ def remove_duplicated_spans(
 
     Returns ``(id, clean_text, tokens_removed)``.
 
-    r6: the kept tokens are rebuilt by slicing the SEGMENTS between
-    consecutive covered positions (sorted bounds array, one slice per
-    gap, flatten) — O(|doc| + |cov| log |cov|) per document. The
-    previous form filtered per token with ``array_contains`` over the
-    covered set, O(|doc| * |covered|) — the round-5 verdict's named
-    scale caveat for long documents. Same kept-token sequence: segment
-    boundaries are exactly the sorted covered positions. The bounds
-    array is a BOUND column (lambda-captured subexpressions re-evaluate
-    per element — the repo's measured O(n^2) trap)."""
-    # dedup=False: collect_set deduplicates anyway, and skipping the
-    # (id, t) distinct drops one whole exchange of the covered set
-    # (hash by (id,t) would not satisfy the groupBy(id) clustering)
-    covered = _covered_positions(df, id_col, text_col, k, dedup=False)
-    cov = covered.groupBy(id_col).agg(F.collect_set("t").alias("_cov"))
+    r6: covered positions are carried as merged INTERVALS
+    (_covered_intervals — no k-fold position explode, no collect_set of
+    positions) and the kept tokens are rebuilt by slicing the segments
+    between consecutive intervals — O(|doc| + |spans|) per document. The
+    original form filtered per token with ``array_contains`` over the
+    exploded covered set, O(|doc| * |covered|) — the round-5 verdict's
+    named scale caveat for long documents. Same kept-token sequence:
+    the intervals ARE the maximal covered runs, so the segments between
+    them are exactly the uncovered tokens in order. The bounds arrays
+    are BOUND columns (lambda-captured subexpressions re-evaluate per
+    element — the repo's measured O(n^2) trap)."""
+    iv = _covered_intervals(df, id_col, text_col, k)
+    cov = iv.groupBy(id_col).agg(
+        F.array_sort(
+            F.collect_list(F.struct(F.col("_s").alias("s"), F.col("_e").alias("e")))
+        ).alias("_iv")
+    )
     toks_df = _ws_tokens_df(df, id_col, text_col)
     joined = toks_df.join(cov, id_col, "left")
-    cov_arr = F.coalesce(F.col("_cov"), F.array().cast("array<int>"))
-    # bounds = [-1, sorted covered positions..., n_tokens]: the kept
-    # tokens are the (possibly empty) open intervals between consecutive
-    # bounds, in order
+    iv_arr = F.coalesce(
+        F.col("_iv"), F.array().cast("array<struct<s:int,e:int>>")
+    )
+    # kept segments: (e_{i-1}+1 .. s_i-1) for each interval plus the
+    # tail after the last — starts = [s_1..s_n, n_tokens], ends =
+    # [-1, e_1..e_n]; segment i spans ends[i]+1 .. starts[i]-1 (0-based)
     bounded = joined.select(
         F.col(id_col),
         F.col("_ts"),
         F.concat(
-            F.array(F.lit(-1)),
-            F.array_sort(cov_arr),
-            F.array(F.size(F.col("_ts"))),
-        ).alias("_b"),
+            F.transform(iv_arr, lambda x: x["s"]), F.array(F.size(F.col("_ts")))
+        ).alias("_ss"),
+        F.concat(F.array(F.lit(-1)), F.transform(iv_arr, lambda x: x["e"])).alias("_es"),
     )
-    b = F.col("_b")
+    ss, es = F.col("_ss"), F.col("_es")
     kept = F.flatten(
         F.transform(
-            F.sequence(F.lit(0), F.size(b) - F.lit(2)),
+            F.sequence(F.lit(1), F.size(ss)),
             lambda i: F.slice(
                 F.col("_ts"),
-                F.try_element_at(b, i + F.lit(1)) + F.lit(2),
-                F.try_element_at(b, i + F.lit(2)) - F.try_element_at(b, i + F.lit(1)) - F.lit(1),
+                F.try_element_at(es, i) + F.lit(2),
+                F.try_element_at(ss, i) - F.try_element_at(es, i) - F.lit(1),
             ),
         )
     )
