@@ -388,7 +388,8 @@ def q_lang_quality(spark, sf_dir):
 
 def q_json_props_agg(spark, sf_dir):
     """J2/E4-analog: JSON field extraction + computed-key grouping."""
-    ev = _t(spark, sf_dir, "events")
+    # spread (r6): per-row JSON parsing on the one-task scan otherwise
+    ev = _t(spark, sf_dir, "events", spread=True)
     k = F.get_json_object("props", "$.k").cast("int")
     return (
         ev.select((k % 10).alias("k_mod"), "value")
@@ -1106,7 +1107,10 @@ def q_kmv_distinct_users(spark, sf_dir):
     approx_count_distinct's engine-private HLL."""
     from readability_scanner_spark.operators.sketches import kmv_distinct
 
-    ev = _t(spark, sf_dir, "events")
+    # spread (r6): the per-row md5 otherwise runs on the single-row-group
+    # scan's ONE task (measured ~7.4 s at sf1.0, ~2.3 s spread); results
+    # are partitioning-independent
+    ev = _t(spark, sf_dir, "events", spread=True)
     return kmv_distinct(ev, ["event_type"], F.col("user_id").cast("string"), k=64).orderBy(
         "event_type"
     )

@@ -90,10 +90,23 @@ def kmv_estimate_const(k: int) -> float:
 def _k_smallest(hashed: DataFrame, group_cols: list[str], k: int) -> DataFrame:
     """Shared tail of every KMV entry point: from distinct
     ``(*group_cols, h)`` rows, keep the k smallest hashes per group
-    (row_number over the hash order — a spilling window sort keyed on
-    the group only)."""
+    (row_number over the hash order).
+
+    r6: a partition-local top-k prune runs first — group cardinality is
+    tiny (that is what makes KMV useful), so the window otherwise sorts
+    each group's ENTIRE distinct-hash set on one task (measured: the
+    5-group sf1.0 query spent its time in 5 straggler sort tasks). The
+    local prune keeps the k smallest per (group, input partition), a
+    superset of the global k smallest, so the window's output rows —
+    and the estimates — are identical for any partitioning; hashes are
+    unique per group (distinct upstream), so ties cannot reorder."""
+    local = (
+        hashed.groupBy(*group_cols, F.spark_partition_id().alias("_pid"))
+        .agg(F.slice(F.array_sort(F.collect_list("h")), 1, k).alias("_hs"))
+        .select(*group_cols, F.explode("_hs").alias("h"))
+    )
     w = Window.partitionBy(*group_cols).orderBy("h")
-    return hashed.withColumn("_rn", F.row_number().over(w)).where(F.col("_rn") <= k)
+    return local.withColumn("_rn", F.row_number().over(w)).where(F.col("_rn") <= k)
 
 
 def _agg_sketch(kept: DataFrame, group_cols: list[str]) -> DataFrame:
