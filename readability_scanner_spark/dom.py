@@ -83,19 +83,18 @@ class Node:
         """Deep copy of the subtree (iterative — no recursion limit risk).
         ~4x cheaper than reparsing the HTML; used by the extraction
         retry ladder."""
-        new_root = Node(
-            self.tag, dict(self.attrs) if self.attrs else None, self.text, self.src_start, self.src_end
-        )
+        # unconditional dict copies: a clone must not alias the shared
+        # _NO_ATTRS dict — "deep copy" is this method's contract, and a
+        # future mutation of a cloned node's attrs must never leak into
+        # every attribute-less node process-wide (r6 review). The parse
+        # path keeps the shared-empty-dict fast path; clones are rare.
+        new_root = Node(self.tag, dict(self.attrs), self.text, self.src_start, self.src_end)
         stack = [(self, new_root)]
         while stack:
             old, new = stack.pop()
             for child in old.children:
                 c = Node(
-                    child.tag,
-                    dict(child.attrs) if child.attrs else None,
-                    child.text,
-                    child.src_start,
-                    child.src_end,
+                    child.tag, dict(child.attrs), child.text, child.src_start, child.src_end
                 )
                 new.append(c)
                 if child.children:

@@ -204,11 +204,11 @@ def minhash_lsh_candidates(
     ).select(id_col, "bb.band", "bb.bucket")
     a = banded.select(F.col(id_col).alias("id_a"), "band", "bucket")
     b = banded.select(F.col(id_col).alias("id_b"), "band", "bucket")
-    # broadcast below the row cap (same rationale/cap as the simhash
-    # block join), planner-shuffled join above it; the distinct stays —
-    # banding duplicates cannot be filtered from bucket hashes alone,
-    # and candidate volume is bounded by the tiny bucket sizes
-    build = F.broadcast(b) if n_banded <= SIMHASH_BROADCAST_MAX_ROWS else b
+    # broadcast below the wide-id row cap, planner-shuffled join above
+    # it; the distinct stays — banding duplicates cannot be filtered
+    # from bucket hashes alone, and candidate volume is bounded by the
+    # tiny bucket sizes
+    build = F.broadcast(b) if n_banded <= KEYED_BROADCAST_MAX_ROWS else b
     return (
         a.join(build, ["band", "bucket"])
         .where(F.col("id_a") < F.col("id_b"))
@@ -220,10 +220,16 @@ def minhash_lsh_candidates(
 
 # --- SimHash ---------------------------------------------------------------------------
 
-# broadcast cap for the blocked self-join build side (rows): ~40 B/row
-# in the hashed relation keeps this ~400 MB, well under Spark's 8 GB /
-# 512M-row broadcast limits; larger inputs use a shuffled join instead
+# broadcast cap for the blocked simhash self-join build side (rows):
+# its rows are three LONGS (~40 B/row in the hashed relation), so 10M
+# rows ~ 400 MB — well under Spark's 8 GB / 512M-row broadcast limits;
+# larger inputs use a shuffled join instead
 SIMHASH_BROADCAST_MAX_ROWS = 10_000_000
+# broadcast cap for build sides that carry CALLER-SUPPLIED id values
+# (minhash banded rows, jaccard candidate pairs): ids can be wide
+# strings, so the per-row sizing argument above does not apply — cap
+# lower (2M rows ~ a few hundred MB even at ~100 B/id; r6 review)
+KEYED_BROADCAST_MAX_ROWS = 2_000_000
 
 
 def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 64) -> DataFrame:
@@ -343,8 +349,9 @@ def simhash_near_dups(df: DataFrame, id_col: str, text_col: str, max_hamming: in
     stays bucket-local at scale.
 
     r6 optimizations (results identical — the group family is complete
-    and every candidate is hamming-verified; plan-pinned in
-    tests/test_plans.py):
+    and every candidate is hamming-verified; the broadcast-build /
+    no-distinct plan shape is pinned in tests/test_plans.py::
+    test_simhash_plan_shape):
 
     * combination blocking (pair-of-slices groups, _simhash_groups):
       double-width keys cut raw candidate probes ~1.6x on clustered
@@ -540,7 +547,8 @@ def ngram_jaccard_verify(
     # checkpointed relation has no planner size estimate): while the
     # pair set is small, broadcast it — the gram side then streams with
     # no shuffle; past the cap, planner-shuffled joins + AQE take over
-    small = cand.count() <= SIMHASH_BROADCAST_MAX_ROWS
+    # (wide-id cap: pair rows carry caller-supplied id values)
+    small = cand.count() <= KEYED_BROADCAST_MAX_ROWS
     ids = (
         cand.select(F.col("id_a").alias("_gid"))
         .union(cand.select(F.col("id_b").alias("_gid")))
@@ -977,58 +985,30 @@ def _ws_tokens_df(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     return df.select(F.col(id_col), ws_tokens_col(F.col(text_col)).alias("_ts"))
 
 
-def _covered_positions(
-    df: DataFrame, id_col: str, text_col: str, k: int, dedup: bool = True
-) -> DataFrame:
-    """``(id, t)`` — 0-based token positions covered by at least one
-    k-gram that occurs >= 2 times ANYWHERE in the corpus (cross-doc or
-    within one doc — a self-repeat is still a duplicated substring, as
-    in the published exact-substring recipe). With ``dedup`` a position
-    appears once; callers that re-aggregate by id (collect_set) skip
-    the extra (id, t) exchange and dedup in their own aggregate.
+def _covered_intervals(df: DataFrame, id_col: str, text_col: str, k: int) -> DataFrame:
+    """``(id, _s, _e)`` — maximal merged intervals of 0-based token
+    positions covered by at least one k-gram occurring >= 2 times
+    ANYWHERE in the corpus (cross-doc or within one doc — a self-repeat
+    is still a duplicated substring, as in the published exact-substring
+    recipe), computed WITHOUT exploding positions (r6): each duplicated
+    k-gram start p covers [p, p+k-1]; with starts sorted per doc, two
+    consecutive ranges belong to one island iff p_i - p_{i-1} <= k
+    (adjacent or overlapping), so the islands of the covered-position
+    set are exactly the merged (min start, max start + k - 1) intervals.
+    This replaces the previous per-position form (k-fold explode +
+    distinct / collect_set) with window arithmetic over the duplicated
+    STARTS only.
 
-    Scale shape: the only corpus-sized shuffle is BY GRAM HASH. A
-    window count (not groupBy+join-back) does it in ONE pass over the
-    exploded grams — the join form would colocate every occurrence of
-    each hash anyway (identical skew), while recomputing the
+    Scale shape: the only corpus-sized shuffle is BY GRAM HASH. A window
+    count (not groupBy+join-back) does the duplicate detection in ONE
+    pass over the grams — the join form would colocate every occurrence
+    of each hash anyway (identical skew), while recomputing the
     tokenize+hash lineage for the probe side. Hot-gram skew is bounded
     by the most-repeated k-gram in the corpus; at 100 TB a pathological
     boilerplate gram lands one partition with its full occurrence list,
     which AQE's skew-join handling does not split for windows — the
     mitigation is raising k (longer grams repeat less), the same lever
     the published recipes use (k≈50 bytes / 13 tokens on real text)."""
-    grams = (
-        _ws_tokens_df(df, id_col, text_col)
-        .select(
-            F.col(id_col),
-            # explode_OUTER: plain explode makes InferFiltersFromGenerate
-            # clone the whole gram-hash expression into a size()>0 filter
-            # below the repartition (see decontam.doc_ngrams)
-            F.explode_outer(_pos_gram_pairs(F.col("_ts"), k)).alias("g"),
-        )
-        .where(F.col("g").isNotNull())
-        .select(F.col(id_col), F.col("g.p").alias("p"), F.col("g.gh").alias("gh"))
-    )
-    dup = grams.withColumn(
-        "_c", F.count("*").over(Window.partitionBy("gh"))
-    ).where(F.col("_c") >= 2)
-    covered = dup.select(
-        F.col(id_col),
-        F.explode(F.sequence(F.col("p"), F.col("p") + F.lit(k - 1))).alias("t"),
-    )
-    return covered.distinct() if dedup else covered
-
-
-def _covered_intervals(df: DataFrame, id_col: str, text_col: str, k: int) -> DataFrame:
-    """``(id, _s, _e)`` — the covered-position set of
-    :func:`_covered_positions` as maximal merged intervals, computed
-    WITHOUT exploding positions (r6): each duplicated k-gram start p
-    covers [p, p+k-1]; with starts sorted per doc, two consecutive
-    ranges belong to one island iff p_i - p_{i-1} <= k (adjacent or
-    overlapping), so the islands of the exploded position set are
-    exactly the merged (min start, max start + k - 1) intervals. This
-    replaces a k-fold position explode (+ distinct / collect_set) with
-    window arithmetic over the duplicated STARTS only."""
     grams = (
         _ws_tokens_df(df, id_col, text_col)
         .select(

@@ -87,6 +87,11 @@ def kmv_estimate_const(k: int) -> float:
     return float((k - 1) * (1 << 64))
 
 
+# cells per (group, partition) in the local top-k prune: bounds each
+# collect_list buffer to ~partition_rows/_PRUNE_SALTS entries
+_PRUNE_SALTS = 64
+
+
 def _k_smallest(hashed: DataFrame, group_cols: list[str], k: int) -> DataFrame:
     """Shared tail of every KMV entry point: from distinct
     ``(*group_cols, h)`` rows, keep the k smallest hashes per group
@@ -96,12 +101,22 @@ def _k_smallest(hashed: DataFrame, group_cols: list[str], k: int) -> DataFrame:
     tiny (that is what makes KMV useful), so the window otherwise sorts
     each group's ENTIRE distinct-hash set on one task (measured: the
     5-group sf1.0 query spent its time in 5 straggler sort tasks). The
-    local prune keeps the k smallest per (group, input partition), a
-    superset of the global k smallest, so the window's output rows —
-    and the estimates — are identical for any partitioning; hashes are
-    unique per group (distinct upstream), so ties cannot reorder."""
+    local prune keeps the k smallest per (group, input partition, hash
+    salt): any union of per-cell k-smallest sets is a superset of the
+    global k smallest, so the window's output rows — and the estimates —
+    are identical for any partitioning; hashes are unique per group
+    (distinct upstream), so ties cannot reorder. The salt bounds each
+    collect_list buffer to ~1/``_PRUNE_SALTS`` of a partition's rows —
+    without it a few-group corpus would hold one partition's whole
+    distinct-hash set in a single in-memory aggregation buffer (r6
+    review finding: the previous window sort spilled; an unbounded
+    array cannot)."""
     local = (
-        hashed.groupBy(*group_cols, F.spark_partition_id().alias("_pid"))
+        hashed.groupBy(
+            *group_cols,
+            F.spark_partition_id().alias("_pid"),
+            F.pmod(F.col("h"), F.lit(_PRUNE_SALTS)).alias("_salt"),
+        )
         .agg(F.slice(F.array_sort(F.collect_list("h")), 1, k).alias("_hs"))
         .select(*group_cols, F.explode("_hs").alias("h"))
     )

@@ -172,9 +172,15 @@ def repetition_signals(text: Column, max_bigrams: int = 500) -> dict[str, Column
     - dup_word_frac: 1 - distinct/total words — boilerplate and keyword
       stuffing push this up.
     - top_bigram_frac: share of the most frequent word bigram among the
-      first ``max_bigrams`` bigrams. The mode computation is
-      distinct x occurrences inside one row (bounded by the cap), no
-      shuffle — per-document cost is capped regardless of corpus size.
+      first ``max_bigrams`` bigrams.
+
+    PERFORMANCE WARNING (r6): this Column form captures the raw
+    split+filter token expression inside the bigram transform's lambda,
+    which re-evaluates PER ELEMENT — re-tokenizing the document once
+    per bigram, O(n_tokens x cap) full-string splits per row (measured
+    292 s for a 50k-doc corpus query). Use
+    :func:`with_repetition_signals` on any real data path; this form is
+    kept only for expression-level composition and small inputs.
     """
     # WS_RUN, not Java \s: Java's class contains U+000B and misses
     # U+3000 — both present in real corpora, both cross-engine traps

@@ -140,3 +140,38 @@ def test_dedup_pipeline_never_goes_quadratic(spark):
     plan = _plan(out)
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_simhash_plan_shape(spark):
+    """r6 pins: the blocked self-join must (a) read ONE materialized
+    signature table on both sides (no second MapInPandas lineage), (b)
+    stay a broadcast join (skewed group keys make a shuffled join
+    quadratic on one task), (c) carry no distinct aggregate (the
+    canonical-group filter dedups), and (d) keep an exchange between the
+    join and the final sort (range sampling must not re-execute the
+    join)."""
+    from readability_scanner_spark.operators.dedup import simhash_near_dups
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    plan = _plan(simhash_near_dups(docs, "doc_id", "text", max_hamming=3))
+    assert "MapInPandas" not in plan  # signatures pre-materialized once
+    # both sides read the checkpoint: 2 nodes, each printed in the tree
+    # AND the details section of the formatted plan
+    assert plan.count("Scan ExistingRDD") == 4
+    assert "BroadcastHashJoin" in plan
+    assert "HashAggregate" not in plan  # no distinct
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
+    # a repartition exchange sits between the join and the sort
+    assert plan.index("Sort ") < plan.index("BroadcastHashJoin")
+
+
+def test_repetition_signals_df_form_binds_tokens(spark):
+    """r6 pin: with_repetition_signals must not re-tokenize per bigram —
+    the token array appears as a bound column, so the physical plan
+    contains exactly ONE split() of the text column."""
+    from readability_scanner_spark.operators.textquality import with_repetition_signals
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    out = with_repetition_signals(docs, "text").select("doc_id", "dup_word_frac", "top_bigram_frac")
+    plan = _plan(out)
+    assert plan.count("split(lower(text") <= 1
