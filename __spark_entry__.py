@@ -814,7 +814,17 @@ def q_text_quality_filters(spark, sf_dir):
 
 def q_daily_topics(spark, sf_dir):
     """§3.3 daily-topics pipeline over the embeddings table (synthetic
-    monotone ts per vec_id); nested article structs per topic."""
+    monotone ts per vec_id); nested article structs per topic.
+
+    max_per_window is lifted to cover the whole table: the oracle's
+    recursive CTE clusters EVERY embedding in the window (no 500-cap),
+    so the declared query must too.  The operator default keeps the
+    reference's newest-500 cap for production callers; at the driver's
+    correctness SFs (≤500 embeddings) the lifted cap is bitwise a
+    no-op, and this query is not in bench.py's timed set.  The cap must
+    be the REAL row count, not a huge sentinel: orderBy().limit(k)
+    compiles to TakeOrderedAndProject whose per-partition priority
+    queue eagerly allocates O(k) — a 1e9 sentinel OOMs the JVM."""
     from readability_scanner_spark.plans.topics import build_daily_topics
 
     emb = _t(spark, sf_dir, "embeddings").withColumn(
@@ -822,7 +832,14 @@ def q_daily_topics(spark, sf_dir):
         F.to_timestamp(F.lit("2025-06-01 00:00:00")) + F.make_interval(mins=F.col("vec_id")),
     )
     topics = build_daily_topics(
-        emb, "vec_id", "embedding", "ts", ["label"], threshold=0.4, min_group_size=2
+        emb,
+        "vec_id",
+        "embedding",
+        "ts",
+        ["label"],
+        threshold=0.4,
+        min_group_size=2,
+        max_per_window=max(emb.count(), 1),
     )
     return topics.select("topic_id", "article_count")
 
